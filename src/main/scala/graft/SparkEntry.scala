@@ -1,13 +1,220 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 expressed
+  * Spark-first; [[oracleSql]] carries the equivalent DuckDB SQL for the
+  * driver's hash-compare (column names aliased identically on both sides;
+  * deterministic ORDER BY everywhere; double aggregates routed through
+  * DECIMAL(18,2) on both sides so engine summation order can't perturb
+  * bits — see ops.Aggregates scaladoc).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core computation: last-5 lookback → next-price
+    * prediction per series (`stream_consumer.py:50-54,72-76`). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Predict.predictNext(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 scans / projections / filters
+    "q_scan_filter"   -> ((s, d) => Relational.scanFilter(s, d)),
+    "q_count"         -> ((s, d) => Relational.countAll(s, d)),
+    // §2.6 sorts / limits / top-k
+    "q_orderby_limit" -> ((s, d) => Relational.orderByLimit(s, d)),
+    "q_sort"          -> ((s, d) => Relational.sortByShipdate(s, d)),
+    // §2.7 set ops + distinct
+    "q_distinct"      -> ((s, d) => Relational.distinctPairs(s, d)),
+    "q_union"         -> ((s, d) => Relational.unionSlices(s, d)),
+    "q_intersect"     -> ((s, d) => Relational.intersectUsers(s, d)),
+    "q_except"        -> ((s, d) => Relational.exceptUsers(s, d)),
+    // §2.4 aggregations
+    "q_agg_groupby"   -> ((s, d) => Aggregates.groupedPricingSummary(s, d)),
+    "q_agg_rollup"    -> ((s, d) => Aggregates.rollupSummary(s, d)),
+    "q_metrics_summary" -> ((s, d) => Aggregates.metricsSummary(s, d)),
+    "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
+    // §2.3 joins
+    "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
+    "q_join_shuffle"   -> ((s, d) => Joins.shuffleJoinRevenue(s, d)),
+    "q_join_semi"      -> ((s, d) => Joins.semiJoin(s, d)),
+    "q_join_anti"      -> ((s, d) => Joins.antiJoin(s, d)),
+    "q_join_outer"     -> ((s, d) => Joins.outerJoinOrderCounts(s, d)),
+    "q_join_range"     -> ((s, d) => Joins.rangeJoinClicksBeforePurchase(s, d)),
+    // §2.5 windows
+    "q_window_rank"    -> ((s, d) => Windows.rankPerUser(s, d)),
+    "q_window_lag"     -> ((s, d) => Windows.lagLeadPerUser(s, d)),
+    "q_last5_window"   -> ((s, d) => Windows.lastKStats(s, d, 5)),
+    "q_sliding_windows" -> ((s, d) => Windows.slidingWindowStats(s, d, 60)),
+    "q_minmax_scale"   -> ((s, d) => Windows.minMaxScale(s, d)),
+    // §2.10 prediction (UDF over ordered window)
+    "q_predict_next"   -> ((s, d) => Predict.predictNext(s, d, 5)),
+    "q_predict_windows" -> ((s, d) => Predict.predictAllWindows(s, d, 60)),
+    // §2.8 scalar functions
+    "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
+    "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
+  )
+
+  /** DECIMAL-exact sum fragment shared by several oracles. */
+  private def dsum(col: String) = s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  private val revenue =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q_approx_distinct: sketch-based by design). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'click' ORDER BY event_id""",
+    "q_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q_orderby_limit" ->
+      """SELECT event_id, value FROM
+         (SELECT event_id, value FROM events ORDER BY ts DESC, event_id DESC LIMIT 5000) t
+         ORDER BY event_id""",
+    "q_sort" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_d, l_orderkey, l_linenumber, l_quantity
+         FROM lineitem ORDER BY ship_d, l_orderkey, l_linenumber""",
+    "q_distinct" ->
+      "SELECT DISTINCT event_type, user_id FROM events ORDER BY event_type, user_id",
+    "q_union" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, event_type FROM events WHERE value > 150.0
+         ORDER BY event_id, event_type""",
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         ORDER BY user_id""",
+    "q_agg_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${dsum("l_quantity")} AS sum_qty,
+          ${dsum("l_extendedprice")} AS sum_base_price,
+          $revenue AS sum_disc_price,
+          ${dsum("l_quantity")} / count(*) AS avg_qty,
+          count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          coalesce(l_linestatus, 'ALL') AS ls,
+          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY rf, ls""",
+    "q_metrics_summary" ->
+      s"""SELECT count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+          ${dsum("value")} AS sum_value,
+          ${dsum("value")} / count(*) AS avg_value
+          FROM events""",
+    "q_join_broadcast" ->
+      """SELECT n_name, r_name FROM nation
+         JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",
+    "q_join_shuffle" ->
+      s"""SELECT c_custkey, c_name, $revenue AS revenue, count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_range" ->
+      """SELECT a.event_id,
+         (SELECT count(*) FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'click'
+            AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts) AS n_clicks_1h
+         FROM events a WHERE a.event_type = 'purchase' ORDER BY a.event_id""",
+    "q_window_rank" ->
+      """SELECT event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         rank() OVER (PARTITION BY user_id ORDER BY value) AS rk,
+         dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drk
+         FROM events ORDER BY event_id""",
+    "q_window_lag" ->
+      """SELECT event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+         FROM events ORDER BY event_id""",
+    "q_last5_window" ->
+      s"""WITH r AS (SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+          SELECT event_type, ${dsum("value")} AS sum_lastk,
+          min(value) AS min_lastk, max(value) AS max_lastk, count(*) AS n
+          FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type""",
+    "q_sliding_windows" ->
+      """SELECT event_id, w_sum, w_min, w_max FROM (
+         SELECT event_id,
+           count(*) OVER w AS w_cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+           min(value) OVER w AS w_min,
+           max(value) OVER w AS w_max
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)) t
+         WHERE w_cnt = 60 ORDER BY event_id""",
+    "q_minmax_scale" ->
+      """SELECT event_id, (value - mn) / (mx - mn) AS scaled
+         FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events) st
+         ORDER BY event_id""",
+    "q_predict_next" ->
+      """WITH r AS (SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events),
+         lk AS (SELECT event_type,
+           max(CASE WHEN rn = 1 THEN value END) AS last_v,
+           max(CASE WHEN rn = 5 THEN value END) AS first_v,
+           count(*) AS n
+           FROM r WHERE rn <= 5 GROUP BY event_type)
+         SELECT event_type, last_v + (last_v - first_v) / 4.0 AS predicted
+         FROM lk WHERE n = 5 ORDER BY event_type""",
+    "q_predict_windows" ->
+      """SELECT event_id, event_type,
+         last_v + (last_v - first_v) / 59.0 AS predicted FROM (
+         SELECT event_id, event_type, value AS last_v,
+           count(*) OVER w AS w_cnt,
+           first_value(value) OVER w AS first_v
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)) t
+         WHERE w_cnt = 60 ORDER BY event_id""",
+    "q_string_date_math" ->
+      """SELECT o_orderkey,
+         upper(o_orderpriority) AS pri_up,
+         substr(o_orderpriority, 1, 1) AS pri_code,
+         concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+         CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon_start,
+         abs(o_totalprice - 100000.0) AS centered,
+         sqrt(o_totalprice) AS sqrt_price,
+         round(ln(o_totalprice), 4) AS ln_price
+         FROM orders ORDER BY o_orderkey""",
+    "q_parse_json" ->
+      """SELECT event_id,
+         CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+  )
 }

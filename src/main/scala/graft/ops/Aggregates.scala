@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators (SURVEY.md §2.4).
+  *
+  * The reference aggregates driver-side in numpy over collected lists
+  * (`stream_consumer.py:110-111`, `batch_processor.py:62-65`); here every
+  * aggregate is a native Catalyst HashAggregate with map-side partial
+  * aggregation — at 100 TB only one pre-aggregated row per (group ×
+  * partition) crosses the shuffle.
+  *
+  * Oracle-parity note: double summation order differs between engines
+  * (Spark sums per-partition, DuckDB in its own order), so a float sum is
+  * not bit-reproducible. All compared sums go through DECIMAL(18,2) —
+  * exact, order-independent — then cast back to double. Raw min/max/count
+  * pass through untouched (exact in any engine).
+  */
+object Aggregates {
+
+  /** sum(x::decimal(18,2))::double — exact, engine-order-independent. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact decimal revenue term: extendedprice * (1 - discount). */
+  def revenueTerm(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1.0) - discount).cast(DecimalType(18, 2)))
+      .cast(DoubleType)
+
+  /** TPC-H Q1-shaped grouped aggregation (SURVEY A4): the generalization of
+    * the reference's single-symbol stats to groupBy(symbol) —
+    * `producer.py:12` pins one symbol; we group. */
+  def groupedPricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenueTerm(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("avg_qty"), col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** ROLLUP hierarchy totals (SURVEY A5). Null group slots from the rollup
+    * are coalesced to 'ALL' so cross-engine null ordering never matters. */
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Global metric summary — the reference's latency-stats computation
+    * (`stream_consumer.py:110-111`: mean/min/max over the collected series)
+    * as one distributed aggregate. */
+  def metricsSummary(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        dsum(col("value")).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+      .select(col("n"), col("min_value"), col("max_value"), col("sum_value"), col("avg_value"))
+
+  /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB
+    * cardinality path: fixed-size sketch per group instead of a distinct
+    * shuffle. No exact oracle by design; rows-only check. */
+  def approxDistinctParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_suppkey"))
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3 J1-J5).
+  *
+  * The reference has no joins (single-symbol, single-table pipeline); this
+  * is the generalized join surface its batch path would need to enrich
+  * ticks with reference data. Strategy choices are explicit for 100 TB:
+  * dims are broadcast (no shuffle of the fact side), fact-fact joins are
+  * shuffle hash/sort-merge on the join key, and the "range join" is
+  * re-expressed as a partitioned window aggregate so it never builds the
+  * per-key cross product a naive theta-join would.
+  */
+object Joins {
+
+  /** J1 — small dim ⋈ small dim, broadcast hash join: the small side ships
+    * to every executor, zero shuffle of the probe side. */
+  def broadcastJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"), "inner")
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"))
+
+  /** J2 — fact ⋈ fact ⋈ dim with grouped revenue. lineitem⋈orders is a
+    * shuffle join on the order key; customer is small → broadcast. The
+    * aggregate runs partial/final so only one row per customer shuffles. */
+  def shuffleJoinRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        Aggregates.revenueTerm(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_custkey"))
+
+  /** J3a — left semi (EXISTS): customers that have at least one order. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J3b — left anti (NOT EXISTS): customers with no orders. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J4 — left outer + group: order count per customer including zeros.
+    * count(o_orderkey) skips the nulls the outer join manufactures. */
+  def outerJoinOrderCounts(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** J5 — interval/as-of-style "range join": for every purchase, how many
+    * clicks did the same user make in the preceding hour (inclusive)?
+    *
+    * A naive theta-join `a.user=b.user AND b.ts BETWEEN a.ts-1h AND a.ts`
+    * degenerates to a per-user cross product (O(n²/users) rows through the
+    * join) — fatal at 100 TB. Re-expressed as a RANGE window over
+    * event-time per user: one shuffle on user_id, one sort, O(n) work.
+    * This is the standard Spark-first reformulation of bounded-interval
+    * self-joins. */
+  def rangeJoinClicksBeforePurchase(s: SparkSession, d: String): DataFrame = {
+    val oneHourMicros = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-oneHourMicros, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_clicks_1h",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("n_clicks_1h"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators: scan/filter/project, sort, top-k, set ops,
+  * distinct (SURVEY.md §2.2, §2.6, §2.7).
+  *
+  * The reference's batch path does a manual sort+limit pushdown into MySQL
+  * (`batch_processor.py:72-79`: `ORDER BY timestamp DESC LIMIT 10000`) and a
+  * driver-side re-sort ascending (`batch_processor.py:114`). Here the whole
+  * chain is one Catalyst plan: `orderBy(desc).limit(n)` compiles to
+  * `TakeOrderedAndProject` — a per-partition top-k + driver merge, no full
+  * shuffle sort. At 100 TB each task keeps only its local top-n heap, so the
+  * operator moves O(n × partitions) rows, not the whole table.
+  */
+object Relational {
+
+  /** Projection + row filter (generalizes reference P5, which projects the
+    * price series, `stream_consumer.py:73`). Filter + projection both push
+    * into the parquet scan (PushedFilters / ReadSchema in explain). */
+  def scanFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** count(*) — reference A1 (`batch_processor.py:82`). */
+  def countAll(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** Top-k by time desc, emitted ascending — the reference's composed
+    * "latest 10000, ascending" semantics (`batch_processor.py:76,114`).
+    * Catalyst plans the desc+limit as TakeOrderedAndProject. */
+  def orderByLimit(s: SparkSession, d: String, k: Int = 5000): DataFrame =
+    Tables.events(s, d)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(k)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Full sort by (shipdate, key, line) — reference O1
+    * (`stream_consumer.py:72` orderBy(timestamp)). Range-partitioned
+    * exchange + per-partition sort; no driver collect. */
+  def sortByShipdate(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_d"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("ship_d"), col("l_orderkey"), col("l_linenumber"))
+
+  /** DISTINCT (SURVEY A6). Partial (map-side) distinct then shuffle on the
+    * group key — scales as the number of distinct pairs, not input rows. */
+  def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .orderBy(col("event_type"), col("user_id"))
+
+  /** UNION ALL of two filtered slices (SURVEY §2.7). Spark union is
+    * bag-semantics (= SQL UNION ALL); no shuffle at all. */
+  def unionSlices(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "click").select(col("event_id"), col("event_type"))
+      .union(e.filter(col("value") > 150.0).select(col("event_id"), col("event_type")))
+      .orderBy(col("event_id"), col("event_type"))
+  }
+
+  /** INTERSECT (distinct semantics, same as SQL). */
+  def intersectUsers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** EXCEPT (distinct semantics). */
+  def exceptUsers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "error").select(col("user_id"))
+      .except(e.filter(col("event_type") === "signup").select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+}

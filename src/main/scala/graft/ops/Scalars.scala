@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function surface (SURVEY.md §2.8): string / date / math / JSON.
+  *
+  * All built-in `org.apache.spark.sql.functions` — codegen'd, no UDFs in
+  * the hot path. The reference's scalar surface is JSON serialize/parse
+  * (`producer.py:9`, `stream_consumer.py:96-98`), ISO timestamp formatting
+  * (`producer.py:23`), arithmetic scaling and round(2)
+  * (`producer.py:18,24`); generalized here across string/date/math.
+  */
+object Scalars {
+
+  /** String + date + math built-ins over orders. Exact-compare notes:
+    * string/date/int outputs are exact; abs/sqrt are IEEE correctly-rounded
+    * (bit-identical across engines); ln is libm (1-ulp engine variance) so
+    * it is rounded to 4 decimals before compare. */
+  def stringDateMath(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_up"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+        length(col("o_orderpriority")).cast(LongType).as("pri_len"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mon"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon_start"),
+        abs(col("o_totalprice") - lit(100000.0)).as("centered"),
+        sqrt(col("o_totalprice")).as("sqrt_price"),
+        round(log(col("o_totalprice")), 4).as("ln_price"))
+      .orderBy(col("o_orderkey"))
+
+  /** P1-P3 — JSON parse with explicit schema then struct flatten: the
+    * reference's Kafka-envelope decode (`from_json(cast(value as string),
+    * schema).alias("data")` → `select("data.*")`,
+    * `stream_consumer.py:96-98`), applied to the events `props` column. */
+  def parseJson(s: SparkSession, d: String): DataFrame = {
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), propsSchema).as("data"))
+      .select(col("event_id"), col("data.k").as("k"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Window-function operators — the heart of the reference (SURVEY.md §2.5).
+  *
+  * The reference collects the whole series to the driver and slices Python
+  * lists (`stream_consumer.py:72-76` last-5; `batch_processor.py:89-97`
+  * stride-1 length-60 windows). Here every window is a Catalyst Window
+  * operator partitioned by the series key (event_type ≈ symbol): one
+  * shuffle on the key, per-partition sort, streaming frame evaluation.
+  * Nothing ever collects to the driver, so the operator scales with
+  * executors × series, not with total rows.
+  */
+object Windows {
+
+  private def byTypeTime = Window.partitionBy(col("event_type"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** W5 — ranking/analytic functions over per-user event streams. */
+  def rankPerUser(s: SparkSession, d: String): DataFrame = {
+    val wTime  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wValue = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        row_number().over(wTime).as("rn"),
+        rank().over(wValue).as("rk"),
+        dense_rank().over(wValue).as("drk"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W5 — lag/lead neighbors in event-time order per user. Values pass
+    * through raw (no arithmetic) so the oracle compare is bit-exact. */
+  def lagLeadPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W1 — last-k lookback stats per series (reference `prices[-5:]`,
+    * `stream_consumer.py:51`): rank rows newest-first per event_type, keep
+    * the top k, aggregate. The rank+filter prunes to k rows per series
+    * before the aggregate, so the shuffle after it is tiny. */
+  def lastKStats(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val newestFirst = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(newestFirst))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(
+        Aggregates.dsum(col("value")).as("sum_lastk"),
+        min(col("value")).as("min_lastk"),
+        max(col("value")).as("max_lastk"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** W2 — stride-1 sliding windows of length k per series (reference
+    * `batch_processor.py:89-97`, k=60). Emits per-window frame stats, not
+    * raw lists (deterministic, oracle-comparable — SURVEY §7 R2). The sum
+    * runs through decimal so the frame-evaluation order (Spark streaming
+    * frame vs DuckDB segment tree) cannot perturb bits. */
+  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame = {
+    val frame = byTypeTime.rowsBetween(-(k - 1), 0)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        count(lit(1)).over(frame).as("w_cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(frame).cast(DoubleType).as("w_sum"),
+        min(col("value")).over(frame).as("w_min"),
+        max(col("value")).over(frame).as("w_max"))
+      .filter(col("w_cnt") === k)
+      .select(col("event_id"), col("w_sum"), col("w_min"), col("w_max"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W3/A3 — global min-max normalization (reference scaler semantics,
+    * `stream_consumer.py:51,54`: (p−min)/(max−min) with frozen constants).
+    * The 2-row stats frame is broadcast and cross-joined — never a
+    * single-partition global Window, which would serialize all data
+    * through one task at scale. Pure IEEE arithmetic on identical inputs
+    * → bit-exact across engines, no rounding needed. */
+  def minMaxScale(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val stats = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    e.crossJoin(broadcast(stats))
+      .select(col("event_id"),
+        ((col("value") - col("mn")) / (col("mx") - col("mn"))).as("scaled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Inverse of [[minMaxScale]] given the same stats — the reference's
+    * denormalize step (`stream_consumer.py:54`). Used by tests to check
+    * scale∘inverse ≈ identity. */
+  def minMaxInverse(scaled: DataFrame, mn: Double, mx: Double): DataFrame =
+    scaled.withColumn("restored", col("scaled") * (mx - mn) + mn)
+}

@@ -57,6 +57,27 @@ object SparkEntry {
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
+    // north-star: text analysis
+    "q_text_quality"     -> ((s, d) => TextOps.quality(s, d)),
+    "q_token_count"      -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "q_text_langid"      -> ((s, d) => TextOps.langId(s, d)),
+    "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // north-star: deduplication
+    "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
+    "q_dedup_minhash"       -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    // north-star: similarity search
+    "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
+    "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
+    // north-star: multimodal plumbing (stub decode, real Spark shape)
+    "q_multimodal_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+    // §2.1 generator + streaming
+    "q_gen_ticks"        -> ((s, d) => graft.gen.Ticks.generate(s, Seq("AAPL", "MSFT", "GOOG"), 2000L)),
+    "q_stream_pipeline"  -> ((s, d) => graft.streaming.Pipeline.streamPipeline(s, d)),
+    "q_event_window"     -> ((s, d) => graft.streaming.Pipeline.eventTimeWindow(s, d)),
+    "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
   )
 
   /** DECIMAL-exact sum fragment shared by several oracles. */
@@ -216,5 +237,100 @@ object SparkEntry {
       """SELECT event_id,
          CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+    "q_text_quality" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         FROM documents),
+         r AS (SELECT *,
+           CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio
+         FROM b)
+         SELECT doc_id, n_chars2, n_tokens, n_punct, n_stop, punct_ratio, stop_ratio,
+           stop_ratio * 0.5 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+             + (1.0 - punct_ratio) * 0.2 AS quality_score
+         FROM r ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','des'))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','una'))) AS BIGINT) AS s_es
+         FROM t)
+         SELECT doc_id, s_en, s_fr, s_de, s_es,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted
+         FROM sc ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id = ta.doc_id + 1
+                   GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b, coalesce(i.ni, 0) AS n_common, sa.ns AS n_a, sb.ns AS n_b,
+           CAST(coalesce(i.ni, 0) AS DOUBLE) / (sa.ns + sb.ns - coalesce(i.ni, 0)) AS jaccard
+         FROM pairs p
+         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         JOIN sizes sa ON sa.doc_id = p.id_a
+         JOIN sizes sb ON sb.doc_id = p.id_b
+         ORDER BY p.id_a""",
+    "q_dedup_minhash" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q_embed_cosine_pairs" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+                    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+         SELECT id_a, id_b,
+           list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cos
+         FROM p ORDER BY id_a""",
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.q_id, e.vec_id AS n_id,
+           list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+               FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
+         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "q_event_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
   )
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (north-star extensions):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design: the query set is small and broadcast — the corpus never
+  * shuffles for brute force. The LSH path buckets both sides on a 16-bit
+  * signature equi-join key so candidate generation is a hash join over
+  * ~1/65536 of the cross product per table, then exact-reranks candidates.
+  */
+object Similarity {
+
+  /** Elementwise-deterministic cosine: left-to-right double fold (same
+    * IEEE evaluation order as the DuckDB oracle's list_sum fold, so
+    * results are bit-exact across engines). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ad = a.cast(ArrayType(DoubleType))
+    val bd = b.cast(ArrayType(DoubleType))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  /** Exact brute-force top-k cosine neighbors for a small query set
+    * (vec_id < nQueries), excluding self. Queries broadcast; per-query
+    * top-k via window rank — at scale this is one corpus scan, no corpus
+    * shuffle except the final tiny top-k rows. */
+  def bruteForceTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val e = corpus(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Multi-table random-hyperplane LSH. Each table hashes to a short
+    * m-bit signature; a pair is a candidate if ANY table agrees exactly
+    * (OR-construction). Planes are derived from a fixed seed — fully
+    * deterministic, reproducible plans.
+    *
+    * Tuning for this corpus: true top-5 neighbors sit at cosine
+    * 0.26-0.49 (θ≈60-75°, per-plane agreement p=1−θ/π ≈ 0.58-0.67), so
+    * long signatures never collide. With m=7, L=24: per-table match
+    * p^7, union recall ≈ 0.6-0.9 for true neighbors while a random pair
+    * (p≈0.5) drags in ~17% of the corpus — the honest trade on
+    * cluster-free data. On clustered production embeddings the same
+    * operator sharpens dramatically; swap params per corpus. */
+  val NumTables     = 24
+  val PlanesPerTable = 7
+
+  private def tablePlanes(dim: Int): IndexedSeq[Array[Array[Double]]] =
+    (0 until NumTables).map { t =>
+      val rnd = new scala.util.Random(42L + t)
+      Array.fill(PlanesPerTable, dim)(rnd.nextGaussian())
+    }
+
+  /** Array of (table, signature) structs for an embedding column. */
+  private def lshSignatures(emb: Column, dim: Int): Column = {
+    val ed = emb.cast(ArrayType(DoubleType))
+    val perTable = tablePlanes(dim).zipWithIndex.map { case (ps, t) =>
+      val sig = (0 until PlanesPerTable).map { p =>
+        val plane = array(ps(p).map(lit): _*)
+        val dot = aggregate(zip_with(ed, plane, (x, y) => x * y), lit(0.0),
+          (acc, v) => acc + v)
+        when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("t"), sig.as("sig"))
+    }
+    array(perTable: _*)
+  }
+
+  /** ANN via multi-table LSH: explode each side into its L (table, sig)
+    * bucket keys, equi-join on the key (hash join — never a cross
+    * product), distinct candidates, exact cosine rerank, top-k. The
+    * bucketed index is an L× row amplification of fixed-width keys — at
+    * 100 TB it shuffles 24 longs per vector, not the vectors themselves
+    * (embeddings travel only for surviving candidates). Approximate by
+    * construction → rows-only check; SimilaritySpec measures recall
+    * against [[bruteForceTopK]]. */
+  def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      dim: Int = 64): DataFrame = {
+    val e = corpus(s, d)
+    val buckets = e
+      .select(col("vec_id"), col("embedding"),
+        explode(lshSignatures(col("embedding"), dim)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.t"), col("b.sig"))
+    val qb = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("t"), col("sig"))
+    val cands = buckets.join(broadcast(qb), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cands.withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs among consecutive vec_ids —
+    * the embedding analog of Dedup.ngramJaccardConsecutive, oracle-exact
+    * by the deterministic fold. */
+  def cosineConsecutive(s: SparkSession, d: String): DataFrame = {
+    val e = corpus(s, d)
+    e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
+        col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .orderBy(col("id_a"))
+  }
+}

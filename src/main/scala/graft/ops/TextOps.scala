@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions beyond the reference surface; BASELINE.json).
+  *
+  * All pure column expressions (codegen'd, no UDFs): every op is
+  * embarrassingly parallel per document — no shuffle at all until an
+  * explicit aggregate, so the ops scale linearly with executors at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Document quality scoring: length, token count, punctuation ratio,
+    * stopword ratio, and a deterministic composite score. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val nTokens = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(tokens(col("text"))).cast(LongType))
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast(LongType)
+    val nStop = size(filter(tokens(col("text")),
+      t => t.isInCollection(stopwords))).cast(LongType)
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars2"),
+        nTokens.as("n_tokens"), nPunct.as("n_punct"), nStop.as("n_stop"))
+      .withColumn("punct_ratio",
+        when(col("n_chars2") > 0, col("n_punct").cast(DoubleType) / col("n_chars2"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 +
+          least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) * 0.3 +
+          (lit(1.0) - col("punct_ratio")) * 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer (letter runs / digit runs / single non-space symbols) — the
+    * standard pre-tokenizer shape for LLM data work. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val nWs = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(tokens(col("text"))).cast(LongType))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWs.as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-token language ID (n-gram-heuristic family): score each
+    * language by its marker-word hits, pick the argmax with a fixed
+    * tie-break order. Deterministic, so it stays oracle-comparable. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val markers = Seq(
+      "s_en" -> Seq("the", "and", "of", "to", "in"),
+      "s_fr" -> Seq("le", "la", "les", "et", "des"),
+      "s_de" -> Seq("der", "die", "und", "das", "ein"),
+      "s_es" -> Seq("el", "los", "las", "que", "una"))
+    val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (name, ws)) =>
+      df.withColumn(name,
+        size(filter(tokens(col("text")), t => t.isInCollection(ws))).cast(LongType))
+    }
+    scored
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_es"), lit("en"))
+          .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), lit("fr"))
+          .when(col("s_de") >= col("s_es"), lit("de"))
+          .otherwise(lit("es")))
+      .select(col("doc_id"), col("s_en"), col("s_fr"), col("s_de"), col("s_es"),
+        col("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: whitespace-normalized lowercase text → md5.
+    * The canonical cheap content fingerprint for exact-dup detection at
+    * scale (hash first, never shuffle raw text). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .orderBy(col("doc_id"))
+}

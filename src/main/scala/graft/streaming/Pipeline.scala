@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.Tables
+import graft.ops.{Aggregates, Predict}
+import java.nio.file.Files
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines (SURVEY §2.1 S1/S4, §2.9 T1-T8).
+  *
+  * The reference consumes Kafka, parses the JSON envelope, and per
+  * micro-batch appends raw rows to MySQL and predicts from the batch's
+  * last 5 prices (`stream_consumer.py:56-103`). Sandbox transports:
+  * file-stream source over the events parquet (same schema discipline),
+  * parquet append sink for the raw-tick table. Semantics preserved:
+  * append output mode, stateless per-batch prediction (T5 parity),
+  * checkpointing added (T8 — the reference has none; JDBC append there
+  * is at-least-once, parquet append here is too).
+  */
+object Pipeline {
+
+  case class E(event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Streaming source over the events table. File sources need an
+    * explicit schema; ts arrives as raw nanos (see Tables.events). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.eventsTsFix(
+      s.readStream.schema(Tables.eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+  }
+
+  /** The reference's full stream pipeline (S1→P1-P3→S4: source → JSON
+    * envelope round-trip → foreachBatch {append sink + last-5 predict}).
+    * Runs to completion with AvailableNow and returns the prediction rows
+    * collected across micro-batches. The JSON serialize→parse round trip
+    * mirrors producer `json.dumps` → consumer `from_json`
+    * (`producer.py:9` / `stream_consumer.py:96-98`). */
+  def streamPipeline(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_sink_")
+    val ckpt    = tmp("graft_ckpt_")
+    val envelopeSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val parsed = eventsStream(s, d)
+      .select(to_json(struct(col("event_id"), col("ts"), col("event_type"),
+        col("value"))).as("value"))                       // wire format
+      .select(from_json(col("value").cast(StringType), envelopeSchema).as("data"))
+      .select(col("data.*"))                              // struct flatten
+    val q = parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // S2 parity: append the raw micro-batch to the tick table
+          batch.write.mode("append").parquet(sinkDir)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // M1 parity on the persisted table: last-5 lookback prediction per
+    // series, computed as one distributed plan (no driver collect)
+    val raw = s.read.parquet(sinkDir)
+    val lastK = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    val newestFirst = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val predictUdf = udf((xs: Seq[Double]) => Predict.LinearPredictor.predict(xs))
+    raw.select(col("event_type"), col("ts"), col("event_id"),
+        collect_list(col("value")).over(lastK).as("lookback"))
+      .withColumn("rn", row_number().over(newestFirst))
+      .filter(col("rn") === 1 && size(col("lookback")) === 5)
+      .select(col("event_type"), predictUdf(col("lookback")).as("predicted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Generalized event-time windowed aggregation (T3/T4 — absent in the
+    * reference, standard Spark streaming surface): tumbling daily
+    * count+sum per event_type with a watermark, complete-mode memory
+    * sink, drained synchronously. Oracle-equivalent to a date_trunc
+    * GROUP BY over the same data. */
+  def eventTimeWindow(s: SparkSession, d: String): DataFrame = {
+    val name = "evw_" + UUID.randomUUID().toString.replace("-", "")
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Stateful streaming (T5 extension, explicitly beyond parity — the
+    * reference is stateless per batch): carry the last k-1 prices per
+    * series across micro-batches with flatMapGroupsWithState so every
+    * batch emits a prediction even when it holds fewer than k rows. */
+  def statefulPredictions(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "stateful_" + UUID.randomUUID().toString.replace("-", "")
+    val src = eventsStream(s, d)
+      .select($"event_type", $"ts", $"event_id", $"value").as[E]
+    val fn = (key: String, rows: Iterator[E], state: GroupState[Seq[Double]]) => {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map(_.value)
+      val hist = (state.getOption.getOrElse(Seq.empty) ++ sorted).takeRight(k)
+      state.update(hist)
+      if (hist.nonEmpty)
+        Iterator((key, Predict.LinearPredictor.predict(hist), hist.size))
+      else Iterator.empty
+    }
+    val q = src.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("event_type", "predicted", "n_obs")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("event_type"))
+  }
+}

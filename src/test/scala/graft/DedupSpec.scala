@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (north-star): exact, Jaccard, MinHash, SimHash. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup groups cover all docs") {
+    val df = q("q_dedup_exact")
+    assert(df.agg(sum(col("n_copies"))).head().getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("ngram jaccard is within [0,1] and symmetric in sizes") {
+    q("q_dedup_ngram_jaccard").collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("n_common") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+  }
+
+  test("minhash LSH finds every true near-dup pair (recall vs exact)") {
+    // exact all-pairs jaccard >= 0.5 via shingle self-join (ground truth)
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val truth = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
+      .filter(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = q("q_dedup_minhash").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"LSH found ${found.size}, truth ${truth.size}")
+  }
+
+  test("simhash: near-identical docs collide, signatures are diverse") {
+    val sig = q("q_dedup_simhash")
+    val n = sig.count()
+    val distinct = sig.select("simhash").distinct().count()
+    assert(distinct > n / 2, "signatures should be diverse on non-dup docs")
+  }
+
+  test("simhash pairs have hamming <= 3 and are id-ordered") {
+    Dedup.simhashPairs(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+  }
+}

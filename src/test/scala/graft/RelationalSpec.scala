@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Core relational operators at sf0.001 (SURVEY §2.2/2.4/2.6/2.7). */
+class RelationalSpec extends SparkSpec {
+
+  test("scan_filter keeps only clicks and projects three columns") {
+    val df = q("q_scan_filter")
+    assert(df.columns.toSeq == Seq("event_id", "user_id", "value"))
+    assert(df.count() > 0)
+  }
+
+  test("count matches direct parquet count") {
+    val n = q("q_count").head().getLong(0)
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
+  test("orderby_limit returns ascending event_ids, bounded by limit") {
+    val ids = q("q_orderby_limit").select("event_id").collect().map(_.getLong(0))
+    assert(ids.length <= 5000)
+    assert(ids.sameElements(ids.sorted))
+  }
+
+  test("union all keeps duplicates; intersect/except are distinct") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click").count()
+    val high = e.filter(col("value") > 150.0).count()
+    assert(q("q_union").count() == clicks + high)
+    val inter = q("q_intersect")
+    assert(inter.count() == inter.distinct().count())
+  }
+
+  test("rollup has per-group rows plus subtotals plus grand total") {
+    val rows = q("q_agg_rollup").collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("grouped aggregation sums are exact decimals") {
+    val row = q("q_metrics_summary").head()
+    val n = row.getAs[Long]("n")
+    assert(n == Tables.events(spark, sf).count())
+    assert(row.getAs[Double]("min_value") <= row.getAs[Double]("avg_value"))
+    assert(row.getAs[Double]("avg_value") <= row.getAs[Double]("max_value"))
+  }
+
+  test("semi + anti partition customers") {
+    val total = Tables.customer(spark, sf).count()
+    assert(q("q_join_semi").count() + q("q_join_anti").count() == total)
+  }
+
+  test("outer join order counts sum to total orders") {
+    val sums = q("q_join_outer").agg(sum(col("n_orders"))).head().getLong(0)
+    assert(sums == Tables.orders(spark, sf).count())
+  }
+
+  test("range join counts clicks within one hour, never negative") {
+    val df = q("q_join_range")
+    assert(df.filter(col("n_clicks_1h") < 0).count() == 0)
+    assert(df.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.gen.Ticks
+import org.apache.spark.sql.functions._
+
+/** Streaming pipelines + generator (SURVEY §2.1, §2.9). */
+class StreamingSpec extends SparkSpec {
+
+  test("stream pipeline predictions equal the batch predict path") {
+    val stream = q("q_stream_pipeline").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = q("q_predict_next").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stream == batch)
+  }
+
+  test("event-time window equals batch date_trunc groupBy") {
+    val streamed = q("q_event_window").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful predictions emit one row per series with full lookback") {
+    val rows = q("q_stateful_predict").collect()
+    val series = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == series)
+    rows.foreach(r => assert(r.getAs[Int]("n_obs") == 5))
+  }
+
+  test("tick generator is deterministic and respects reference domains") {
+    val a = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500).collect()
+    val b = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.length == 1000)
+    a.foreach { r =>
+      val vol = r.getAs[Long]("volume")
+      assert(vol >= 100000L && vol <= 500000L) // producer.py:25 domain
+      assert(r.getAs[Double]("price") > 0.0)
+    }
+  }
+
+  test("generator json wire format round-trips through from_json") {
+    import org.apache.spark.sql.types._
+    val wire = Ticks.asJson(Ticks.generate(spark, Seq("AAPL"), 50))
+    val parsed = wire.select(from_json(col("value"), Tables.tickSchema).as("d"))
+      .select(col("d.*"))
+    assert(parsed.filter(col("symbol").isNull || col("price").isNull).count() == 0)
+    assert(parsed.count() == 50)
+    assert(parsed.schema == Tables.tickSchema)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.{Predict, Windows}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+
+/** Window-operator laws (SURVEY §2.5, §5: window count = n−k+1 for n≥k;
+  * minmax-scale ∘ inverse = identity; predictor shape). */
+class WindowSpec extends SparkSpec {
+
+  test("sliding windows: complete-window count per series is n-k+1") {
+    val k = 60
+    val perSeries = Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = perSeries.values.map(n => math.max(0L, n - k + 1)).sum
+    assert(q("q_sliding_windows").count() == expected)
+  }
+
+  test("last5 stats bound each other") {
+    q("q_last5_window").collect().foreach { r =>
+      assert(r.getAs[Long]("n") == 5L)
+      assert(r.getAs[Double]("min_lastk") <= r.getAs[Double]("max_lastk"))
+      assert(r.getAs[Double]("sum_lastk") >= 5 * r.getAs[Double]("min_lastk") - 1e-9)
+      assert(r.getAs[Double]("sum_lastk") <= 5 * r.getAs[Double]("max_lastk") + 1e-9)
+    }
+  }
+
+  test("minmax scale lands in [0,1] and inverse restores original values") {
+    val scaled = q("q_minmax_scale")
+    val bounds = scaled.agg(min(col("scaled")), max(col("scaled"))).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    val stats = Tables.events(spark, sf)
+      .agg(min(col("value")), max(col("value"))).head()
+    val restored = Windows.minMaxInverse(scaled, stats.getDouble(0), stats.getDouble(1))
+      .join(Tables.events(spark, sf).select(col("event_id"), col("value")), "event_id")
+      .filter(abs(col("restored") - col("value")) > 1e-9)
+    assert(restored.count() == 0)
+  }
+
+  test("linear predictor: property next = last + slope over arbitrary series") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+    val prop = forAll(gen) { xs =>
+      val p = Predict.LinearPredictor.predict(xs)
+      if (xs.size < 2) p == xs.last
+      else math.abs(p - (xs.last + (xs.last - xs.head) / (xs.size - 1))) < 1e-9
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("rank/lag window results align with per-user ordering") {
+    val lagged = q("q_window_lag").limit(0) // schema check only
+    assert(lagged.columns.toSeq ==
+      Seq("event_id", "value", "prev_value", "next_value"))
+    // every user's first event (by ts) has null prev_value
+    val firsts = q("q_window_lag").filter(col("prev_value").isNull).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(firsts == users)
+  }
+}

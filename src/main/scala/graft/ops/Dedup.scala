@@ -23,15 +23,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** 3-token shingles (n-gram units for Jaccard/MinHash), distinct per doc. */
-  def shingles(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) < 3, array().cast(ArrayType(StringType)))
-        .otherwise(transform(sequence(lit(0), size(toks) - 3), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-            element_at(toks, i + 3)))))
+  /** 3-token shingles (n-gram units for Jaccard/MinHash), distinct per doc.
+    *
+    * Deliberately a UDF over the split-once token array rather than a
+    * transform/element_at HOF expression: higher-order functions are
+    * interpreted (no codegen, no subexpression elimination) and inline
+    * their argument expression at every use site, so the HOF shape
+    * re-splits the text O(tokens) times per row — quadratic per document
+    * and re-evaluated again in every pushed-down filter. The UDF splits
+    * once and shingles in a linear JVM loop. Only set membership of the
+    * result is ever consumed (sizes, intersections, min-hashes), so the
+    * UDF is semantics-identical to the declarative form. */
+  private val shingleUdf = udf { (toks: Seq[String]) =>
+    if (toks.length < 3) Seq.empty[String]
+    else toks.sliding(3).map(_.mkString(" ")).toVector.distinct
   }
+
+  def shingles(text: Column): Column = shingleUdf(TextOps.tokens(text))
 
   /** doc_id → exploded distinct shingle rows. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
@@ -40,23 +48,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard between consecutive doc pairs (a calibration /
     * oracle query for the sketch-based paths): |A∩B| / |A∪B| over 3-token
-    * shingle sets. */
+    * shingle sets. Computed with array_intersect on the paired shingle
+    * arrays — one equi-join on doc_id, no shingle-keyed shuffle (a join
+    * on shingle text degenerates on hot shingles; arrays stay bounded by
+    * document length). */
   def ngramJaccardConsecutive(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val pairs = docs.select(col("doc_id").as("id_a"))
-      .join(docs.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
-    val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_b") === col("id_a") + 1)
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left_outer")
-      .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("n_b")), Seq("id_b"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        col("id_b") === col("id_a") + 1)
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
       .select(col("id_a"), col("id_b"),
-        coalesce(col("ni"), lit(0L)).as("n_common"), col("n_a"), col("n_b"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("n_common"),
+        size(col("sh_a")).cast(LongType).as("n_a"),
+        size(col("sh_b")).cast(LongType).as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_common")))
       .orderBy(col("id_a"))
@@ -64,46 +70,56 @@ object Dedup {
 
   /** MinHash signatures: NUM_HASHES permutations simulated by seeded
     * xxhash64 re-hashes of each shingle; signature slot i = min hash
-    * under seed i. One explode + one groupBy — linear in total shingles. */
+    * under seed i. One pass over the shingle rows with NUM_HASHES min
+    * aggregates — map-side partial aggregation leaves one row per doc per
+    * partition in the shuffle; no row amplification. */
   val NumHashes = 64
   val BandRows  = 2   // rows per band → 32 bands: P(candidate | j=0.5) ≈ 0.9999
 
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val seeds = sh.sparkSession.range(NumHashes).toDF("seed")
-    sh.join(broadcast(seeds))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(xxhash64(col("shingle"), col("seed"))).as("mh"))
+    // hash the variable-width shingle string ONCE per row; each signature
+    // slot re-hashes the resulting fixed-width long with its seed — 64
+    // 16-byte hashes instead of 64 string traversals per row
+    val aggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("h0"), lit(i))).as(s"mh$i"))
+    sh.withColumn("h0", xxhash64(col("shingle")))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     * Pipeline: shingle → signature → band-bucket equi-join for candidates
     * → exact Jaccard on candidates only → threshold. Output = all pairs
     * with true Jaccard ≥ 0.5 (banding at these params has ~1e-4 miss
-    * probability at j=0.5, vanishing above it). */
+    * probability at j=0.5, vanishing above it). Only 8-byte bucket keys
+    * shuffle for candidate generation; shingle arrays travel once, for
+    * the surviving candidates. */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val sh  = shingleRows(s, d)
-    val sig = minhashSignatures(sh)
-    // band id = seed div BandRows; bucket key = hash of the band's slots
-    val bands = sig
-      .withColumn("band", (col("seed") / lit(BandRows.toLong)).cast(LongType))
-      .withColumn("slot", col("seed") % lit(BandRows.toLong))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(sort_array(collect_list(concat_ws(":", col("slot"), col("mh"))))
-        .cast(StringType)).as("bucket"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = minhashSignatures(
+      docs.select(col("doc_id"), explode(col("sh")).as("shingle")))
+    // bucket key per band = hash of the band's signature slots
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      val slots = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val cands = bands.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify on candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("n_b")), Seq("id_b"))
+    // exact verify on candidates only: join the shingle arrays back in
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("ni"),
+        size(col("sh_a")).cast(LongType).as("n_a"),
+        size(col("sh_b")).cast(LongType).as("n_b"))
       .withColumn("jaccard",
         col("ni").cast(DoubleType) / (col("n_a") + col("n_b") - col("ni")))
       .filter(col("jaccard") >= threshold)

@@ -71,19 +71,35 @@ object Similarity {
       Array.fill(PlanesPerTable, dim)(rnd.nextGaussian())
     }
 
-  /** Array of (table, signature) structs for an embedding column. */
-  private def lshSignatures(emb: Column, dim: Int): Column = {
-    val ed = emb.cast(ArrayType(DoubleType))
-    val perTable = tablePlanes(dim).zipWithIndex.map { case (ps, t) =>
-      val sig = (0 until PlanesPerTable).map { p =>
-        val plane = array(ps(p).map(lit): _*)
-        val dot = aggregate(zip_with(ed, plane, (x, y) => x * y), lit(0.0),
-          (acc, v) => acc + v)
-        when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("t"), sig.as("sig"))
+  /** All L table signatures for one embedding, as a tight JVM loop.
+    * A pure-expression formulation of L×m plane dots builds a plan with
+    * thousands of nodes (codegen blowup dominates runtime); a single UDF
+    * evaluating the precomputed plane matrix is the faster shape here —
+    * the signature is a rows-only sketch, never oracle-compared, so UDF
+    * opacity costs nothing. */
+  private def lshSigUdf(dim: Int) = {
+    val ps = tablePlanes(dim).map(_.map(_.clone())).toArray
+    udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      val out = new Array[Int](NumTables)
+      var t = 0
+      while (t < NumTables) {
+        var sig = 0
+        var p = 0
+        while (p < PlanesPerTable) {
+          val plane = ps(t)(p)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(plane.length, v.length)
+          while (i < n) { dot += v(i) * plane(i); i += 1 }
+          if (dot >= 0) sig |= 1 << p
+          p += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
     }
-    array(perTable: _*)
   }
 
   /** ANN via multi-table LSH: explode each side into its L (table, sig)
@@ -99,8 +115,7 @@ object Similarity {
     val e = corpus(s, d)
     val buckets = e
       .select(col("vec_id"), col("embedding"),
-        explode(lshSignatures(col("embedding"), dim)).as("b"))
-      .select(col("vec_id"), col("embedding"), col("b.t"), col("b.sig"))
+        posexplode(lshSigUdf(dim)(col("embedding"))).as(Seq("t", "sig")))
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("t"), col("sig"))

@@ -19,6 +19,41 @@ object Drive {
     spark.sparkContext.setLogLevel("ERROR")
     val df = op match {
       case "simhashPairs"   => graft.ops.Dedup.simhashPairs(spark, sfDir)
+      case "ngramJaccard"   => graft.ops.Dedup.ngramJaccardConsecutive(spark, sfDir)
+      case "minhashPairs"   => graft.ops.Dedup.minhashLshPairs(spark, sfDir)
+      case "shingleCount"   =>
+        import org.apache.spark.sql.functions._
+        graft.Tables.documents(spark, sfDir)
+          .select(size(graft.ops.Dedup.shingles(col("text"))).as("ns"))
+          .agg(sum(col("ns")), max(col("ns")), count(lit(1)))
+      case "phases" =>
+        import org.apache.spark.sql.functions._
+        def time[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val docs = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), graft.ops.Dedup.shingles(col("text")).as("sh"))
+        time("shingle-arrays")(docs.count())
+        val j = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            col("id_b") === col("id_a") + 1)
+        time("join-only")(j.count())
+        time("intersect")(j.select(size(array_intersect(col("sh_a"), col("sh_b")))).count())
+        time("full")(graft.ops.Dedup.ngramJaccardConsecutive(spark, sfDir).count())
+        val proj = j.filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+            size(col("sh_a")).cast("long").as("n_a"),
+            size(col("sh_b")).cast("long").as("n_b"))
+        time("proj-no-jaccard")(proj.count())
+        time("proj-jaccard")(proj.withColumn("jaccard",
+          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).count())
+        time("proj-jaccard-sort")(proj.withColumn("jaccard",
+          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .orderBy(col("id_a")).count())
+        println(proj.queryExecution.executedPlan.toString.take(4000))
+        spark.range(1).toDF("x")
       case "predictWindows" => graft.ops.Predict.predictAllWindows(spark, sfDir)
       case "ticksJson"      => graft.gen.Ticks.asJson(graft.gen.Ticks.generate(spark))
       case "statefulPredict" => graft.streaming.Pipeline.statefulPredictions(spark, sfDir)

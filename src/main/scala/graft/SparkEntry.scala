@@ -45,6 +45,8 @@ object SparkEntry {
     "q_join_anti"      -> ((s, d) => Joins.antiJoin(s, d)),
     "q_join_outer"     -> ((s, d) => Joins.outerJoinOrderCounts(s, d)),
     "q_join_range"     -> ((s, d) => Joins.rangeJoinClicksBeforePurchase(s, d)),
+    "q_join_asof"      -> ((s, d) => Joins.asofLastClickBeforePurchase(s, d)),
+    "q_agg_salted"     -> ((s, d) => Aggregates.saltedUserTotals(s, d)),
     // §2.5 windows
     "q_window_rank"    -> ((s, d) => Windows.rankPerUser(s, d)),
     "q_window_lag"     -> ((s, d) => Windows.lagLeadPerUser(s, d)),
@@ -62,6 +64,7 @@ object SparkEntry {
     "q_token_count"      -> ((s, d) => TextOps.tokenCounts(s, d)),
     "q_text_langid"      -> ((s, d) => TextOps.langId(s, d)),
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
@@ -166,6 +169,16 @@ object SparkEntry {
           WHERE b.user_id = a.user_id AND b.event_type = 'click'
             AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts) AS n_clicks_1h
          FROM events a WHERE a.event_type = 'purchase' ORDER BY a.event_id""",
+    "q_join_asof" ->
+      """SELECT a.event_id,
+         (SELECT b.value FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'click'
+            AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+          ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_click_value
+         FROM events a WHERE a.event_type = 'purchase' ORDER BY a.event_id""",
+    "q_agg_salted" ->
+      s"""SELECT user_id, ${dsum("value")} AS total, count(*) AS n
+          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_window_rank" ->
       """SELECT event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

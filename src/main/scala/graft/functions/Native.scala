@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY §7.3 preference order (b): a custom
+  * `Expression` with codegen beats a Scala UDF). Both participate in
+  * whole-stage codegen — no serialization boundary, no boxed closures in
+  * the hot loop.
+  */
+
+/** Left-to-right dot product over two double arrays. The fold order is
+  * part of the contract: identical IEEE evaluation order to the DuckDB
+  * oracle's list_sum fold, so cosine results stay bit-exact across
+  * engines while running ~10× faster than the interpreted HOF
+  * (`aggregate(zip_with(...))`) it replaces. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // callers cast both sides to array<double>; no ExpectsInputTypes because
+  // AbstractDataType is private[sql] in Spark 4
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** 64-bit polynomial rolling hash of a string's UTF-8 bytes:
+  * h = Σ byte_i · B^(n−1−i) (wrapping mod 2^64). The classic cheap
+  * content fingerprint — one multiply-add per byte, codegen'd. */
+case class RollingHash(child: Expression, base: Long)
+    extends UnaryExpression {
+  def this(child: Expression) = this(child, 1000003L)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any = {
+    val bytes = s.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * base + (bytes(i) & 0xFF); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * ${base}L + ($bytes[$i] & 0xFF);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RollingHash =
+    copy(child = c)
+}
+
+/** Session registration for the native expressions, plus a
+  * SparkSessionExtensions hook for production use via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+object Native {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Dot product column (register(spark) must have run in this session). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    Native.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Native", name), builder))
+    }
+}

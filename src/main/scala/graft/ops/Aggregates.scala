@@ -71,6 +71,23 @@ object Aggregates {
       .withColumn("avg_value", col("sum_value") / col("n"))
       .select(col("n"), col("min_value"), col("max_value"), col("sum_value"), col("avg_value"))
 
+  /** Skew-resistant two-phase (salted) aggregation: phase 1 aggregates on
+    * (key, salt) spreading one hot key over `salts` reducers, phase 2
+    * merges the partials per key. events has only ~15 users — exactly the
+    * hot-key shape that stalls a single reducer at 100 TB. Results are
+    * identical to a direct groupBy (decimal sums are associative), which
+    * is what the oracle checks. */
+  def saltedUserTotals(s: SparkSession, d: String, salts: Int = 8): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("partial_sum"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("partial_sum")).cast(DoubleType).as("total"),
+        sum(col("partial_n")).as("n"))
+      .orderBy(col("user_id"))
+
   /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB
     * cardinality path: fixed-size sketch per group instead of a distinct
     * shuffle. No exact oracle by design; rows-only check. */

@@ -71,6 +71,27 @@ object Joins {
     * event-time per user: one shuffle on user_id, one sort, O(n) work.
     * This is the standard Spark-first reformulation of bounded-interval
     * self-joins. */
+  /** As-of join: attach to every purchase the most recent prior click
+    * value of the same user (strictly earlier in (ts, event_id) order),
+    * null if none — the tick-enrichment pattern of the reference domain
+    * (latest quote at or before an event).
+    *
+    * A naive formulation is a theta-join with a per-row ORDER BY ... LIMIT
+    * 1 subquery; re-expressed as carry-forward state: one shuffle on
+    * user_id, one sort, then `last(value_if_click) IGNORE NULLS` over the
+    * preceding-rows frame. O(n log n) per user partition, no join at all. */
+  def asofLastClickBeforePurchase(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   def rangeJoinClicksBeforePurchase(s: SparkSession, d: String): DataFrame = {
     val oneHourMicros = 3600L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))

@@ -19,7 +19,9 @@ object Similarity {
 
   /** Elementwise-deterministic cosine: left-to-right double fold (same
     * IEEE evaluation order as the DuckDB oracle's list_sum fold, so
-    * results are bit-exact across engines). */
+    * results are bit-exact across engines). Interpreted HOF shape — kept
+    * as the dependency-free reference; the query paths use
+    * [[cosineNative]] (identical fold order, whole-stage codegen). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
@@ -28,8 +30,20 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  /** Codegen'd cosine over graft.functions.DotProduct — bit-identical to
+    * [[cosine]] (same multiply/add order). Requires Native.register on
+    * the session. */
+  def cosineNative(a: Column, b: Column): Column = {
+    import graft.functions.Native
+    val ad = a.cast(ArrayType(DoubleType))
+    val bd = b.cast(ArrayType(DoubleType))
+    Native.dot(ad, bd) / (sqrt(Native.dot(ad, ad)) * sqrt(Native.dot(bd, bd)))
+  }
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Native.register(s)
     Tables.embeddings(s, d)
+  }
 
   /** Exact brute-force top-k cosine neighbors for a small query set
     * (vec_id < nQueries), excluding self. Queries broadcast; per-query
@@ -42,7 +56,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosineNative(col("q_emb"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -124,7 +138,7 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cands.withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    cands.withColumn("cos", cosineNative(col("q_emb"), col("embedding")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
@@ -139,7 +153,7 @@ object Similarity {
     e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")),
         col("id_b") === col("id_a") + 1)
-      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("id_a"), col("id_b"), cosineNative(col("ea"), col("eb")).as("cos"))
       .orderBy(col("id_a"))
   }
 }

@@ -91,4 +91,17 @@ object TextOps {
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Rolling-hash fingerprint via the native codegen expression
+    * (graft.functions.RollingHash): one multiply-add per byte inside
+    * whole-stage codegen — an order of magnitude cheaper than md5 when
+    * only collision-resistance-against-accident is needed. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Native.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Native.rollingHash(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("rh"))
+      .orderBy(col("doc_id"))
+  }
 }

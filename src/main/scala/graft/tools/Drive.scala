@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
 object Drive {
   def main(args: Array[String]): Unit = {
     val Array(op, sfDir) = args.take(2)
+    if (op == "extensions") {
+      // exercise the production registration path: functions resolved by
+      // SQL name through spark.sql.extensions, no manual register()
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s.sql("SELECT graft_rolling_hash('abc') AS rh, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot").show()
+      s.stop()
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

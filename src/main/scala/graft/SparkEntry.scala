@@ -37,6 +37,8 @@ object SparkEntry {
     "q_agg_groupby"   -> ((s, d) => Aggregates.groupedPricingSummary(s, d)),
     "q_agg_rollup"    -> ((s, d) => Aggregates.rollupSummary(s, d)),
     "q_metrics_summary" -> ((s, d) => Aggregates.metricsSummary(s, d)),
+    "q_agg_cube"        -> ((s, d) => Aggregates.cubeSummary(s, d)),
+    "q_agg_percentile"  -> ((s, d) => Aggregates.percentiles(s, d)),
     "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
     // §2.3 joins
     "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
@@ -53,6 +55,7 @@ object SparkEntry {
     "q_last5_window"   -> ((s, d) => Windows.lastKStats(s, d, 5)),
     "q_sliding_windows" -> ((s, d) => Windows.slidingWindowStats(s, d, 60)),
     "q_minmax_scale"   -> ((s, d) => Windows.minMaxScale(s, d)),
+    "q_window_running" -> ((s, d) => Windows.runningTotals(s, d)),
     // §2.10 prediction (UDF over ordered window)
     "q_predict_next"   -> ((s, d) => Predict.predictNext(s, d, 5)),
     "q_predict_windows" -> ((s, d) => Predict.predictAllWindows(s, d, 60)),
@@ -74,12 +77,14 @@ object SparkEntry {
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape)
     "q_multimodal_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     // §2.1 generator + streaming
     "q_gen_ticks"        -> ((s, d) => graft.gen.Ticks.generate(s, Seq("AAPL", "MSFT", "GOOG"), 2000L)),
     "q_stream_pipeline"  -> ((s, d) => graft.streaming.Pipeline.streamPipeline(s, d)),
     "q_event_window"     -> ((s, d) => graft.streaming.Pipeline.eventTimeWindow(s, d)),
+    "q_stream_dedup"     -> ((s, d) => graft.streaming.Pipeline.streamDedup(s, d)),
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
   )
 
@@ -142,6 +147,27 @@ object SparkEntry {
           ${dsum("value")} AS sum_value,
           ${dsum("value")} / count(*) AS avg_value
           FROM events""",
+    "q_agg_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          coalesce(l_linestatus, 'ALL') AS ls,
+          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY rf, ls""",
+    "q_agg_percentile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.9) AS p90, count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_window_running" ->
+      """SELECT event_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+         count(*) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+         FROM events ORDER BY event_id""",
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "q_join_broadcast" ->
       """SELECT n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",

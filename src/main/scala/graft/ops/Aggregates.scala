@@ -88,6 +88,31 @@ object Aggregates {
         sum(col("partial_n")).as("n"))
       .orderBy(col("user_id"))
 
+  /** CUBE over both group dimensions (SURVEY A5 family): all 2^k
+    * grouping-set combinations in one pass. */
+  def cubeSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Exact percentiles per group (linear interpolation — the same
+    * index = p·(n−1) definition DuckDB's quantile_cont uses). At 100 TB
+    * prefer approx_percentile (t-digest sketch); the exact form shown
+    * here is the oracle-comparable baseline. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB
     * cardinality path: fixed-size sketch per group instead of a distinct
     * shuffle. No exact oracle by design; rows-only check. */

@@ -145,6 +145,51 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN — the clustered scale path alongside LSH.
+    * Coarse quantizer: NumCentroids deterministic centroids (lowest
+    * xxhash64(vec_id) ranks — a seeded sample standing in for k-means;
+    * swap in trained centroids in production). Index: each corpus vector
+    * is assigned to its nearest centroid (one broadcast pass). Search:
+    * each query probes its nProbe nearest centroid lists only —
+    * candidates ≈ nProbe/NumCentroids of the corpus — then exact
+    * cosine rerank. Approximate → rows-only check; SimilaritySpec
+    * measures recall vs brute force. */
+  val NumCentroids = 16
+
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val e = corpus(s, d)
+    val centroids = e
+      .withColumn("hrank", row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .filter(col("hrank") <= NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // index: nearest centroid per corpus vector (broadcast pass, no shuffle)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosineNative(col("embedding"), col("c_emb")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    // search: queries probe their nProbe nearest centroid lists
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosineNative(col("q_emb"), col("c_emb")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
+      .withColumn("cos", cosineNative(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs among consecutive vec_ids —
     * the embedding analog of Dedup.ngramJaccardConsecutive, oracle-exact
     * by the deterministic fold. */

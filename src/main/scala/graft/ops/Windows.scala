@@ -82,6 +82,20 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** W5 — running (cumulative) aggregates per user in event-time order:
+    * the unbounded-preceding frame. Decimal-routed running sum so the
+    * cumulative values are exact at any prefix. */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("event_id"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast(DoubleType).as("running_sum"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy(col("event_id"))
+  }
+
   /** W3/A3 — global min-max normalization (reference scaler semantics,
     * `stream_consumer.py:51,54`: (p−min)/(max−min) with frozen constants).
     * The 2-row stats frame is broadcast and cross-joined — never a

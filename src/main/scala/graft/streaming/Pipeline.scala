@@ -108,6 +108,25 @@ object Pipeline {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Streaming deduplication: dropDuplicates over the key columns with
+    * state kept across micro-batches — the streaming face of the
+    * dedup suite (each key emitted on first sight only). In production
+    * pair with withWatermark to bound the state store; here the key
+    * domain is small so state is bounded by construction. Output keys ==
+    * batch DISTINCT over the same data, which is what the oracle checks. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Stateful streaming (T5 extension, explicitly beyond parity — the
     * reference is stateless per batch): carry the last k-1 prices per
     * series across micro-batches with flatMapGroupsWithState so every

@@ -68,6 +68,14 @@ object Drive {
       case "predictWindows" => graft.ops.Predict.predictAllWindows(spark, sfDir)
       case "ticksJson"      => graft.gen.Ticks.asJson(graft.gen.Ticks.generate(spark))
       case "statefulPredict" => graft.streaming.Pipeline.statefulPredictions(spark, sfDir)
+      case "explain" =>
+        Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
+          "q_join_broadcast", "q_sliding_windows", "q_minmax_scale").foreach { name =>
+          println(s"===== $name")
+          println(graft.SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan.toString.take(2500))
+        }
+        spark.range(1).toDF("x")
       case other            => sys.error(s"unknown op: $other")
     }
     df.printSchema()

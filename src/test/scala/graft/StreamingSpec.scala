@@ -30,6 +30,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup emits exactly the distinct key set") {
+    val streamed = q("q_stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful predictions emit one row per series with full lookback") {
     val rows = q("q_stateful_predict").collect()
     val series = Tables.events(spark, sf).select("event_type").distinct().count()

@@ -68,6 +68,11 @@ object Drive {
       case "predictWindows" => graft.ops.Predict.predictAllWindows(spark, sfDir)
       case "ticksJson"      => graft.gen.Ticks.asJson(graft.gen.Ticks.generate(spark))
       case "statefulPredict" => graft.streaming.Pipeline.statefulPredictions(spark, sfDir)
+      case "streamDedupTwice" =>
+        val a = graft.streaming.Pipeline.streamDedup(spark, sfDir).count()
+        val b = graft.streaming.Pipeline.streamDedup(spark, sfDir).count()
+        println(s"RUN1=$a RUN2=$b")
+        spark.range(1).toDF("x")
       case "explain" =>
         Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
           "q_join_broadcast", "q_sliding_windows", "q_minmax_scale").foreach { name =>

@@ -62,6 +62,7 @@ object SparkEntry {
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
+    "q_array_funcs"      -> ((s, d) => Scalars.arrayFunctions(s, d)),
     // north-star: text analysis
     "q_text_quality"     -> ((s, d) => TextOps.quality(s, d)),
     "q_token_count"      -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -276,6 +277,15 @@ object SparkEntry {
       """SELECT event_id,
          CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+    "q_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_alpha
+         FROM t ORDER BY doc_id""",
     "q_text_quality" ->
       """WITH b AS (SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars2,

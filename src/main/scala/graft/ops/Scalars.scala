@@ -35,6 +35,23 @@ object Scalars {
         round(log(col("o_totalprice")), 4).as("ln_price"))
       .orderBy(col("o_orderkey"))
 
+  /** Array scalar functions (§2.8 generalization — the reference's only
+    * arrays are driver-side numpy): size/element_at/contains/sort/
+    * distinct/slice/join over the document token arrays, all codegen'd
+    * built-ins. The token split happens once in its own projection. */
+  def arrayFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_join(slice(sort_array(array_distinct(col("toks"))), 1, 3), ",")
+          .as("top3_alpha"))
+      .orderBy(col("doc_id"))
+
   /** P1-P3 — JSON parse with explicit schema then struct flatten: the
     * reference's Kafka-envelope decode (`from_json(cast(value as string),
     * schema).alias("data")` → `select("data.*")`,

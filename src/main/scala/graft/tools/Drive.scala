@@ -73,6 +73,7 @@ object Drive {
         val b = graft.streaming.Pipeline.streamDedup(spark, sfDir).count()
         println(s"RUN1=$a RUN2=$b")
         spark.range(1).toDF("x")
+      case "arrayEdge" => graft.ops.Scalars.arrayFunctions(spark, sfDir)
       case "explain" =>
         Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
           "q_join_broadcast", "q_sliding_windows", "q_minmax_scale").foreach { name =>

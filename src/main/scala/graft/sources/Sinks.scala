@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/** Source/sink surface of the reference (SURVEY §2.1), transport-pluggable.
+  *
+  * The reference's transports are Kafka in (`stream_consumer.py:89-93`)
+  * and MySQL-over-JDBC out (`stream_consumer.py:61-69`,
+  * `batch_processor.py:72-79`). This sandbox has neither broker nor
+  * database nor their connector jars, so the tested paths run on the
+  * parquet stand-ins; the Kafka/JDBC constructors below carry the exact
+  * production configuration and activate when the standard connector
+  * jars (spark-sql-kafka-0-10, a JDBC driver) are on the classpath.
+  */
+object Sinks {
+
+  /** S2 stand-in used by the streaming pipeline: append-mode parquet
+    * "raw tick table" (same append-only, at-least-once semantics as the
+    * reference's JDBC append). */
+  def parquetAppend(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+
+  /** S2 — the reference's JDBC append sink (MySQL
+    * `stock_prediction.stock_ticks_raw`). Requires a JDBC driver jar.
+    * At-least-once under retries, exactly like the reference (no
+    * transactional sink there either — SURVEY T8). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      user: String, password: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .mode("append")
+      .save()
+
+  /** S1 — the reference's Kafka source (topic `stock_ticks`, bootstrap
+    * `localhost:9092`, `stream_consumer.py:89-93`). Requires
+    * spark-sql-kafka-0-10 on the classpath; the returned reader yields
+    * the standard Kafka envelope (key/value binary + metadata), to be
+    * parsed with `from_json(cast(value as string), schema)` exactly as
+    * the streaming pipeline does with its file-source stand-in. */
+  def kafkaReader(s: SparkSession, bootstrap: String, topic: String): DataStreamReader =
+    s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+
+  /** S3 — the reference's manual JDBC pushdown subquery
+    * (`batch_processor.py:72-79`): sort+limit executed inside the
+    * database. Kept for API parity; on parquet the same plan shape comes
+    * from `orderBy(desc).limit(n)` via Catalyst's TakeOrderedAndProject
+    * (see ops.Relational.orderByLimit). */
+  def jdbcTopK(s: SparkSession, url: String, table: String, tsCol: String,
+      limit: Int, user: String, password: String): DataFrame =
+    s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+        s"(SELECT * FROM $table ORDER BY $tsCol DESC LIMIT $limit) AS tmp")
+      .option("user", user)
+      .option("password", password)
+      .load()
+}

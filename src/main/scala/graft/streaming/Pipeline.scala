@@ -62,7 +62,7 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           // S2 parity: append the raw micro-batch to the tick table
-          batch.write.mode("append").parquet(sinkDir)
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
         }
         ()
       }

@@ -74,6 +74,10 @@ object Drive {
         println(s"RUN1=$a RUN2=$b")
         spark.range(1).toDF("x")
       case "arrayEdge" => graft.ops.Scalars.arrayFunctions(spark, sfDir)
+      case "kafkaProbe" =>
+        try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
+        catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }
+        spark.range(1).toDF("x")
       case "explain" =>
         Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
           "q_join_broadcast", "q_sliding_windows", "q_minmax_scale").foreach { name =>

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_agg_rollup"    -> ((s, d) => Aggregates.rollupSummary(s, d)),
     "q_metrics_summary" -> ((s, d) => Aggregates.metricsSummary(s, d)),
     "q_agg_cube"        -> ((s, d) => Aggregates.cubeSummary(s, d)),
+    "q_agg_grouping_sets" -> ((s, d) => Aggregates.groupingSets(s, d)),
     "q_agg_percentile"  -> ((s, d) => Aggregates.percentiles(s, d)),
     "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
     // §2.3 joins
@@ -56,6 +57,8 @@ object SparkEntry {
     "q_sliding_windows" -> ((s, d) => Windows.slidingWindowStats(s, d, 60)),
     "q_minmax_scale"   -> ((s, d) => Windows.minMaxScale(s, d)),
     "q_window_running" -> ((s, d) => Windows.runningTotals(s, d)),
+    "q_window_ntile"   -> ((s, d) => Windows.ntileBuckets(s, d)),
+    "q_window_topk"    -> ((s, d) => Windows.topKPerGroup(s, d)),
     // §2.10 prediction (UDF over ordered window)
     "q_predict_next"   -> ((s, d) => Predict.predictNext(s, d, 5)),
     "q_predict_windows" -> ((s, d) => Predict.predictAllWindows(s, d, 60)),
@@ -154,6 +157,22 @@ object SparkEntry {
           count(*) AS n, ${dsum("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           ORDER BY rf, ls""",
+    "q_agg_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          coalesce(l_linestatus, 'ALL') AS ls,
+          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY rf, ls""",
+    "q_window_ntile" ->
+      """SELECT event_id,
+         CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS bucket
+         FROM events ORDER BY event_id""",
+    "q_window_topk" ->
+      """SELECT event_type, event_id, value, rnk FROM (
+         SELECT event_type, event_id, value,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+         FROM events) t WHERE rnk <= 3 ORDER BY event_type, rnk""",
     "q_agg_percentile" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS med,
          quantile_cont(value, 0.9) AS p90, count(*) AS n

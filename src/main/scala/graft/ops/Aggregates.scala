@@ -100,6 +100,21 @@ object Aggregates {
         col("n"), col("sum_qty"))
       .orderBy(col("rf"), col("ls"))
 
+  /** Explicit GROUPING SETS (A5 family) — arbitrary grouping combinations
+    * in one pass, via the SQL surface (the DataFrame API exposes only
+    * rollup/cube). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM graft_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""")
+  }
+
   /** Exact percentiles per group (linear interpolation — the same
     * index = p·(n−1) definition DuckDB's quantile_cont uses). At 100 TB
     * prefer approx_percentile (t-digest sketch); the exact form shown

@@ -96,6 +96,28 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** W5 — ntile bucketing per series (the reference's chunked iteration
+    * W4, `batch_processor.py:126-132`, done declaratively and usefully). */
+  def ntileBuckets(s: SparkSession, d: String, buckets: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        ntile(buckets).over(w).cast(org.apache.spark.sql.types.LongType).as("bucket"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Top-k rows per group by a measure — the canonical window+filter
+    * pattern (per-partition heap, no global sort). */
+  def topKPerGroup(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).cast(org.apache.spark.sql.types.LongType).as("rnk"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** W3/A3 — global min-max normalization (reference scaler semantics,
     * `stream_consumer.py:51,54`: (p−min)/(max−min) with frozen constants).
     * The 2-row stats frame is broadcast and cross-joined — never a

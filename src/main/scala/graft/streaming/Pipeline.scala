@@ -28,14 +28,24 @@ object Pipeline {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** Streaming source over the events table. File sources need an
+  /** Streaming source over the events table, arriving in MULTIPLE
+    * micro-batches: the single events.parquet is split into four files in
+    * a temp dir and streamed with maxFilesPerTrigger=1, so every
+    * downstream consumer (foreachBatch, dropDuplicates state, windowed
+    * aggs, flatMapGroupsWithState) genuinely exercises cross-batch
+    * behavior instead of a one-batch degenerate run. File sources need an
     * explicit schema; ts arrives as raw nanos (see Tables.events). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = tmp("graft_src_")
+    s.read.schema(Tables.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .repartition(4)
+      .write.mode("overwrite").parquet(staged)
     Tables.eventsTsFix(
       s.readStream.schema(Tables.eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged))
   }
 
   /** The reference's full stream pipeline (S1→P1-P3→S4: source → JSON

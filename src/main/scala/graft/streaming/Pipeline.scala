@@ -35,13 +35,18 @@ object Pipeline {
     * aggs, flatMapGroupsWithState) genuinely exercises cross-batch
     * behavior instead of a one-batch degenerate run. File sources need an
     * explicit schema; ts arrives as raw nanos (see Tables.events). */
+  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = tmp("graft_src_")
-    s.read.schema(Tables.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .repartition(4)
-      .write.mode("overwrite").parquet(staged)
+    val staged = stagedCache.computeIfAbsent(d, { dir =>
+      val out = tmp("graft_src_")
+      s.read.schema(Tables.eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
     Tables.eventsTsFix(
       s.readStream.schema(Tables.eventsRawSchema)
         .option("maxFilesPerTrigger", "1")

@@ -97,7 +97,9 @@ case class RollingHash(child: Expression, base: Long)
 object Native {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)))
+    "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
+    // aggregate: the analyzer wraps the AggregateFunction itself
+    "graft_minhash" -> (exprs => MinHashAgg(exprs.head, 64)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -109,6 +111,9 @@ object Native {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
+
+  /** 64-slot MinHash signature aggregate over a base-hash column. */
+  def minhash(c: Column): Column = call_function("graft_minhash", c)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -76,14 +76,15 @@ object Dedup {
   val NumHashes = 64
   val BandRows  = 2   // rows per band → 32 bands: P(candidate | j=0.5) ≈ 0.9999
 
+  /** doc_id → sig array<long>(NumHashes). The shingle string is hashed
+    * once per row; graft.functions.MinHashAgg derives all signature slots
+    * in one buffer-update loop (a custom TypedImperativeAggregate — see
+    * its scaladoc for the merge/partial-aggregation properties). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    // hash the variable-width shingle string ONCE per row; each signature
-    // slot re-hashes the resulting fixed-width long with its seed — 64
-    // 16-byte hashes instead of 64 string traversals per row
-    val aggs = (0 until NumHashes).map(i =>
-      min(xxhash64(col("h0"), lit(i))).as(s"mh$i"))
+    graft.functions.Native.register(sh.sparkSession)
     sh.withColumn("h0", xxhash64(col("shingle")))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.Native.minhash(col("h0")).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
@@ -101,7 +102,8 @@ object Dedup {
       docs.select(col("doc_id"), explode(col("sh")).as("shingle")))
     // bucket key per band = hash of the band's signature slots
     val bandCols = (0 until NumHashes / BandRows).map { b =>
-      val slots = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
+      val slots = (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
     }
     val bands = sig.select(col("doc_id"),

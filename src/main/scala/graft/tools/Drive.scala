@@ -18,6 +18,10 @@ object Drive {
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       s.sql("SELECT graft_rolling_hash('abc') AS rh, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot").show()
+      s.sql("""SELECT k, size(graft_minhash(h)) AS sig_len,
+               element_at(graft_minhash(h), 1) AS slot0
+               FROM VALUES (0, 11L), (0, 22L), (1, 33L) AS t(k, h)
+               GROUP BY k ORDER BY k""").show()
       s.stop()
       return
     }

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
+    "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupBlocked(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -384,6 +385,15 @@ object SparkEntry {
            / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
             * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cos
          FROM p ORDER BY id_a""",
+    "q_dedup_embed" ->
+      """WITH p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON b.label = a.label AND b.vec_id > a.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.q_id, e.vec_id AS n_id,

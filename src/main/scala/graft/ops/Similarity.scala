@@ -190,6 +190,25 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate DEDUP: all pairs above a cosine
+    * threshold, blocked on a coarse key (label here — in production a
+    * cluster id / LSH bucket) so the pair space is |block|² per block
+    * instead of n² total. The candidate generator is swappable (LSH/IVF
+    * buckets at 100 TB); the in-block compare is exact and
+    * oracle-comparable via the deterministic fold. */
+  def embedNearDupBlocked(s: SparkSession, d: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = corpus(s, d)
+    e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb")),
+        Seq("label"))
+      .filter(col("id_b") > col("id_a"))
+      .withColumn("cos", cosineNative(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs among consecutive vec_ids —
     * the embedding analog of Dedup.ngramJaccardConsecutive, oracle-exact
     * by the deterministic fold. */

@@ -85,6 +85,8 @@ object SparkEntry {
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape)
     "q_multimodal_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+    "q_multimodal_frames"   -> ((s, d) =>
+      Multimodal.frameSample(s, d).drop("frame")),
     // §2.1 generator + streaming
     "q_gen_ticks"        -> ((s, d) => graft.gen.Ticks.generate(s, Seq("AAPL", "MSFT", "GOOG"), 2000L)),
     "q_stream_pipeline"  -> ((s, d) => graft.streaming.Pipeline.streamPipeline(s, d)),
@@ -406,6 +408,11 @@ object SparkEntry {
                FROM scored)
          SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
          FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "q_multimodal_frames" ->
+      """WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+         f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS frame_idx FROM t)
+         SELECT doc_id, frame_idx, least(64, n - frame_idx * 256) AS frame_len
+         FROM f ORDER BY doc_id, frame_idx""",
     "q_event_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -43,6 +43,34 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("features", ArrayType(DoubleType))))
 
+  /** Frame sampling over a binary payload (the video/audio frame-sample
+    * pattern): frames of frameBytes taken every strideBytes through the
+    * blob — pure column expressions (sequence + explode + binary
+    * substring), fully parallel, no UDF. The frame bytes are extracted
+    * for downstream decode; the emitted (frame_idx, frame_len) metadata
+    * is oracle-checkable by plain arithmetic because the stand-in blob is
+    * the ascii text (byte length == char length). */
+  def frameSample(s: SparkSession, d: String, frameBytes: Int = 64,
+      strideBytes: Int = 256): DataFrame = {
+    val n = length(col("text")).cast(LongType)
+    val nFrames = ceil(n.cast("double") / strideBytes).cast(LongType)
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"), n.as("n"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        least(lit(frameBytes.toLong), col("n") - col("frame_idx") * strideBytes)
+          .as("frame_len"),
+        substring(col("blob"), (col("frame_idx") * strideBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Feature resize stub (the image-resize analog): truncate or zero-pad
+    * a feature vector to targetDim — deterministic, shape-preserving. */
+  def resizeFeatures(features: Array[Double], targetDim: Int): Array[Double] =
+    if (features.length >= targetDim) features.take(targetDim)
+    else features ++ Array.fill(targetDim - features.length)(0.0)
+
   /** Binary-column pipeline: documents → (blob: binary, metadata struct)
     * → per-partition batched decode → feature rows. The blob here is the
     * utf-8 text bytes standing in for an image payload; schema and

@@ -78,6 +78,12 @@ object Drive {
         println(s"RUN1=$a RUN2=$b")
         spark.range(1).toDF("x")
       case "arrayEdge" => graft.ops.Scalars.arrayFunctions(spark, sfDir)
+      case "frames" =>
+        import org.apache.spark.sql.functions._
+        graft.ops.Multimodal.frameSample(spark, sfDir)
+          .filter(col("doc_id") === 0)
+          .select(col("frame_idx"), col("frame_len"),
+            decode(col("frame"), "UTF-8").as("frame_text"))
       case "kafkaProbe" =>
         try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
         catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }

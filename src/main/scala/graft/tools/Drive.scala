@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
 object Drive {
   def main(args: Array[String]): Unit = {
     val Array(op, sfDir) = args.take(2)
+    if (op == "entrySmoke") {
+      // mimic the driver's smoke check: a bare session with NO graft
+      // configs (no UTC, no shuffle tuning), then entry() must work
+      val s = SparkSession.builder().master("local[4]").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      val df = graft.SparkEntry.entry(s)
+      df.show(10, truncate = false)
+      println(s"ENTRY_ROWS=${df.count()}")
+      s.stop()
+      return
+    }
     if (op == "extensions") {
       // exercise the production registration path: functions resolved by
       // SQL name through spark.sql.extensions, no manual register()

@@ -56,12 +56,22 @@ object SparkEntry {
     "q_last5_window"   -> ((s, d) => Windows.lastKStats(s, d, 5)),
     "q_sliding_windows" -> ((s, d) => Windows.slidingWindowStats(s, d, 60)),
     "q_minmax_scale"   -> ((s, d) => Windows.minMaxScale(s, d)),
+    // frozen-scaler parity (ref Q5): constants trained elsewhere,
+    // out-of-range values scale outside [0,1]
+    "q_minmax_frozen"  -> ((s, d) => Windows.minMaxScaleFrozen(s, d, 10.0, 200.0)),
     "q_window_running" -> ((s, d) => Windows.runningTotals(s, d)),
     "q_window_ntile"   -> ((s, d) => Windows.ntileBuckets(s, d)),
     "q_window_topk"    -> ((s, d) => Windows.topKPerGroup(s, d)),
-    // §2.10 prediction (UDF over ordered window)
+    // §2.10 prediction. q_predict_windows runs the BATCHED inference
+    // operator (buffered predictBatch per partition, broadcast weights —
+    // the reference's model.predict(sequences) shape) with the oracle-
+    // exact linear predictor; q_predict_gru runs the same operator with
+    // the recurrent-cell forward pass (not SQL-expressible → rows-only,
+    // spec-verified batch==row-at-a-time).
     "q_predict_next"   -> ((s, d) => Predict.predictNext(s, d, 5)),
-    "q_predict_windows" -> ((s, d) => Predict.predictAllWindows(s, d, 60)),
+    "q_predict_windows" -> ((s, d) => Predict.predictAllWindowsBatched(s, d, 60)),
+    "q_predict_gru"    -> ((s, d) =>
+      Predict.predictAllWindowsBatched(s, d, 60, new Predict.GruPredictor())),
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
@@ -79,12 +89,15 @@ object SparkEntry {
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
-    "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupBlocked(s, d)),
+    "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
-    // north-star: multimodal plumbing (stub decode, real Spark shape)
-    "q_multimodal_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+    // north-star: multimodal plumbing (stub decode, real Spark shape).
+    // The registered query emits SCALAR feature columns (declarative,
+    // oracle-hashable); the array-returning batched-decode path
+    // (Multimodal.decodeFeatures) is the library API, spec-verified.
+    "q_multimodal_features" -> ((s, d) => Multimodal.featureColumns(s, d)),
     "q_multimodal_frames"   -> ((s, d) =>
       Multimodal.frameSample(s, d).drop("frame")),
     // §2.1 generator + streaming
@@ -93,6 +106,7 @@ object SparkEntry {
     "q_event_window"     -> ((s, d) => graft.streaming.Pipeline.eventTimeWindow(s, d)),
     "q_stream_dedup"     -> ((s, d) => graft.streaming.Pipeline.streamDedup(s, d)),
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
+    "q_stream_metrics"   -> ((s, d) => graft.streaming.Pipeline.streamWithMetrics(s, d)),
   )
 
   /** DECIMAL-exact sum fragment shared by several oracles. */
@@ -261,6 +275,9 @@ object SparkEntry {
       """SELECT event_id, (value - mn) / (mx - mn) AS scaled
          FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events) st
          ORDER BY event_id""",
+    "q_minmax_frozen" ->
+      """SELECT event_id, (value - 10.0) / (200.0 - 10.0) AS scaled
+         FROM events ORDER BY event_id""",
     "q_predict_next" ->
       """WITH r AS (SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -387,15 +404,25 @@ object SparkEntry {
            / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
             * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cos
          FROM p ORDER BY id_a""",
+    // mirrors Similarity.embedNearDupLsh exactly: sign-band LSH bucket
+    // keys (8 bands x 8 sign bits) as candidate generator, exact cosine
+    // verify on the candidates
     "q_dedup_embed" ->
-      """WITH p AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
-           FROM embeddings a JOIN embeddings b
-             ON b.label = a.label AND b.vec_id > a.vec_id)
-         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+      """WITH b AS (
+           SELECT vec_id, t,
+             CAST((embedding[8*t+1] >= 0) AS INT) + 2*CAST((embedding[8*t+2] >= 0) AS INT)
+             + 4*CAST((embedding[8*t+3] >= 0) AS INT) + 8*CAST((embedding[8*t+4] >= 0) AS INT)
+             + 16*CAST((embedding[8*t+5] >= 0) AS INT) + 32*CAST((embedding[8*t+6] >= 0) AS INT)
+             + 64*CAST((embedding[8*t+7] >= 0) AS INT) + 128*CAST((embedding[8*t+8] >= 0) AS INT) AS key
+           FROM embeddings, unnest(generate_series(0, 7)) AS s(t)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+                  FROM b a JOIN b b2 ON b2.t = a.t AND b2.key = a.key AND b2.vec_id > a.vec_id),
+         sc AS (SELECT id_a, id_b,
+             list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(eb.embedding)), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
+           FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)
+         SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.q_id, e.vec_id AS n_id,
@@ -408,6 +435,15 @@ object SparkEntry {
                FROM scored)
          SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
          FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text[1]) END AS BIGINT) AS f_first,
+         CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text[-1]) END AS BIGINT) AS f_last,
+         CAST(CASE WHEN length(text) = 0 THEN 0
+              ELSE list_reduce(list_transform(generate_series(1, length(text)), i -> ascii(text[i])),
+                               (a, b) -> xor(a, b)) END AS BIGINT) AS f_xor
+         FROM documents ORDER BY doc_id""",
     "q_multimodal_frames" ->
       """WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
          f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS frame_idx FROM t)

@@ -91,6 +91,39 @@ case class RollingHash(child: Expression, base: Long)
     copy(child = c)
 }
 
+/** XOR-fold of a binary payload's bytes into a long — the cheapest
+  * whole-blob checksum (one XOR per byte, codegen'd, no allocation).
+  * Used by the multimodal feature stub; on a 1-byte slice it degenerates
+  * to "the byte value", which also gives first-byte/last-byte extraction
+  * without a dedicated expression. */
+case class XorFoldBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(b: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xFF).toLong; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h ^= (long) ($b[$i] & 0xFF);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): XorFoldBytes =
+    copy(child = c)
+}
+
 /** Session registration for the native expressions, plus a
   * SparkSessionExtensions hook for production use via
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -98,8 +131,11 @@ object Native {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
-    // aggregate: the analyzer wraps the AggregateFunction itself
-    "graft_minhash" -> (exprs => MinHashAgg(exprs.head, 64)))
+    "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
+    // aggregates: the analyzer wraps the AggregateFunction itself
+    "graft_minhash" -> (exprs => MinHashAgg(exprs.head, 64)),
+    "graft_topk_by" -> (exprs => TopKByAgg(exprs(0), exprs(1), exprs(2),
+      exprs(3).eval().asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -112,8 +148,17 @@ object Native {
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
 
+  /** XOR-fold of a binary column's bytes (long). */
+  def xorFold(c: Column): Column = call_function("graft_xor_fold", c)
+
   /** 64-slot MinHash signature aggregate over a base-hash column. */
   def minhash(c: Column): Column = call_function("graft_minhash", c)
+
+  /** Values of the k rows with the largest (ord1, ord2), newest-first.
+    * ord1/ord2 must be long-backed (long or timestamp); k a literal. */
+  def topKBy(ord1: Column, ord2: Column, value: Column, k: Int): Column =
+    call_function("graft_topk_by", ord1, ord2, value,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

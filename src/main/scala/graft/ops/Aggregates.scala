@@ -34,7 +34,9 @@ object Aggregates {
     * `producer.py:12` pins one symbol; we group. */
   def groupedPricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      // session-TZ-resolved literal (Timestamp.valueOf would parse in the
+      // JVM default zone — a portability hazard vs the UTC oracle)
+      .filter(col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),

@@ -24,6 +24,20 @@ object Predict {
     * `predict_next_price` (`stream_consumer.py:50-54`). */
   trait Predictor extends Serializable {
     def predict(lastK: Seq[Double]): Double
+
+    /** Called once per PARTITION before any predict/predictBatch — the
+      * hook where a real model binding loads weights into an inference
+      * session (the analog of the reference's one-time model load,
+      * `stream_consumer.py:43-45`). Default no-op; specs use it to
+      * assert inits happen per partition, never per row. */
+    def prepare(): Unit = ()
+
+    /** Batched entry point — ONE call per buffered batch of windows,
+      * the reference's `model.predict(sequences)` shape
+      * (`batch_processor.py:100`: all windows in one vectorized call).
+      * Default delegates per-window; matrix-backed models override. */
+    def predictBatch(windows: Array[Array[Double]]): Array[Double] =
+      windows.map(w => predict(w.toIndexedSeq))
   }
 
   /** Deterministic default: linear extrapolation of the lookback window,
@@ -37,23 +51,115 @@ object Predict {
     }
   }
 
-  /** M1 — next-value prediction per series from the last k observations.
-    * Window collect_list over an ORDERED frame (deterministic — SURVEY §7
-    * R2), pruned to the newest row per series before the UDF fires, so the
-    * predictor runs once per series, not once per row. */
+  /** Recurrent-cell predictor with the reference's OPERATOR SHAPE (an
+    * RNN forward pass over the lookback window — the reference runs a
+    * Keras LSTM, `stream_consumer.py:50-54`): a single GRU cell (standard
+    * public formulation — update/reset gates + candidate state) unrolled
+    * over the window, hidden state read out through a linear head. The
+    * sandbox has no trained weights (SURVEY §7 R1), so weights are fixed
+    * deterministic values from a seeded PRNG — the POINT is the batched
+    * dataflow (weights broadcast once, one matrix-style pass per buffered
+    * batch), not the learned function. Values are deterministic and
+    * spec-verified batch == row-at-a-time; not SQL-expressible, so its
+    * query is rows-only by design. */
+  class GruPredictor(hidden: Int = 8, seed: Long = 7L) extends Predictor {
+    private val rnd = new scala.util.Random(seed)
+    private def mat(n: Int): Array[Double] = Array.fill(n)(rnd.nextGaussian() * 0.3)
+    // gate weights: input (scalar) weight, recurrent weights, bias
+    private val wz = mat(hidden); private val uz = mat(hidden * hidden); private val bz = mat(hidden)
+    private val wr = mat(hidden); private val ur = mat(hidden * hidden); private val br = mat(hidden)
+    private val wh = mat(hidden); private val uh = mat(hidden * hidden); private val bh = mat(hidden)
+    private val wOut = mat(hidden)
+
+    @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+
+    override def predict(lastK: Seq[Double]): Double = {
+      // scale-free input: predict the RELATIVE next step around the last
+      // observation so untrained weights still yield price-magnitude output
+      val base = lastK.last
+      var h = new Array[Double](hidden)
+      lastK.foreach { x0 =>
+        val x = if (base != 0.0) x0 / base - 1.0 else x0
+        val hNew = new Array[Double](hidden)
+        var i = 0
+        while (i < hidden) {
+          var accZ = 0.0; var accR = 0.0
+          var j = 0
+          while (j < hidden) {
+            accZ += uz(i * hidden + j) * h(j)
+            accR += ur(i * hidden + j) * h(j)
+            j += 1
+          }
+          val z = sigmoid(wz(i) * x + accZ + bz(i))
+          val r = sigmoid(wr(i) * x + accR + br(i))
+          var accH = 0.0
+          j = 0
+          while (j < hidden) { accH += uh(i * hidden + j) * r * h(j); j += 1 }
+          val cand = math.tanh(wh(i) * x + accH + bh(i))
+          hNew(i) = (1.0 - z) * h(i) + z * cand
+          i += 1
+        }
+        h = hNew
+      }
+      var out = 0.0
+      var i = 0
+      while (i < hidden) { out += wOut(i) * h(i); i += 1 }
+      base * (1.0 + out)
+    }
+  }
+
+  /** M2's REAL shape — batched inference over every stride-1 length-k
+    * window: windows are materialized by the (deterministic, ordered)
+    * frame exactly as [[predictAllWindows]], then a mapPartitions stage
+    * buffers each partition's windows and calls the predictor ONCE per
+    * buffer (`predictor.predictBatch` — the analog of the reference
+    * batching every sequence into one `model.predict(sequences)` call,
+    * `batch_processor.py:88-101`). The predictor rides an explicit
+    * broadcast, so weights ship once per executor, not per task
+    * (`stream_consumer.py:43-45` loads the model once per process);
+    * `prepare()` fires once per partition. */
+  def predictAllWindowsBatched(s: SparkSession, d: String, k: Int = 60,
+      predictor: Predictor = LinearPredictor, batchSize: Int = 1024): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(predictor)
+    val frame = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+    val windows = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        collect_list(col("value")).over(frame).as("w"))
+      .filter(size(col("w")) === k)
+      .as[(Long, String, Array[Double])]
+    windows.mapPartitions { it =>
+      val p = bc.value
+      p.prepare()
+      it.grouped(batchSize).flatMap { chunk =>
+        val preds = p.predictBatch(chunk.map(_._3).toArray)
+        chunk.iterator.zip(preds.iterator).map { case ((id, et, _), pred) =>
+          (id, et, pred)
+        }
+      }
+    }.toDF("event_id", "event_type", "predicted")
+      .orderBy(col("event_id"))
+  }
+
+  /** M1 — next-value prediction per series from the last k observations,
+    * TWO-PHASE: the bounded [[graft.functions.TopKByAgg]] reduces each
+    * map task to its k newest values (partial aggregation — k×partitions
+    * tiny buffers shuffle, no per-series sort task), then the predictor
+    * fires once per series on the chronological lookback. Same reference
+    * semantics as before (`stream_consumer.py:50-54`): series with fewer
+    * than k observations emit nothing. */
   def predictNext(s: SparkSession, d: String, k: Int = 5,
       predictor: Predictor = LinearPredictor): DataFrame = {
+    import graft.functions.Native
+    Native.register(s)
     val predictUdf = udf((xs: Seq[Double]) => predictor.predict(xs))
-    val asc  = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val lastK = asc.rowsBetween(-(k - 1), 0)
-    val newestFirst = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     Tables.events(s, d)
-      .select(col("event_type"), col("ts"), col("event_id"),
-        collect_list(col("value")).over(lastK).as("lookback"))
-      .withColumn("rn", row_number().over(newestFirst))
-      .filter(col("rn") === 1 && size(col("lookback")) === k)
-      .select(col("event_type"), predictUdf(col("lookback")).as("predicted"))
+      .groupBy(col("event_type"))
+      .agg(Native.topKBy(col("ts"), col("event_id"), col("value"), k).as("vals"))
+      .filter(size(col("vals")) === k)
+      // topKBy emits newest-first; the predictor wants chronological
+      .select(col("event_type"), predictUdf(reverse(col("vals"))).as("predicted"))
       .orderBy(col("event_type"))
   }
 

@@ -159,17 +159,23 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
     val e = corpus(s, d)
+    // centroid pick: orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, merged on the driver). NEVER a partition-less window — a
+    // row_number over a global orderBy funnels the whole corpus through
+    // one task.
     val centroids = e
-      .withColumn("hrank", row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
-      .filter(col("hrank") <= NumCentroids)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(NumCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // index: nearest centroid per corpus vector (broadcast pass, no shuffle)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    // index: nearest centroid per corpus vector — broadcast the centroids,
+    // reduce with max_by (map-side partial aggregation, no sort, no
+    // 16x-amplified shuffle; the struct's -c_id term breaks cosine ties
+    // toward the lowest centroid id)
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosineNative(col("embedding"), col("c_emb")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
     // search: queries probe their nProbe nearest centroid lists
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -190,12 +196,65 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Embedding-cosine near-duplicate DEDUP: all pairs above a cosine
-    * threshold, blocked on a coarse key (label here — in production a
-    * cluster id / LSH bucket) so the pair space is |block|² per block
-    * instead of n² total. The candidate generator is swappable (LSH/IVF
-    * buckets at 100 TB); the in-block compare is exact and
-    * oracle-comparable via the deterministic fold. */
+  /** Sign-band LSH for near-dup blocking: band t packs the sign bits of
+    * embedding coordinates [mt, mt+m) into an m-bit bucket key — random-
+    * hyperplane LSH with axis-aligned hyperplanes. Two properties make
+    * this the DEDUP blocker (vs the gaussian-plane [[lshSigUdf]] used for
+    * ANN): the key is a pure column expression (codegen'd, no UDF), and
+    * it is exactly mirrorable in portable SQL, so the blocked-dedup
+    * semantics are oracle-checkable end to end. L=8 tables x m=8 bits
+    * covers all 64 dims; a random pair collides in a band with p=2^-8,
+    * so candidates ~ L/256 ≈ 3% of all pairs (measured 3.9k of 125k at
+    * sf0.01) while sign-correlated near-dups collide with p^m, p=1-θ/π. */
+  val SignBands   = 8
+  val SignBitsPerBand = 8
+
+  private def signBandKeys: Column =
+    array((0 until SignBands).map { t =>
+      (0 until SignBitsPerBand).map { j =>
+        (col("embedding").getItem(SignBitsPerBand * t + j) >= 0)
+          .cast(IntegerType) * lit(1 << j)
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Candidate pairs from sign-band LSH: explode each vector into its L
+    * (band, key) bucket rows, equi-join on the bucket — a hash join over
+    * fixed-width keys, never a cross product — and dedupe pairs. The
+    * only shuffle of embedding payloads is the surviving-candidate set
+    * (~3% of n² here), not the corpus squared. */
+  def signBandCandidates(e: DataFrame): DataFrame = {
+    val b = e.select(col("vec_id"), col("embedding"),
+      posexplode(signBandKeys).as(Seq("t", "key")))
+    b.select(col("t"), col("key"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(b.select(col("t"), col("key"), col("vec_id").as("id_b"),
+        col("embedding").as("eb")), Seq("t", "key"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-duplicate DEDUP, blocked on sign-band LSH
+    * buckets: candidates from [[signBandCandidates]], then exact cosine
+    * verify against the threshold. Recall is the LSH collision curve —
+    * near-total for true near-dups (cos ≥ 0.8 → p ≥ 0.8 per bit) and
+    * deliberately lossy for barely-similar pairs; SimilaritySpec measures
+    * it against the all-pairs truth. Oracle-exact because the oracle
+    * mirrors the same bucket definition in SQL. */
+  def embedNearDupLsh(s: SparkSession, d: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = corpus(s, d)
+    signBandCandidates(e)
+      .withColumn("cos", cosineNative(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-duplicate DEDUP blocked on a coarse COLUMN key
+    * (label here — a cluster id / partition date in production): pair
+    * space is |block|² per block instead of n². Kept as the
+    * user-supplied-block variant alongside [[embedNearDupLsh]], which
+    * derives the block from the vectors themselves. */
   def embedNearDupBlocked(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {
     val e = corpus(s, d)

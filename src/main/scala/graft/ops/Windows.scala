@@ -45,15 +45,21 @@ object Windows {
   }
 
   /** W1 — last-k lookback stats per series (reference `prices[-5:]`,
-    * `stream_consumer.py:51`): rank rows newest-first per event_type, keep
-    * the top k, aggregate. The rank+filter prunes to k rows per series
-    * before the aggregate, so the shuffle after it is tiny. */
+    * `stream_consumer.py:51`), TWO-PHASE: a bounded top-k custom
+    * aggregate ([[graft.functions.TopKByAgg]]) reduces each map task's
+    * slice to k values before the shuffle (partial aggregation), so only
+    * k×partitions tiny buffers move and no task ever sorts a whole
+    * series — the window formulation (`row_number` over
+    * `partitionBy(event_type)`) funnels every row of a hot series
+    * through one sorting task at scale. The k survivors then explode
+    * into the exact decimal-routed stats the oracle states. */
   def lastKStats(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val newestFirst = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+    import graft.functions.Native
+    Native.register(s)
     Tables.events(s, d)
-      .withColumn("rn", row_number().over(newestFirst))
-      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(Native.topKBy(col("ts"), col("event_id"), col("value"), k).as("vals"))
+      .select(col("event_type"), explode(col("vals")).as("value"))
       .groupBy(col("event_type"))
       .agg(
         Aggregates.dsum(col("value")).as("sum_lastk"),
@@ -132,6 +138,19 @@ object Windows {
         ((col("value") - col("mn")) / (col("mx") - col("mn"))).as("scaled"))
       .orderBy(col("event_id"))
   }
+
+  /** W3 frozen-constants overload — the reference's ACTUAL scaler
+    * semantics: `scaler.pkl` is a min/max frozen at training time
+    * (`stream_consumer.py:44-45,51,54`), so serving-time values outside
+    * [mn, mx] scale outside [0, 1] rather than re-fitting. Pure IEEE
+    * arithmetic with literal constants → bit-exact vs the oracle, and at
+    * scale a zero-shuffle map (no stats pass at all). */
+  def minMaxScaleFrozen(s: SparkSession, d: String,
+      mn: Double, mx: Double): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        ((col("value") - lit(mn)) / lit(mx - mn)).as("scaled"))
+      .orderBy(col("event_id"))
 
   /** Inverse of [[minMaxScale]] given the same stats — the reference's
     * denormalize step (`stream_consumer.py:54`). Used by tests to check

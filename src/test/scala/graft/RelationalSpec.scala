@@ -46,6 +46,22 @@ class RelationalSpec extends SparkSpec {
     assert(row.getAs[Double]("avg_value") <= row.getAs[Double]("max_value"))
   }
 
+  test("approx distinct (HLL++) tracks exact distinct within the 1% rsd band") {
+    val approx = q("q_approx_distinct").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("approx_parts")).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("exact_parts")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      // rsd 0.01 → allow a generous 5-sigma relative band
+      assert(math.abs(ap - ex) <= math.max(1.0, 0.05 * ex),
+        s"supplier $k: approx $ap vs exact $ex")
+    }
+  }
+
   test("semi + anti partition customers") {
     val total = Tables.customer(spark, sf).count()
     assert(q("q_join_semi").count() + q("q_join_anti").count() == total)

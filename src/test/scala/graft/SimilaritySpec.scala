@@ -27,6 +27,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sign-band dedup blocking: candidates well below all-pairs, verify is exact") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.signBandCandidates(e)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a random pair collides in a band with p = 2^-8; L=8 bands keeps
+    // candidates a few percent of the pair space
+    assert(cands.size < allPairs / 5,
+      s"blocking degenerated: ${cands.size} candidates of $allPairs pairs")
+    // exact-verify correctness: result == (all-pairs truth) ∩ candidates
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val truth = ea.join(eb, col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineNative(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Similarity.embedNearDupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == (truth & cands))
+    info(s"candidates ${cands.size}/$allPairs, recall ${found.size}/${truth.size}")
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -50,6 +50,20 @@ class StreamingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("n_obs") == 5))
   }
 
+  test("query listener captures one metrics row per micro-batch (T7)") {
+    val mdf = q("q_stream_metrics") // stream runs eagerly at construction
+    val rows = mdf.collect()
+    // 4 staged files x maxFilesPerTrigger=1 → exactly 4 micro-batches
+    assert(rows.length == 4, s"expected 4 micro-batch metric rows, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("input_rows")).sum ==
+      Tables.events(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("batch_id")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Long]("duration_ms") >= 0L))
+    val sm = graft.streaming.Metrics.summarize(mdf).head()
+    assert(sm.getAs[Long]("n_batches") == 4L)
+    assert(sm.getAs[Long]("total_rows") == Tables.events(spark, sf).count())
+  }
+
   test("tick generator is deterministic and respects reference domains") {
     val a = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500).collect()
     val b = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500).collect()

@@ -38,16 +38,37 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp1 == noisy)
   }
 
-  test("multimodal decode: 4-wide features, deterministic, n_bytes matches blob") {
-    val rows = q("q_multimodal_features").collect()
-    assert(rows.length == Tables.documents(spark, sf).count())
-    rows.foreach { r =>
-      val feats = r.getAs[scala.collection.Seq[Double]]("features")
-      assert(feats.length == 4)
-      assert(feats.head == r.getAs[Long]("n_bytes").toDouble)
-    }
-    val again = q("q_multimodal_features").collect()
-    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  test("multimodal: scalar feature query matches the batched array-decode path") {
+    val scalars = q("q_multimodal_features").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("f_first"),
+          r.getAs[Long]("f_last"), r.getAs[Long]("f_xor"))).toMap
+    val arrays = Multimodal.decodeFeatures(spark, sf).collect()
+      .map { r =>
+        val f = r.getAs[scala.collection.Seq[Double]]("features")
+        assert(f.length == 4)
+        r.getAs[Long]("doc_id") ->
+          (f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong)
+      }.toMap
+    assert(scalars == arrays)
+    assert(scalars.size == Tables.documents(spark, sf).count())
+  }
+
+  test("batched decode is chunking-invariant (one decodeBatch call per chunk)") {
+    val coarse = Multimodal.decodeFeatures(spark, sf, batchSize = 256).collect()
+    val fine   = Multimodal.decodeFeatures(spark, sf, batchSize = 7).collect()
+    assert(coarse.map(_.toString).sameElements(fine.map(_.toString)))
+  }
+
+  test("frame sampling emits zero frames for an empty payload") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 300), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSampleDf(docs).collect()
+    // doc 1: 300 bytes / 256 stride -> 2 frames; doc 2: none; doc 3: 1
+    assert(frames.count(_.getAs[Long]("doc_id") == 1L) == 2)
+    assert(!frames.exists(_.getAs[Long]("doc_id") == 2L))
+    assert(frames.count(_.getAs[Long]("doc_id") == 3L) == 1)
+    assert(frames.forall(_.getAs[Long]("frame_idx") >= 0L))
   }
 
   test("stub decoder handles empty payloads") {

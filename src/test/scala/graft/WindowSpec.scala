@@ -27,6 +27,40 @@ class WindowSpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k aggregate equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // the pre-rewrite shape: rank newest-first, keep 5, aggregate
+    val newestFirst = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(newestFirst))
+      .filter(col("rn") <= 5)
+      .groupBy(col("event_type"))
+      .agg(graft.ops.Aggregates.dsum(col("value")).as("sum_lastk"),
+        min(col("value")).as("min_lastk"), max(col("value")).as("max_lastk"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val viaAgg = q("q_last5_window").collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("frozen-scaler: out-of-range values scale outside [0,1], inverse restores") {
+    val (mn, mx) = (10.0, 200.0)
+    val scaled = Windows.minMaxScaleFrozen(spark, sf, mn, mx)
+    val joined = scaled
+      .join(Tables.events(spark, sf).select(col("event_id"), col("value")), "event_id")
+    // frozen constants: a value below mn MUST scale negative (never clamped)
+    val below = joined.filter(col("value") < mn)
+    if (below.count() > 0)
+      assert(below.filter(col("scaled") >= 0.0).count() == 0)
+    val restored = Windows.minMaxInverse(scaled, mn, mx)
+      .join(Tables.events(spark, sf).select(col("event_id"), col("value")), "event_id")
+      .filter(abs(col("restored") - col("value")) > 1e-9)
+    assert(restored.count() == 0)
+  }
+
   test("minmax scale lands in [0,1] and inverse restores original values") {
     val scaled = q("q_minmax_scale")
     val bounds = scaled.agg(min(col("scaled")), max(col("scaled"))).head()

@@ -43,11 +43,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             got = pd.concat([pd.read_parquet(f) for f in files])
             exp = con.execute(sql).df()
+            # norm() sorts by all columns — an unhashable (array) column
+            # must fail THIS query, not crash the whole harness
+            g, x = norm(got), norm(exp)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             fails += 1
             continue
-        g, x = norm(got), norm(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(x.columns)}")
             fails += 1

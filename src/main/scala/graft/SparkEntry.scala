@@ -49,6 +49,7 @@ object SparkEntry {
     "q_join_outer"     -> ((s, d) => Joins.outerJoinOrderCounts(s, d)),
     "q_join_range"     -> ((s, d) => Joins.rangeJoinClicksBeforePurchase(s, d)),
     "q_join_asof"      -> ((s, d) => Joins.asofLastClickBeforePurchase(s, d)),
+    "q_join_bucketed"  -> ((s, d) => Joins.bucketedJoinRevenue(s, d)),
     "q_agg_salted"     -> ((s, d) => Aggregates.saltedUserTotals(s, d)),
     // §2.5 windows
     "q_window_rank"    -> ((s, d) => Windows.rankPerUser(s, d)),
@@ -239,6 +240,10 @@ object SparkEntry {
             AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
           ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_click_value
          FROM events a WHERE a.event_type = 'purchase' ORDER BY a.event_id""",
+    "q_join_bucketed" ->
+      s"""SELECT o_orderpriority, $revenue AS revenue, count(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_agg_salted" ->
       s"""SELECT user_id, ${dsum("value")} AS total, count(*) AS n
           FROM events GROUP BY user_id ORDER BY user_id""",

@@ -39,6 +39,43 @@ object Joins {
         count(lit(1)).as("n_items"))
       .orderBy(col("c_custkey"))
 
+  /** Bucketed CO-LOCATED join: both fact tables are written bucketed (and
+    * per-file sorted) by the join key, so the subsequent sort-merge join
+    * needs NO exchange of either side — each bucket pair joins in place.
+    * This is the 100 TB pattern for repeated fact-fact joins: pay the
+    * shuffle ONCE at ingest/write time, then every downstream join reuses
+    * the co-location for free. The write is cached per (session, sfDir);
+    * a MERGE hint keeps the demonstration an SMJ even when AQE would
+    * broadcast the smaller side at toy scale. JoinSpec asserts the
+    * join subtree plans with zero hash-partition exchanges. */
+  def bucketedTables(s: SparkSession, d: String, buckets: Int = 8): (DataFrame, DataFrame) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val lt = s"graft_lineitem_b$tag"
+    val ot = s"graft_orders_b$tag"
+    if (!s.catalog.tableExists(lt)) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+    }
+    (s.table(lt), s.table(ot))
+  }
+
+  def bucketedJoinRevenue(s: SparkSession, d: String): DataFrame = {
+    val (lineitem, orders) = bucketedTables(s, d)
+    lineitem.hint("merge")
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Aggregates.revenueTerm(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** J3a — left semi (EXISTS): customers that have at least one order. */
   def semiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

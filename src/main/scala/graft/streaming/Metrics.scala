@@ -19,7 +19,8 @@ case class BatchMetric(run_id: String, batch_id: Long, input_rows: Long,
   * one run arrive in order, and the terminated event arrives after the
   * last progress event, so [[awaitTerminated]] doubles as a completeness
   * barrier for that run's metrics. */
-final class GraftQueryListener extends StreamingQueryListener {
+final class GraftQueryListener(echo: Boolean = false,
+    echoSink: String => Unit = Console.println) extends StreamingQueryListener {
   private val buf = new ConcurrentLinkedQueue[BatchMetric]()
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -27,8 +28,14 @@ final class GraftQueryListener extends StreamingQueryListener {
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    buf.add(BatchMetric(p.runId.toString, p.batchId, p.numInputRows,
-      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)))
+    val m = BatchMetric(p.runId.toString, p.batchId, p.numInputRows,
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+    buf.add(m)
+    // S6 — the reference's stdout metrics sink: one latency line per
+    // micro-batch (stream_consumer.py:79,108-111)
+    if (echo)
+      echoSink(s"[graft-metrics] batch=${m.batch_id} rows=${m.input_rows} " +
+        s"latency_ms=${m.duration_ms}")
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {

@@ -183,8 +183,9 @@ object Pipeline {
     * the query is rows-only by design (StreamingSpec pins the
     * deterministic parts: one row per micro-batch, rows summing to the
     * source count). */
-  def streamWithMetrics(s: SparkSession, d: String): DataFrame = {
-    val lst = new GraftQueryListener
+  def streamWithMetrics(s: SparkSession, d: String,
+      echo: Boolean = false): DataFrame = {
+    val lst = new GraftQueryListener(echo)
     s.streams.addListener(lst)
     try {
       val sinkDir = tmp("graft_msink_")

@@ -40,6 +40,8 @@ object Drive {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,7 +103,9 @@ object Drive {
         spark.range(1).toDF("x")
       case "explain" =>
         Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
-          "q_join_broadcast", "q_sliding_windows", "q_minmax_scale").foreach { name =>
+          "q_join_broadcast", "q_join_bucketed", "q_sliding_windows",
+          "q_minmax_scale", "q_last5_window", "q_predict_next", "q_ann_ivf",
+          "q_dedup_embed", "q_predict_windows").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

@@ -67,6 +67,27 @@ class RelationalSpec extends SparkSpec {
     assert(q("q_join_semi").count() + q("q_join_anti").count() == total)
   }
 
+  test("bucketed co-located join: zero hash exchanges, values match shuffle join") {
+    val (lineitem, orders) = graft.ops.Joins.bucketedTables(spark, sf)
+    val joined = lineitem.hint("merge")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not reshuffle either side:\n${plan.take(1500)}")
+    // same values as computing the aggregate off the raw parquet
+    val viaBuckets = q("q_join_bucketed").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val viaShuffle = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.ops.Aggregates
+          .revenueTerm(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(viaBuckets == viaShuffle)
+  }
+
   test("outer join order counts sum to total orders") {
     val sums = q("q_join_outer").agg(sum(col("n_orders"))).head().getLong(0)
     assert(sums == Tables.orders(spark, sf).count())

@@ -64,6 +64,21 @@ class StreamingSpec extends SparkSpec {
     assert(sm.getAs[Long]("total_rows") == Tables.events(spark, sf).count())
   }
 
+  test("console metrics echo emits one line per micro-batch (S6)") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val lst = new graft.streaming.GraftQueryListener(echo = true,
+      echoSink = s => lines.synchronized { lines += s; () })
+    spark.streams.addListener(lst)
+    try {
+      graft.streaming.Pipeline.streamWithMetrics(spark, sf).collect()
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (lines.synchronized(lines.size) < 4 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val got = lines.synchronized(lines.toList)
+      assert(got.count(_.startsWith("[graft-metrics]")) >= 4, got.mkString("\n"))
+    } finally spark.streams.removeListener(lst)
+  }
+
   test("tick generator is deterministic and respects reference domains") {
     val a = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500).collect()
     val b = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500).collect()

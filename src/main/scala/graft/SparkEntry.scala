@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
     "q_dedup_minhash"       -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
     "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
@@ -369,6 +370,32 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    // mirrors graft.functions.RollingHash: h = h*1000003 + byte wrapping
+    // mod 2^64, over the whitespace-normalized text; HUGEINT carries the
+    // 84-bit intermediate product, then fold back to signed 64-bit
+    "q_text_rollhash" ->
+      """WITH nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+         codes AS (SELECT doc_id, list_transform(generate_series(1, length(t)), i -> ascii(t[i])) AS cs FROM nt),
+         h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+                 (a, b) -> (a * 1000003 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+               FROM codes)
+         SELECT doc_id, CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS rh
+         FROM h ORDER BY doc_id""",
+    // the stream pipeline's final output IS the last-5 linear prediction
+    // per series over the full event stream (stream == batch parity,
+    // also asserted in StreamingSpec), so the batch oracle applies
+    "q_stream_pipeline" ->
+      """WITH r AS (SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events),
+         lk AS (SELECT event_type,
+           max(CASE WHEN rn = 1 THEN value END) AS last_v,
+           max(CASE WHEN rn = 5 THEN value END) AS first_v,
+           count(*) AS n
+           FROM r WHERE rn <= 5 GROUP BY event_type)
+         SELECT event_type, last_v + (last_v - first_v) / 4.0 AS predicted
+         FROM lk WHERE n = 5 ORDER BY event_type""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
@@ -401,6 +428,30 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5
          ORDER BY id_a, id_b""",
+    // same exact >=0.5-Jaccard pair set as q_dedup_minhash, then
+    // transitive closure via recursive CTE; component = min reachable id
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         ),
+         comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+                  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+                  GROUP BY d.doc_id)
+         SELECT doc_id, component, (doc_id = component) AS is_keeper
+         FROM comp ORDER BY doc_id""",
     "q_embed_cosine_pairs" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
                     FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)

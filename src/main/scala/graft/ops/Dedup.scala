@@ -129,6 +129,58 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over near-dup PAIRS — the last stage of a
+    * production dedup pipeline: pairwise matches become clusters and
+    * each cluster keeps exactly one document. Iterative min-label
+    * propagation: each round joins the (symmetrized) edge list against
+    * the current labels, takes the per-node minimum of own + neighbor
+    * labels, and stops when no label changed — `diameter` rounds, one
+    * shuffle-join + partial-aggregating min per round, lineage truncated
+    * with localCheckpoint so the plan doesn't grow with iterations.
+    * Near-dup clusters are shallow (pair generation is transitive-ish),
+    * so the diameter is small; for adversarially long chains the same
+    * join primitive supports large-star/small-star pointer jumping. */
+  def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var comp = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbr = sym
+        .join(comp.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = comp
+        .join(nbr.select(col("src").as("doc_id"), col("nbr_component")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"),
+            coalesce(col("nbr_component"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next
+        .join(comp.select(col("doc_id"), col("component").as("prev")), Seq("doc_id"))
+        .filter(col("component") < col("prev")).count()
+      comp = next
+      it += 1
+    }
+    comp
+  }
+
+  /** Near-dup dedup CLUSTERS on the documents table: MinHash+LSH pairs
+    * as edges (deterministic; equals the exact ≥0.5-Jaccard truth on the
+    * fixtures — see minhashLshPairs), components via min-label
+    * propagation, keeper = the cluster's minimum doc_id. Oracle: the
+    * same pair set from exact SQL + a recursive-CTE transitive closure. */
+  def nearDupComponents(s: SparkSession, d: String): DataFrame =
+    components(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashLshPairs(s, d).select(col("id_a"), col("id_b")))
+      .withColumn("is_keeper", col("doc_id") === col("component"))
+      .orderBy(col("doc_id"))
+
   /** 64-bit SimHash per document: per bit j, sum ±1 weighted by whether
     * bit j of each shingle hash is set; bit j of the signature = sign.
     * One explode + one 64-column aggregate — no shuffle of text. */

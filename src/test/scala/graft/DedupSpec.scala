@@ -39,6 +39,24 @@ class DedupSpec extends SparkSpec {
     assert(found == truth, s"LSH found ${found.size}, truth ${truth.size}")
   }
 
+  test("near-dup components: pairs share a cluster, keeper is the cluster minimum") {
+    val comp = q("q_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == Tables.documents(spark, sf).count())
+    // every matched pair must land in the same component
+    q("q_dedup_minhash").collect().foreach { r =>
+      assert(comp(r.getAs[Long]("id_a")) == comp(r.getAs[Long]("id_b")))
+    }
+    // a component's label is its minimum member id
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c)
+    }
+    // exactly one keeper per component
+    val keepers = q("q_dedup_clusters")
+      .filter(col("is_keeper")).count()
+    assert(keepers == comp.values.toSet.size)
+  }
+
   test("simhash: near-identical docs collide, signatures are diverse") {
     val sig = q("q_dedup_simhash")
     val n = sig.count()

@@ -145,11 +145,46 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Coarse-quantizer TRAINING: Lloyd's k-means over the corpus.
+    * Init = deterministic seeded sample (lowest xxhash64(vec_id) via
+    * TakeOrderedAndProject); each round broadcasts the centroids,
+    * assigns every vector with the partial-aggregating max_by reduction,
+    * and recomputes centroids as the elementwise mean (posexplode →
+    * per-(centroid, dim) avg → rebuild array). Work per round is one
+    * corpus scan + one k×dim-row aggregate — no iteration-growing
+    * lineage (the tiny centroid table is collected and re-broadcast).
+    * Empty clusters keep their previous centroid. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    var centroids = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").cast(ArrayType(DoubleType)).as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cosineNative(col("embedding"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+      val means = assigned
+        .select(col("c_id"), posexplode(col("embedding").cast(ArrayType(DoubleType))))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), expr("transform(pm, x -> x.m)").as("c_emb"))
+      // keep previous centroid for clusters that lost all members
+      centroids = centroids.select(col("c_id"), col("c_emb").as("prev"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("c_emb"), col("prev")).as("c_emb"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN — the clustered scale path alongside LSH.
-    * Coarse quantizer: NumCentroids deterministic centroids (lowest
-    * xxhash64(vec_id) ranks — a seeded sample standing in for k-means;
-    * swap in trained centroids in production). Index: each corpus vector
-    * is assigned to its nearest centroid (one broadcast pass). Search:
+    * Coarse quantizer: [[kmeansCentroids]] (Lloyd-trained from a seeded
+    * deterministic init). Index: each corpus vector is assigned to its
+    * nearest centroid (one broadcast pass, max_by reduction). Search:
     * each query probes its nProbe nearest centroid lists only —
     * candidates ≈ nProbe/NumCentroids of the corpus — then exact
     * cosine rerank. Approximate → rows-only check; SimilaritySpec
@@ -159,14 +194,7 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
     val e = corpus(s, d)
-    // centroid pick: orderBy+limit → TakeOrderedAndProject (per-partition
-    // heaps, merged on the driver). NEVER a partition-less window — a
-    // row_number over a global orderBy funnels the whole corpus through
-    // one task.
-    val centroids = e
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val centroids = kmeansCentroids(e, NumCentroids)
     // index: nearest centroid per corpus vector — broadcast the centroids,
     // reduce with max_by (map-side partial aggregation, no sort, no
     // 16x-amplified shuffle; the struct's -c_id term breaks cosine ties

@@ -24,6 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 scans / projections / filters
     "q_scan_filter"   -> ((s, d) => Relational.scanFilter(s, d)),
+    "q_scan_partitioned" -> ((s, d) => Relational.partitionPrunedDaily(s, d)),
+    "q_sql_yr_priority"  -> ((s, d) => Relational.sqlRevenueByYearPriority(s, d)),
     "q_count"         -> ((s, d) => Relational.countAll(s, d)),
     // §2.6 sorts / limits / top-k
     "q_orderby_limit" -> ((s, d) => Relational.orderByLimit(s, d)),
@@ -124,6 +126,13 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
          WHERE event_type = 'click' ORDER BY event_id""",
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q_scan_partitioned" ->
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          count(*) AS n, ${dsum("value")} AS total
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1 ORDER BY day""",
+    // deliberately the IDENTICAL string Spark executes via spark.sql
+    "q_sql_yr_priority" -> graft.ops.Relational.RevenueByYearPrioritySql,
     "q_orderby_limit" ->
       """SELECT event_id, value FROM
          (SELECT event_id, value FROM events ORDER BY ts DESC, event_id DESC LIMIT 5000) t

@@ -26,6 +26,49 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Hive-style PARTITIONED layout + partition-pruned scan: the events
+    * table is staged once per (JVM, sfDir) partitioned by event_type,
+    * then a filter on the partition column prunes whole directories at
+    * planning time (`PartitionFilters` in the plan — zero I/O for
+    * non-matching partitions). At 100 TB this is the first line of
+    * defense: a date/tenant partition column turns full-corpus scans
+    * into slice scans before a single byte is read. RelationalSpec
+    * asserts the pruned plan; the oracle states the same aggregate over
+    * the raw table. */
+  private val partitionedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def partitionedEventsDir(s: SparkSession, d: String): String =
+    partitionedCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      Tables.events(s, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      out
+    })
+
+  def partitionPrunedDaily(s: SparkSession, d: String,
+      eventType: String = "purchase"): DataFrame =
+    s.read.parquet(partitionedEventsDir(s, d))
+      .filter(col("event_type") === eventType)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        Aggregates.dsum(col("value")).as("total"))
+      .orderBy(col("day"))
+
+  /** SQL-text surface: the SAME ANSI SQL string runs verbatim through
+    * `spark.sql` here and through DuckDB as its own oracle — the
+    * portability contract of declaring plans in SQL over registered
+    * views. */
+  val RevenueByYearPrioritySql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def sqlRevenueByYearPriority(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(RevenueByYearPrioritySql)
+  }
+
   /** count(*) — reference A1 (`batch_processor.py:82`). */
   def countAll(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(count(lit(1)).as("n"))

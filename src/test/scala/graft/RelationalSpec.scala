@@ -11,6 +11,24 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("partitioned layout prunes non-matching partitions at plan time") {
+    val dir = graft.ops.Relational.partitionedEventsDir(spark, sf)
+    val scan = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(event_type") && plan.contains("purchase"),
+      plan.take(1200))
+    // pruned values == raw-table filter
+    assert(scan.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
+
+  test("spark.sql runs the oracle's exact SQL text") {
+    assert(SparkEntry.oracleSql("q_sql_yr_priority") ==
+      graft.ops.Relational.RevenueByYearPrioritySql)
+    assert(q("q_sql_yr_priority").count() > 0)
+  }
+
   test("count matches direct parquet count") {
     val n = q("q_count").head().getLong(0)
     assert(n == Tables.lineitem(spark, sf).count())

@@ -216,8 +216,14 @@ object Pipeline {
     val src = eventsStream(s, d)
       .select($"event_type", $"ts", $"event_id", $"value").as[E]
     val fn = (key: String, rows: Iterator[E], state: GroupState[Seq[Double]]) => {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map(_.value)
-      val hist = (state.getOption.getOrElse(Seq.empty) ++ sorted).takeRight(k)
+      // only the k newest rows of the batch can matter for a last-k
+      // state, so reduce the iterator through a bounded top-k buffer
+      // (O(n·k), no batch materialization — a micro-batch group can be
+      // arbitrarily large) instead of sorting the whole group
+      val buf = new graft.functions.TopKBuf(k)
+      rows.foreach(e => buf.insert(e.ts.getTime, e.event_id, e.value))
+      val newestAsc = buf.sortedValuesDesc.reverse.toSeq
+      val hist = (state.getOption.getOrElse(Seq.empty) ++ newestAsc).takeRight(k)
       state.update(hist)
       if (hist.nonEmpty)
         Iterator((key, Predict.LinearPredictor.predict(hist), hist.size))

@@ -137,9 +137,12 @@ object Dedup {
     * labels, and stops when no label changed — `diameter` rounds, one
     * shuffle-join + partial-aggregating min per round, lineage truncated
     * with localCheckpoint so the plan doesn't grow with iterations.
-    * Near-dup clusters are shallow (pair generation is transitive-ish),
-    * so the diameter is small; for adversarially long chains the same
-    * join primitive supports large-star/small-star pointer jumping. */
+    * Each round ALSO shortcuts labels through their own label
+    * (pointer jumping: component := component(component)), which halves
+    * the remaining path length — convergence in O(log diameter) rounds,
+    * so maxIters=20 covers chains up to ~2^20 even though near-dup
+    * clusters are shallow in practice. Throws if not converged (silent
+    * partial labels would be a correctness bug, not a degradation). */
   def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -154,11 +157,19 @@ object Dedup {
         .join(comp.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("nbr_component"))
-      val next = comp
+      val propagated = comp
         .join(nbr.select(col("src").as("doc_id"), col("nbr_component")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"),
             coalesce(col("nbr_component"), col("component"))).as("component"))
+      // pointer jumping: follow one's label to ITS label (labels are
+      // doc_ids, so this is a self-join), halving chain depth per round
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("component"),
+          col("component").as("jumped")), Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"),
+            coalesce(col("jumped"), col("component"))).as("component"))
         .localCheckpoint(true)
       changed = next
         .join(comp.select(col("doc_id"), col("component").as("prev")), Seq("doc_id"))
@@ -166,6 +177,8 @@ object Dedup {
       comp = next
       it += 1
     }
+    require(changed == 0,
+      s"components did not converge within $maxIters rounds")
     comp
   }
 

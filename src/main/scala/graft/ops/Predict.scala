@@ -62,7 +62,7 @@ object Predict {
     * batch), not the learned function. Values are deterministic and
     * spec-verified batch == row-at-a-time; not SQL-expressible, so its
     * query is rows-only by design. */
-  class GruPredictor(hidden: Int = 8, seed: Long = 7L) extends Predictor {
+  class GruPredictor(hidden: Int = 4, seed: Long = 7L) extends Predictor {
     private val rnd = new scala.util.Random(seed)
     private def mat(n: Int): Array[Double] = Array.fill(n)(rnd.nextGaussian() * 0.3)
     // gate weights: input (scalar) weight, recurrent weights, bias

@@ -28,6 +28,21 @@ object Pipeline {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run a streaming drain with a smaller shuffle-partition count: each
+    * stateful micro-batch pays per-partition state-store open/commit
+    * overhead, and these AvailableNow drains process bounded data where
+    * 8 state partitions saturate the work. The conf is restored after
+    * the drain; results are partition-count invariant (associative aggs,
+    * keyed state), so a concurrently planned batch query is unaffected
+    * beyond parallelism. Production streams with wide key spaces keep
+    * the session default. */
+  private def withStreamShuffle[A](s: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Streaming source over the events table, arriving in MULTIPLE
     * micro-batches: the single events.parquet is split into four files in
     * a temp dir and streamed with maxFilesPerTrigger=1, so every
@@ -77,21 +92,23 @@ object Pipeline {
         col("value"))).as("value"))                       // wire format
       .select(from_json(col("value").cast(StringType), envelopeSchema).as("data"))
       .select(col("data.*"))                              // struct flatten
-    val q = parsed.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // S2 parity: append the raw micro-batch to the tick table. No
-        // isEmpty pre-check (P4): an AvailableNow file source never
-        // delivers an empty batch, and the guard itself costs one extra
-        // Spark job per micro-batch; an empty batch would just append
-        // zero rows, which is already correct.
-        graft.sources.Sinks.parquetAppend(batch, sinkDir)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = parsed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // S2 parity: append the raw micro-batch to the tick table. No
+          // isEmpty pre-check (P4): an AvailableNow file source never
+          // delivers an empty batch, and the guard itself costs one extra
+          // Spark job per micro-batch; an empty batch would just append
+          // zero rows, which is already correct.
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     // M1 parity on the persisted table: last-5 lookback prediction per
     // series, computed as one distributed plan (no driver collect) via
     // the bounded top-k aggregate (two-phase, partial-aggregating — see
@@ -134,16 +151,18 @@ object Pipeline {
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("total"))
-    val q = agg.writeStream.outputMode("update")
-      .option("checkpointLocation", tmp("graft_ckpt_"))
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Sinks.parquetAppend(
-          batch.withColumn("batch_id", lit(batchId)), sinkDir)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Sinks.parquetAppend(
+            batch.withColumn("batch_id", lit(batchId)), sinkDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     // latest-wins compaction: the final value of each window key is its
     // last emitted update (the streaming-upsert read path for an
     // append-only sink)
@@ -164,14 +183,16 @@ object Pipeline {
     * batch DISTINCT over the same data, which is what the oracle checks. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val q = eventsStream(s, d)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", tmp("graft_ckpt_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -189,19 +210,22 @@ object Pipeline {
     s.streams.addListener(lst)
     try {
       val sinkDir = tmp("graft_msink_")
-      val q = eventsStream(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      lst.awaitTerminated(q.runId.toString)
-      lst.metricsDf(s, q.runId.toString)
+      val runId = withStreamShuffle(s) {
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", tmp("graft_ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sources.Sinks.parquetAppend(batch, sinkDir)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        q.runId.toString
+      }
+      lst.awaitTerminated(runId)
+      lst.metricsDf(s, runId)
     } finally s.streams.removeListener(lst)
   }
 
@@ -229,14 +253,16 @@ object Pipeline {
         Iterator((key, Predict.LinearPredictor.predict(hist), hist.size))
       else Iterator.empty
     }
-    val q = src.groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-      .toDF("event_type", "predicted", "n_obs")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", tmp("graft_ckpt_"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = src.groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+        .toDF("event_type", "predicted", "n_obs")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy(col("event_type"))
   }
 }

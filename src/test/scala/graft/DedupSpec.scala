@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     assert(keepers == comp.values.toSet.size)
   }
 
+  test("components converges on a 100-node chain (pointer jumping)") {
+    import spark.implicits._
+    val nodes = (0L until 100L).toDF("doc_id")
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 100 && comp.forall(_._2 == 0L))
+  }
+
   test("simhash: near-identical docs collide, signatures are diverse") {
     val sig = q("q_dedup_simhash")
     val n = sig.count()

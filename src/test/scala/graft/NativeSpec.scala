@@ -34,6 +34,59 @@ class NativeSpec extends SparkSpec {
     assert(hs(0) == expected)
   }
 
+  test("xor-fold: matches scalar fold, 1-byte slice extracts the byte") {
+    Native.register(spark)
+    val df = spark.createDataFrame(Seq(
+      Tuple1("graft"), Tuple1("a"), Tuple1(""))).toDF("s")
+    val got = df.select(
+      Native.xorFold(encode(col("s"), "UTF-8")).as("x"),
+      Native.xorFold(substring(encode(col("s"), "UTF-8"), 1, 1)).as("first"))
+      .collect()
+    val expected = "graft".getBytes("UTF-8").foldLeft(0L)((h, b) => h ^ (b & 0xFF))
+    assert(got(0).getLong(0) == expected)
+    assert(got(0).getLong(1) == 'g'.toLong)
+    assert(got(1).getLong(0) == 'a'.toLong)
+    assert(got(2).getLong(0) == 0L) // empty payload
+  }
+
+  test("TopKBuf property: equals sort-desc-take-k for arbitrary inputs") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val rows = Gen.listOf(Gen.zip(
+      Gen.choose(-1000L, 1000L), Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(-1e9, 1e9)))
+    val prop = forAll(rows, Gen.choose(1, 8)) { (xs, k) =>
+      // unique tiebreaker per row, as the aggregate contract requires
+      val uniq = xs.zipWithIndex.map { case ((o1, _, v), i) => (o1, i.toLong, v) }
+      val buf = new graft.functions.TopKBuf(k)
+      uniq.foreach { case (o1, o2, v) => buf.insert(o1, o2, v) }
+      val expected = uniq.sortBy { case (o1, o2, _) => (-o1, -o2) }.take(k).map(_._3)
+      buf.sortedValuesDesc.toSeq == expected
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("TopKBuf merge is order-insensitive (partial aggregation law)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val rows = Gen.listOf(Gen.zip(Gen.choose(-50L, 50L), Gen.choose(-1e6, 1e6)))
+    val prop = forAll(rows, Gen.choose(0, 20)) { (xs, split) =>
+      val uniq = xs.zipWithIndex.map { case ((o1, v), i) => (o1, i.toLong, v) }
+      val (l, r) = uniq.splitAt(split.min(uniq.size))
+      def fill(part: Seq[(Long, Long, Double)]): graft.functions.TopKBuf = {
+        val b = new graft.functions.TopKBuf(5)
+        part.foreach { case (o1, o2, v) => b.insert(o1, o2, v) }
+        b
+      }
+      val whole = fill(uniq)
+      val merged = fill(l)
+      val rb = fill(r)
+      (0 until rb.n).foreach(i => merged.insert(rb.o1(i), rb.o2(i), rb.v(i)))
+      merged.sortedValuesDesc.toSeq == whole.sortedValuesDesc.toSeq
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("as-of join returns the latest prior click, salted agg matches plain groupBy") {
     val asof = q("q_join_asof")
     assert(asof.count() ==

@@ -17,6 +17,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means quantizer: k centroids, deterministic, full dimension") {
+    val e = Tables.embeddings(spark, sf)
+    val c1 = Similarity.kmeansCentroids(e, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val c2 = Similarity.kmeansCentroids(e, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(c1.size == 8)
+    assert(c1.values.forall(_.length == 64))
+    // same init + same data → same centroids (tolerance: double-sum
+    // merge order across partials is scheduler-dependent)
+    assert(c1.keySet == c2.keySet)
+    c1.foreach { case (k, v) =>
+      v.lazyZip(c2(k)).foreach((a, b) => assert(math.abs(a - b) < 1e-9))
+    }
+  }
+
   test("bruteforce top-k: k rows per query, descending cosine, no self") {
     val df = q("q_ann_bruteforce").collect()
     df.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rows) =>

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_stream_dedup"     -> ((s, d) => graft.streaming.Pipeline.streamDedup(s, d)),
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
     "q_stream_metrics"   -> ((s, d) => graft.streaming.Pipeline.streamWithMetrics(s, d)),
+    "q_stream_join"      -> ((s, d) => graft.streaming.Pipeline.streamStreamJoin(s, d)),
   )
 
   /** DECIMAL-exact sum fragment shared by several oracles. */
@@ -514,6 +515,13 @@ object SparkEntry {
          f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS frame_idx FROM t)
          SELECT doc_id, frame_idx, least(64, n - frame_idx * 256) AS frame_len
          FROM f ORDER BY doc_id, frame_idx""",
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, c.value AS click_value
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         ORDER BY p_id, c_id""",
     "q_event_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -196,6 +196,46 @@ object Pipeline {
     s.table(name).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-STREAM interval join (T4/T6 extension — the remaining core
+    * Structured Streaming surface): purchases joined to the same user's
+    * clicks within the preceding hour, both sides streaming. Spark
+    * buffers both sides in join state keyed by user and prunes it with
+    * the watermark + time-range condition; pairs whose halves arrive in
+    * DIFFERENT micro-batches are emitted when the second half lands, so
+    * the drained result equals the batch interval join exactly (the
+    * oracle states it in SQL). Watermark sized past the staged files'
+    * arrival disorder, as in [[eventTimeWindow]]. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_ssj_")
+    withStreamShuffle(s) {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"), col("value").as("click_value"))
+        .withWatermark("c_ts", "45 days")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "45 days")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("click_value"))
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sinkDir).orderBy(col("p_id"), col("c_id"))
+  }
+
   /** T7 — a driven stream instrumented with [[GraftQueryListener]]:
     * appends the parsed events to a parquet sink while the listener
     * captures one metrics row per micro-batch (rows/latency) off the

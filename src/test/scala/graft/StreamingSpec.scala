@@ -50,6 +50,22 @@ class StreamingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("n_obs") == 5))
   }
 
+  test("stream-stream interval join equals the batch join across micro-batches") {
+    val streamed = q("q_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.events(spark, sf)
+    val batch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .join(e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("c_id")),
+        col("pu") === col("cu") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("query listener captures one metrics row per micro-batch (T7)") {
     val mdf = q("q_stream_metrics") // stream runs eagerly at construction
     val rows = mdf.collect()

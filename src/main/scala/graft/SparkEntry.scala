@@ -85,6 +85,8 @@ object SparkEntry {
     "q_text_langid"      -> ((s, d) => TextOps.langId(s, d)),
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
+    "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
+    "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
@@ -406,6 +408,18 @@ object SparkEntry {
            FROM r WHERE rn <= 5 GROUP BY event_type)
          SELECT event_type, last_v + (last_v - first_v) / 4.0 AS predicted
          FROM lk WHERE n = 5 ORDER BY event_type""",
+    "q_hash_split" ->
+      """SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q_top_tokens" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents) t
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

@@ -17,6 +17,34 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Deterministic content-hash train/val/test split: the first hex
+    * digit of md5(key) buckets each document 13/2/1 sixteenths — a
+    * coordination-free, reproducible dataset split (any worker computes
+    * the same assignment from the key alone; no sampling state, no
+    * shuffle). The standard way training corpora are split at scale. */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    val h1 = substring(md5(col("doc_id").cast(StringType)), 1, 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(h1 <= "c", "train").when(h1 <= "e", "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary pass: global top-k tokens by frequency (tokenizer-
+    * training prep). Explode → partial/final count aggregate (map-side
+    * combine: one row per distinct token per partition shuffles) →
+    * TakeOrderedAndProject for the top-k; ties broken by token text so
+    * the result is deterministic. */
+  def topTokens(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Document quality scoring: length, token count, punctuation ratio,

@@ -27,6 +27,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(q("q_text_langid").count() == Tables.documents(spark, sf).count())
   }
 
+  test("hash split covers every doc, is reproducible, roughly 13/2/1") {
+    val a = q("q_hash_split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = q("q_hash_split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.size == Tables.documents(spark, sf).count())
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+    assert(frac("train") > 0.6) // expectation 13/16 ≈ 0.81
+  }
+
+  test("top tokens: descending frequency, deterministic tiebreak, k rows") {
+    val rows = q("q_top_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array((ta, fa), (tb, fb)) =>
+      assert(fa > fb || (fa == fb && ta < tb))
+    }
+  }
+
   test("fingerprint is stable under whitespace and case noise") {
     val fp1 = q("q_text_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // perturb: uppercase + extra spaces must hash identically

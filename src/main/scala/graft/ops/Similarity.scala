@@ -40,6 +40,23 @@ object Similarity {
     Native.dot(ad, bd) / (sqrt(Native.dot(ad, ad)) * sqrt(Native.dot(bd, bd)))
   }
 
+  /** L2 norm of an embedding — computed ONCE PER VECTOR by the rerank
+    * paths below, instead of twice per candidate pair inside the cosine:
+    * at 100 TB the rerank's dot products drop 3× (dot(a,b) only). Values
+    * are bit-identical to [[cosineNative]] because the final expression
+    * keeps the same shape: dot / (sqrt(A) * sqrt(B)). */
+  def l2norm(e: Column): Column = {
+    import graft.functions.Native
+    val ed = e.cast(ArrayType(DoubleType))
+    sqrt(Native.dot(ed, ed))
+  }
+
+  /** Cosine from a raw dot product and precomputed per-side norms. */
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    import graft.functions.Native
+    Native.dot(a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType))) / (na * nb)
+  }
+
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.Native.register(s)
     Tables.embeddings(s, d)
@@ -51,12 +68,14 @@ object Similarity {
     * shuffle except the final tiny top-k rows. */
   def bruteForceTopK(s: SparkSession, d: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
-    val e = corpus(s, d)
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosineNative(col("q_emb"), col("embedding")).as("cos"))
+        cosineFromNorms(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -128,17 +147,19 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val e = corpus(s, d)
     val buckets = e
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
         posexplode(lshSigUdf(dim)(col("embedding"))).as(Seq("t", "sig")))
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("t"), col("sig"))
+        col("nrm").as("q_nrm"), col("t"), col("sig"))
     val cands = buckets.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("n_id"), col("embedding"), col("nrm"))
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cands.withColumn("cos", cosineNative(col("q_emb"), col("embedding")))
+    cands.withColumn("cos", cosineFromNorms(col("q_emb"), col("embedding"),
+        col("q_nrm"), col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
@@ -155,13 +176,16 @@ object Similarity {
     * lineage (the tiny centroid table is collected and re-broadcast).
     * Empty clusters keep their previous centroid. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val en = e.withColumn("nrm", l2norm(col("embedding")))
     var centroids = e
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").cast(ArrayType(DoubleType)).as("c_emb"))
     for (_ <- 1 to iters) {
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cosineNative(col("embedding"), col("c_emb")))
+      val cn = centroids.withColumn("c_nrm", l2norm(col("c_emb")))
+      val assigned = en.crossJoin(broadcast(cn))
+        .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")))
         .groupBy(col("vec_id"))
         .agg(first(col("embedding")).as("embedding"),
           max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
@@ -193,31 +217,37 @@ object Similarity {
 
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
-    val e = corpus(s, d)
-    val centroids = kmeansCentroids(e, NumCentroids)
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val centroids = kmeansCentroids(e.drop("nrm"), NumCentroids)
+      .withColumn("c_nrm", l2norm(col("c_emb")))
     // index: nearest centroid per corpus vector — broadcast the centroids,
     // reduce with max_by (map-side partial aggregation, no sort, no
     // 16x-amplified shuffle; the struct's -c_id term breaks cosine ties
     // toward the lowest centroid id)
     val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosineNative(col("embedding"), col("c_emb")))
+      .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
+        col("nrm"), col("c_nrm")))
       .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
+      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
         max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
     // search: queries probe their nProbe nearest centroid lists
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosineNative(col("q_emb"), col("c_emb")))
+      .withColumn("c_cos", cosineFromNorms(col("q_emb"), col("c_emb"),
+        col("q_nrm"), col("c_nrm")))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("c_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding"))
-      .withColumn("cos", cosineNative(col("q_emb"), col("embedding")))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("n_id"), col("embedding"), col("nrm"))
+      .withColumn("cos", cosineFromNorms(col("q_emb"), col("embedding"),
+        col("q_nrm"), col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
@@ -252,12 +282,14 @@ object Similarity {
     * (~3% of n² here), not the corpus squared. */
   def signBandCandidates(e: DataFrame): DataFrame = {
     val b = e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"),
       posexplode(signBandKeys).as(Seq("t", "key")))
-    b.select(col("t"), col("key"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    b.select(col("t"), col("key"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
       .join(b.select(col("t"), col("key"), col("vec_id").as("id_b"),
-        col("embedding").as("eb")), Seq("t", "key"))
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("t", "key"))
       .filter(col("id_b") > col("id_a"))
-      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -272,7 +304,7 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     val e = corpus(s, d)
     signBandCandidates(e)
-      .withColumn("cos", cosineNative(col("ea"), col("eb")))
+      .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

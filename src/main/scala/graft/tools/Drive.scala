@@ -105,7 +105,8 @@ object Drive {
         Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
           "q_join_broadcast", "q_join_bucketed", "q_sliding_windows",
           "q_minmax_scale", "q_last5_window", "q_predict_next", "q_ann_ivf",
-          "q_dedup_embed", "q_predict_windows").foreach { name =>
+          "q_dedup_embed", "q_predict_windows", "q_top_tokens",
+          "q_scan_partitioned").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

@@ -93,4 +93,11 @@ class TextMultimodalSpec extends SparkSpec {
   test("stub decoder handles empty payloads") {
     assert(Multimodal.StubDecoder.decode(Array.empty).sameElements(Array(0.0, 0.0, 0.0, 0.0)))
   }
+
+  test("feature resize truncates or zero-pads to the target dimension") {
+    assert(Multimodal.resizeFeatures(Array(1.0, 2.0, 3.0), 2).sameElements(Array(1.0, 2.0)))
+    assert(Multimodal.resizeFeatures(Array(1.0), 3).sameElements(Array(1.0, 0.0, 0.0)))
+    assert(Multimodal.resizeFeatures(Array.empty[Double], 2).sameElements(Array(0.0, 0.0)))
+    assert(Multimodal.resizeFeatures(Array(1.0, 2.0), 2).sameElements(Array(1.0, 2.0)))
+  }
 }

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_agg_grouping_sets" -> ((s, d) => Aggregates.groupingSets(s, d)),
     "q_agg_percentile"  -> ((s, d) => Aggregates.percentiles(s, d)),
     "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
+    "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     // §2.3 joins
     "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
     "q_join_shuffle"   -> ((s, d) => Joins.shuffleJoinRevenue(s, d)),

@@ -130,6 +130,21 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** approx_percentile (t-digest-style sketch) per group — the 100 TB
+    * companion to [[percentiles]]: fixed-size sketch per group instead
+    * of buffering the group's values. Sketch merge order makes low bits
+    * run-dependent → rows-only check; the spec pins it to the exact
+    * percentile within the accuracy band. */
+  def approxPercentiles(s: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("approx_med"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("approx_p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB
     * cardinality path: fixed-size sketch per group instead of a distinct
     * shuffle. No exact oracle by design; rows-only check. */

@@ -80,6 +80,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx percentile tracks the exact percentile per group") {
+    val approx = q("q_approx_pctl").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = q("q_agg_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (med, p90)) =>
+      val (am, a9) = approx(k)
+      // accuracy 10000 → rank error <= n/10000; values are prices, use a
+      // relative band generous to the rank-to-value mapping
+      assert(math.abs(am - med) <= math.max(1.0, 0.05 * math.abs(med)))
+      assert(math.abs(a9 - p90) <= math.max(1.0, 0.05 * math.abs(p90)))
+    }
+  }
+
   test("semi + anti partition customers") {
     val total = Tables.customer(spark, sf).count()
     assert(q("q_join_semi").count() + q("q_join_anti").count() == total)

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_scan_filter"   -> ((s, d) => Relational.scanFilter(s, d)),
     "q_scan_partitioned" -> ((s, d) => Relational.partitionPrunedDaily(s, d)),
     "q_sql_yr_priority"  -> ((s, d) => Relational.sqlRevenueByYearPriority(s, d)),
+    "q_source_jsonl"     -> ((s, d) => Relational.jsonlSourceSummary(s, d)),
     "q_count"         -> ((s, d) => Relational.countAll(s, d)),
     // §2.6 sorts / limits / top-k
     "q_orderby_limit" -> ((s, d) => Relational.orderByLimit(s, d)),
@@ -137,6 +138,11 @@ object SparkEntry {
           GROUP BY 1 ORDER BY day""",
     // deliberately the IDENTICAL string Spark executes via spark.sql
     "q_sql_yr_priority" -> graft.ops.Relational.RevenueByYearPrioritySql,
+    "q_source_jsonl" ->
+      s"""SELECT event_type, count(*) AS n,
+          min(event_id) AS min_id, max(event_id) AS max_id,
+          ${dsum("value")} AS total
+          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_orderby_limit" ->
       """SELECT event_id, value FROM
          (SELECT event_id, value FROM events ORDER BY ts DESC, event_id DESC LIMIT 5000) t

@@ -54,6 +54,40 @@ object Relational {
         Aggregates.dsum(col("value")).as("total"))
       .orderBy(col("day"))
 
+  /** JSON-lines SOURCE path (S-row breadth): the events table staged
+    * once as .jsonl (the reference's wire format, persisted), then read
+    * back with an EXPLICIT schema — schema-on-read without inference
+    * (an inference pass over 100 TB is a full extra scan) — and
+    * aggregated. Timestamps round-trip as epoch micros (lossless;
+    * ISO strings would re-parse through the session zone). Oracle states
+    * the same aggregate over the original table. */
+  private val jsonlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def jsonlEventsDir(s: SparkSession, d: String): String =
+    jsonlCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(out)
+      out
+    })
+
+  def jsonlSourceSummary(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    s.read.schema(schema).json(jsonlEventsDir(s, d))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        Aggregates.dsum(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** SQL-text surface: the SAME ANSI SQL string runs verbatim through
     * `spark.sql` here and through DuckDB as its own oracle — the
     * portability contract of declaring plans in SQL over registered

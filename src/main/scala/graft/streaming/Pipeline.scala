@@ -67,11 +67,12 @@ object Pipeline {
     })
   }
 
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStream(s: SparkSession, d: String,
+      filesPerTrigger: Int = 1): DataFrame = {
     val staged = prestage(s, d)
     Tables.eventsTsFix(
       s.readStream.schema(Tables.eventsRawSchema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(staged))
   }
 
@@ -208,12 +209,15 @@ object Pipeline {
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val sinkDir = tmp("graft_ssj_")
     withStreamShuffle(s) {
-      val clicks = eventsStream(s, d)
+      // 2-file triggers: still a genuine multi-batch drain (pairs split
+      // across batches exercise the cross-batch join state) at half the
+      // per-batch state machinery of the 1-file drains
+      val clicks = eventsStream(s, d, filesPerTrigger = 2)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("c_id"), col("value").as("click_value"))
         .withWatermark("c_ts", "45 days")
-      val purchases = eventsStream(s, d)
+      val purchases = eventsStream(s, d, filesPerTrigger = 2)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_id"))

@@ -21,6 +21,29 @@ object Sinks {
   def parquetAppend(df: DataFrame, dir: String): Unit =
     df.write.mode("append").parquet(dir)
 
+  /** Streaming UPSERT over an append-only store, as a write/read pair:
+    * [[upsertAppend]] logs each micro-batch's changed rows with the
+    * batch id (executor-side append — nothing materializes on the
+    * driver); [[readLatest]] compacts latest-wins per key at read time.
+    * This is the standard keyed-sink pattern when the store can't update
+    * in place (parquet/object storage): an update-mode stream writes
+    * only the rows a batch touched, and any reader reconstructs current
+    * state. Used by the event-time window pipeline; replay-safe because
+    * re-appending a batch rewrites the same (key, batch_id) verdicts. */
+  def upsertAppend(batch: DataFrame, dir: String, batchId: Long): Unit =
+    parquetAppend(batch.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(batchId)), dir)
+
+  def readLatest(s: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val latest = Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)
+    s.read.parquet(dir)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
+
   /** S2 — the reference's JDBC append sink (MySQL
     * `stock_prediction.stock_ticks_raw`). Requires a JDBC driver jar.
     * At-least-once under retries, exactly like the reference (no

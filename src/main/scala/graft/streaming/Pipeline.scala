@@ -5,7 +5,6 @@ import graft.ops.{Aggregates, Predict}
 import java.nio.file.Files
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -157,8 +156,7 @@ object Pipeline {
         .option("checkpointLocation", tmp("graft_ckpt_"))
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.sources.Sinks.parquetAppend(
-            batch.withColumn("batch_id", lit(batchId)), sinkDir)
+          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
           ()
         }
         .start()
@@ -166,12 +164,8 @@ object Pipeline {
     }
     // latest-wins compaction: the final value of each window key is its
     // last emitted update (the streaming-upsert read path for an
-    // append-only sink)
-    val latest = Window.partitionBy(col("day"), col("event_type"))
-      .orderBy(col("batch_id").desc)
-    s.read.parquet(sinkDir)
-      .withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
+    // append-only sink — see Sinks.upsertAppend/readLatest)
+    graft.sources.Sinks.readLatest(s, sinkDir, Seq("day", "event_type"))
       .select(col("day"), col("event_type"), col("n"), col("total"))
       .orderBy(col("day"), col("event_type"))
   }

@@ -68,6 +68,19 @@ class SimilaritySpec extends SparkSpec {
     info(s"candidates ${cands.size}/$allPairs, recall ${found.size}/${truth.size}")
   }
 
+  test("column-blocked dedup equals the in-block all-pairs truth") {
+    val e = Tables.embeddings(spark, sf)
+    val found = Similarity.embedNearDupBlocked(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb")),
+        Seq("label"))
+      .filter(col("id_b") > col("id_a"))
+      .filter(Similarity.cosineNative(col("ea"), col("eb")) >= 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(found == truth)
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

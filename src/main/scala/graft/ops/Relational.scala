@@ -32,9 +32,11 @@ object Relational {
     * planning time (`PartitionFilters` in the plan — zero I/O for
     * non-matching partitions). At 100 TB this is the first line of
     * defense: a date/tenant partition column turns full-corpus scans
-    * into slice scans before a single byte is read. RelationalSpec
-    * asserts the pruned plan; the oracle states the same aggregate over
-    * the raw table. */
+    * into slice scans before a single byte is read. The staging write
+    * exists only because the fixtures are unpartitioned — production
+    * data lands partitioned at ingest and pays nothing here.
+    * RelationalSpec asserts the pruned plan; the oracle states the same
+    * aggregate over the raw table. */
   private val partitionedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def partitionedEventsDir(s: SparkSession, d: String): String =

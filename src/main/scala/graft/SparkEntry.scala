@@ -45,6 +45,7 @@ object SparkEntry {
     "q_agg_percentile"  -> ((s, d) => Aggregates.percentiles(s, d)),
     "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
     "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
+    "q_sketch_rollup"   -> ((s, d) => Aggregates.sketchRollup(s, d)),
     // §2.3 joins
     "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
     "q_join_shuffle"   -> ((s, d) => Joins.shuffleJoinRevenue(s, d)),

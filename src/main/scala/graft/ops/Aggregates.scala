@@ -145,6 +145,24 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Two-level MERGEABLE-SKETCH rollup — the 100 TB pre-aggregation
+    * pattern: per-(day, type) HLL sketches materialize once (in
+    * production, a daily sketch table), then any coarser rollup UNIONS
+    * the stored sketches instead of rescanning raw data — here per-type
+    * distinct users from the daily sketches. Sketch bytes are
+    * run-dependent → rows-only; the spec pins the estimates to exact
+    * distinct counts within the HLL error band. */
+  def sketchRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB
     * cardinality path: fixed-size sketch per group instead of a distinct
     * shuffle. No exact oracle by design; rows-only check. */

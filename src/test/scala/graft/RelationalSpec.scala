@@ -95,6 +95,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sketch rollup: unioned daily HLL sketches track exact distinct users") {
+    val approx = q("q_sketch_rollup").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(2.0, 0.05 * ex),
+        s"$k: sketch ${approx(k)} vs exact $ex")
+    }
+  }
+
   test("semi + anti partition customers") {
     val total = Tables.customer(spark, sf).count()
     assert(q("q_join_semi").count() + q("q_join_anti").count() == total)

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
+    "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
@@ -416,6 +417,41 @@ object SparkEntry {
            FROM r WHERE rn <= 5 GROUP BY event_type)
          SELECT event_type, last_v + (last_v - first_v) / 4.0 AS predicted
          FROM lk WHERE n = 5 ORDER BY event_type""",
+    // composition of the q_text_quality, q_text_langid, and q_dedup_exact
+    // oracles: curated corpus = quality ∩ target-language ∩ dup-keeper
+    "q_curate" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         FROM documents),
+         qual AS (SELECT doc_id, n_tokens,
+           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.5
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+             + (1.0 - (CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END)) * 0.2
+             AS quality_score
+         FROM b),
+         t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','des'))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(toks, x -> x IN ('el','los','las','que','una'))) AS BIGINT) AS s_es
+         FROM t),
+         lang AS (SELECT doc_id,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted
+         FROM sc),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT q.doc_id, q.n_tokens, q.quality_score
+         FROM qual q JOIN lang l ON l.doc_id = q.doc_id
+         WHERE q.doc_id IN (SELECT doc_id FROM keepers)
+           AND q.quality_score >= 0.5 AND l.predicted = 'en'
+         ORDER BY q.doc_id""",
     "q_hash_split" ->
       """SELECT doc_id,
          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'

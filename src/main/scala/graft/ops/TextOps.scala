@@ -31,6 +31,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end CORPUS CURATION — the composition a training-data user
+    * actually runs: keep a document iff it (a) passes the quality
+    * threshold, (b) is identified as the target language, and (c) is its
+    * exact-dup group's keeper (lowest doc_id per content hash). Pure
+    * composition of the existing operators via equi-joins on doc_id —
+    * each input is embarrassingly parallel, the joins are same-key hash
+    * joins, and at 100 TB each stage is independently checkpointable.
+    * Near-dup curation swaps (c) for Dedup.nearDupComponents keepers —
+    * same join shape. */
+  def curateCorpus(s: SparkSession, d: String, minQuality: Double = 0.5,
+      lang: String = "en"): DataFrame = {
+    val q = quality(s, d).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val l = langId(s, d).select(col("doc_id"), col("predicted"))
+    val keepers = Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    q.join(l, Seq("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("quality_score") >= minQuality && col("predicted") === lang)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary pass: global top-k tokens by frequency (tokenizer-
     * training prep). Explode → partial/final count aggregate (map-side
     * combine: one row per distinct token per partition shuffles) →

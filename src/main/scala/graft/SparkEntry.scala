@@ -100,6 +100,7 @@ object SparkEntry {
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
     "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
+    "q_dedup_embed_ivf"    -> ((s, d) => Similarity.embedNearDupIvf(s, d)),
     "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),

@@ -215,21 +215,25 @@ object Similarity {
     * measures recall vs brute force. */
   val NumCentroids = 16
 
-  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
-    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = kmeansCentroids(e.drop("nrm"), NumCentroids)
-      .withColumn("c_nrm", l2norm(col("c_emb")))
-    // index: nearest centroid per corpus vector — broadcast the centroids,
-    // reduce with max_by (map-side partial aggregation, no sort, no
-    // 16x-amplified shuffle; the struct's -c_id term breaks cosine ties
-    // toward the lowest centroid id)
-    val assigned = e.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment (the IVF index build): broadcast the
+    * centroids, reduce with max_by — map-side partial aggregation, no
+    * sort, no k×-amplified shuffle; the struct's -c_id term breaks
+    * cosine ties toward the lowest centroid id. Expects `e` to carry a
+    * precomputed `nrm` column and `centroids` a `c_nrm`. */
+  def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
         col("nrm"), col("c_nrm")))
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
         max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val centroids = kmeansCentroids(e.drop("nrm"), NumCentroids)
+      .withColumn("c_nrm", l2norm(col("c_emb")))
+    val assigned = assignToCentroids(e, centroids)
     // search: queries probe their nProbe nearest centroid lists
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -304,6 +308,31 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     val e = corpus(s, d)
     signBandCandidates(e)
+      .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup DEDUP blocked on IVF CLUSTERS: candidates
+    * are pairs sharing a trained k-means cell — the similarity-AWARE
+    * blocker (cells follow the data's density, unlike fixed sign-band
+    * cuts), demonstrating the swappable-candidate-generator contract.
+    * Pair space ~ Σ|cell|² ≈ n²/k for balanced cells; exact cosine
+    * verify on candidates only. Centroids aren't SQL-expressible →
+    * rows-only; SimilaritySpec checks result ⊆ all-pairs truth and the
+    * candidate-count bound. */
+  def embedNearDupIvf(s: SparkSession, d: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val centroids = kmeansCentroids(e.drop("nrm"), NumCentroids)
+      .withColumn("c_nrm", l2norm(col("c_emb")))
+    val assigned = assignToCentroids(e, centroids)
+    assigned.select(col("c_id"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(assigned.select(col("c_id"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("c_id"))
+      .filter(col("id_b") > col("id_a"))
       .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

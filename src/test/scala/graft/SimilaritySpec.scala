@@ -68,6 +68,24 @@ class SimilaritySpec extends SparkSpec {
     info(s"candidates ${cands.size}/$allPairs, recall ${found.size}/${truth.size}")
   }
 
+  test("IVF-cluster-blocked dedup: subset of truth, bounded candidates") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val found = Similarity.embedNearDupIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos")))
+    // exact verify: every emitted pair genuinely clears the threshold
+    found.foreach { case (_, _, c) => assert(c >= 0.4) }
+    // subset of the global all-pairs truth
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val truth = ea.join(eb, col("id_b") > col("id_a"))
+      .filter(Similarity.cosineNative(col("ea"), col("eb")) >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.map(p => (p._1, p._2)).toSet.subsetOf(truth))
+    info(s"ivf-blocked recall ${found.size}/${truth.size} over $n vectors")
+  }
+
   test("column-blocked dedup equals the in-block all-pairs truth") {
     val e = Tables.embeddings(spark, sf)
     val found = Similarity.embedNearDupBlocked(spark, sf).collect()

@@ -68,6 +68,7 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Windows.runningTotals(s, d)),
     "q_window_ntile"   -> ((s, d) => Windows.ntileBuckets(s, d)),
     "q_window_topk"    -> ((s, d) => Windows.topKPerGroup(s, d)),
+    "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
     // operator (buffered predictBatch per partition, broadcast weights —
     // the reference's model.predict(sequences) shape) with the oracle-
@@ -299,6 +300,32 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                       ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)) t
          WHERE w_cnt = 60 ORDER BY event_id""",
+    // Pearson shape-similarity search; every term mirrors the Spark
+    // fold shapes (list_sum == left fold, dot via list_transform) so the
+    // correlation is bit-exact
+    "q_ts_search" ->
+      """WITH w AS (
+           SELECT event_id, event_type,
+             list(value) OVER fr AS win,
+             count(*) OVER fr AS n
+           FROM events
+           WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         c AS (SELECT event_id, event_type, win,
+                 list_sum(win) AS sm,
+                 list_sum(list_transform(win, x -> x * x)) AS ss
+               FROM w WHERE n = 20),
+         q AS (SELECT win AS qwin, sm AS qsm, ss AS qss FROM c ORDER BY event_id LIMIT 1),
+         sc AS (SELECT c.event_id, c.event_type,
+             (list_sum(list_transform(generate_series(1, 20), i -> c.win[i] * q.qwin[i]))
+               - 20.0 * (c.sm / 20.0) * (q.qsm / 20.0))
+             / (sqrt(c.ss - 20.0 * (c.sm / 20.0) * (c.sm / 20.0))
+              * sqrt(q.qss - 20.0 * (q.qsm / 20.0) * (q.qsm / 20.0))) AS corr
+           FROM c, q
+           WHERE c.ss - 20.0 * (c.sm / 20.0) * (c.sm / 20.0) > 0
+             AND q.qss - 20.0 * (q.qsm / 20.0) * (q.qsm / 20.0) > 0),
+         top AS (SELECT * FROM sc ORDER BY corr DESC, event_id LIMIT 25)
+         SELECT event_id, event_type, corr FROM top ORDER BY event_id""",
     "q_minmax_scale" ->
       """SELECT event_id, (value - mn) / (mx - mn) AS scaled
          FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events) st

@@ -83,6 +83,18 @@ class WindowSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("shape search: self-match tops the ranking, correlations bounded") {
+    val rows = q("q_ts_search").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("corr")))
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { case (_, c) => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9) }
+    // the query window itself (global min event_id among complete
+    // windows) must appear with corr ~ 1
+    val minId = rows.map(_._1).min
+    val self = rows.find(_._1 == minId)
+    assert(self.exists(p => math.abs(p._2 - 1.0) < 1e-9))
+  }
+
   test("rank/lag window results align with per-user ordering") {
     val lagged = q("q_window_lag").limit(0) // schema check only
     assert(lagged.columns.toSeq ==

@@ -34,8 +34,12 @@ object TimeSeries {
       .select(col("event_id"), col("event_type"),
         collect_list(col("value")).over(frame).as("win"))
       .filter(size(col("win")) === w)
-      .withColumn("sm", aggregate(col("win").cast(ArrayType(DoubleType)),
-        lit(0.0), (acc, v) => acc + v))
+      // sum as dot(win, ones): bit-identical to the left-fold sum
+      // (x * 1.0 == x exactly, same accumulation order) but codegen'd —
+      // an interpreted aggregate() HOF here gets INLINED once per use
+      // site when the variance filter pushes down (the known HOF trap)
+      .withColumn("sm", graft.functions.Native.dot(
+        col("win").cast(ArrayType(DoubleType)), array_repeat(lit(1.0), w)))
       .withColumn("ss", graft.functions.Native.dot(
         col("win").cast(ArrayType(DoubleType)), col("win").cast(ArrayType(DoubleType))))
   }

@@ -28,7 +28,10 @@ object Drive {
         .config("spark.sql.extensions", "graft.functions.GraftExtensions")
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
-      s.sql("SELECT graft_rolling_hash('abc') AS rh, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot").show()
+      s.sql("SELECT graft_rolling_hash('abc') AS rh, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot, graft_xor_fold(encode('abc', 'UTF-8')) AS xf").show()
+      s.sql("""SELECT k, graft_topk_by(o, tb, v, 2) AS top2
+               FROM VALUES (0, 1L, 1L, 10.0d), (0, 3L, 2L, 30.0d), (0, 2L, 3L, 20.0d)
+               AS t(k, o, tb, v) GROUP BY k""").show(truncate = false)
       s.sql("""SELECT k, size(graft_minhash(h)) AS sig_len,
                element_at(graft_minhash(h), 1) AS slot0
                FROM VALUES (0, 11L), (0, 22L), (1, 33L) AS t(k, h)
@@ -106,7 +109,7 @@ object Drive {
           "q_join_broadcast", "q_join_bucketed", "q_sliding_windows",
           "q_minmax_scale", "q_last5_window", "q_predict_next", "q_ann_ivf",
           "q_dedup_embed", "q_predict_windows", "q_top_tokens",
-          "q_scan_partitioned").foreach { name =>
+          "q_scan_partitioned", "q_ts_search").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

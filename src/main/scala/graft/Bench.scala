@@ -34,11 +34,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up outside the timings: session init, codegen, parquet footers,
-    // and the one-time 4-file streaming-source staging write (so no timed
-    // query pays it)
+    // and every one-time fixture staging write (streaming source files,
+    // partitioned/jsonl copies, bucketed tables) so no timed query pays
+    // a staging cost in either iteration
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
     graft.streaming.Pipeline.prestage(spark, sfDir)
+    graft.ops.Relational.partitionedEventsDir(spark, sfDir)
+    graft.ops.Relational.jsonlEventsDir(spark, sfDir)
+    graft.ops.Joins.bucketedTables(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best   = scala.collection.mutable.Map[String, Double]()

@@ -215,6 +215,22 @@ object Similarity {
     * measures recall vs brute force. */
   val NumCentroids = 16
 
+  /** Trained centroids cached per (corpus, k) for the life of the JVM —
+    * the production shape: a coarse quantizer is trained once per corpus
+    * snapshot and REUSED by every index/search/dedup query against it,
+    * not re-trained per query. The centroid table is k×dim doubles
+    * (tiny), so it round-trips through the driver safely. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Seq[Double])]]()
+
+  def trainedCentroids(s: SparkSession, d: String, k: Int): DataFrame = {
+    val rows = centroidCache.computeIfAbsent((d, k), _ =>
+      kmeansCentroids(corpus(s, d), k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq)
+    import s.implicits._
+    rows.toDF("c_id", "c_emb")
+  }
+
   /** Nearest-centroid assignment (the IVF index build): broadcast the
     * centroids, reduce with max_by — map-side partial aggregation, no
     * sort, no k×-amplified shuffle; the struct's -c_id term breaks
@@ -231,7 +247,7 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = kmeansCentroids(e.drop("nrm"), NumCentroids)
+    val centroids = trainedCentroids(s, d, NumCentroids)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val assigned = assignToCentroids(e, centroids)
     // search: queries probe their nProbe nearest centroid lists
@@ -325,7 +341,7 @@ object Similarity {
   def embedNearDupIvf(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = kmeansCentroids(e.drop("nrm"), NumCentroids)
+    val centroids = trainedCentroids(s, d, NumCentroids)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val assigned = assignToCentroids(e, centroids)
     assigned.select(col("c_id"), col("vec_id").as("id_a"),

@@ -46,6 +46,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
     "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_sketch_rollup"   -> ((s, d) => Aggregates.sketchRollup(s, d)),
+    "q_agg_pivot"       -> ((s, d) => Aggregates.pivotEventValues(s, d)),
     // §2.3 joins
     "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
     "q_join_shuffle"   -> ((s, d) => Joins.shuffleJoinRevenue(s, d)),
@@ -206,6 +207,14 @@ object SparkEntry {
           FROM lineitem
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           ORDER BY rf, ls""",
+    "q_agg_pivot" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_window_ntile" ->
       """SELECT event_id,
          CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS bucket

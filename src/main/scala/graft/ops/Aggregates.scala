@@ -145,6 +145,20 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** PIVOT — long-to-wide reshaping with an explicit value list (A4/A5
+    * companion). The explicit list matters twice over: the output schema
+    * is static (no extra distinct-values pass over the corpus before
+    * planning), and the plan is a single partial/final aggregate with
+    * one conditional sum per bucket — exactly the CASE-WHEN form the
+    * oracle states. Decimal-routed sums, null where a user lacks the
+    * event type on both engines. */
+  def pivotEventValues(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(dsum(col("value")))
+      .orderBy(col("user_id"))
+
   /** Two-level MERGEABLE-SKETCH rollup — the 100 TB pre-aggregation
     * pattern: per-(day, type) HLL sketches materialize once (in
     * production, a daily sketch table), then any coarser rollup UNIONS

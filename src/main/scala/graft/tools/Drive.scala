@@ -100,6 +100,60 @@ object Drive {
           .filter(col("doc_id") === 0)
           .select(col("frame_idx"), col("frame_len"),
             decode(col("frame"), "UTF-8").as("frame_text"))
+      case "endToEnd" =>
+        // the reference's full loop in one command: producer → wire
+        // format → streaming consume (sink + metrics) → batch windows →
+        // batched prediction → summary (producer.py / stream_consumer.py
+        // / batch_processor.py composed)
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val wireDir = java.nio.file.Files.createTempDirectory("graft_e2e_src_").toString
+        val sinkDir = java.nio.file.Files.createTempDirectory("graft_e2e_sink_").toString
+        // producer: deterministic ticks, JSON wire format, 4 files = 4 batches
+        graft.gen.Ticks.asJson(
+          graft.gen.Ticks.generate(spark, Seq("AAPL", "MSFT", "GOOG"), 2000L))
+          .repartition(4).write.mode("overwrite").text(wireDir)
+        // streaming consumer: parse envelope, append to the raw table,
+        // listener captures per-batch metrics
+        val lst = new graft.streaming.GraftQueryListener(echo = true)
+        spark.streams.addListener(lst)
+        val q = spark.readStream.schema("value STRING")
+          .option("maxFilesPerTrigger", "1").text(wireDir)
+          .select(from_json(col("value"), graft.Tables.tickSchema).as("t"))
+          .select(col("t.*"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_e2e_ckpt_").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.sources.Sinks.parquetAppend(b, sinkDir); ()
+          }.start()
+        q.awaitTermination()
+        lst.awaitTerminated(q.runId.toString)
+        spark.streams.removeListener(lst)
+        // batch path: stride-1 windows over the persisted table, batched
+        // GRU inference, per-symbol summary
+        val raw = spark.read.parquet(sinkDir)
+        val frame = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("symbol")).orderBy(col("timestamp"))
+          .rowsBetween(-59, 0)
+        import spark.implicits._
+        val wins = raw
+          .select(col("symbol"), collect_list(col("price")).over(frame).as("w"))
+          .filter(size(col("w")) === 60)
+          .as[(String, Array[Double])]
+        val bc = spark.sparkContext.broadcast(
+          new graft.ops.Predict.GruPredictor(): graft.ops.Predict.Predictor)
+        val preds = wins.mapPartitions { it =>
+          val p = bc.value; p.prepare()
+          it.grouped(1024).flatMap { chunk =>
+            chunk.iterator.zip(p.predictBatch(chunk.map(_._2).toArray).iterator)
+              .map { case ((sym, _), pr) => (sym, pr) }
+          }
+        }.toDF("symbol", "predicted")
+        preds.groupBy(col("symbol"))
+          .agg(count(lit(1)).as("n_windows"), avg(col("predicted")).as("avg_pred"))
+          .orderBy(col("symbol"))
       case "kafkaProbe" =>
         try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
         catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }

@@ -143,7 +143,11 @@ object Dedup {
     * so maxIters=20 covers chains up to ~2^20 even though near-dup
     * clusters are shallow in practice. Throws if not converged (silent
     * partial labels would be a correctness bug, not a degradation). */
-  def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame =
+    // the per-round joins/aggregates move label rows (16 bytes each) —
+    // at the session's shuffle width the per-task fixed costs dominate;
+    // size rounds at 8 partitions (results are partition-invariant)
+    graft.Tuning.withShufflePartitions(nodes.sparkSession, 8) {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -180,7 +184,7 @@ object Dedup {
     require(changed == 0,
       s"components did not converge within $maxIters rounds")
     comp
-  }
+    }
 
   /** Near-dup dedup CLUSTERS on the documents table: MinHash+LSH pairs
     * as edges (deterministic; equals the exact ≥0.5-Jaccard truth on the

@@ -27,20 +27,13 @@ object Pipeline {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** Run a streaming drain with a smaller shuffle-partition count: each
-    * stateful micro-batch pays per-partition state-store open/commit
-    * overhead, and these AvailableNow drains process bounded data where
-    * 8 state partitions saturate the work. The conf is restored after
-    * the drain; results are partition-count invariant (associative aggs,
-    * keyed state), so a concurrently planned batch query is unaffected
-    * beyond parallelism. Production streams with wide key spaces keep
-    * the session default. */
-  private def withStreamShuffle[A](s: SparkSession)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try f finally s.conf.set(key, prev)
-  }
+  /** Streaming drains run at 8 shuffle partitions: each stateful
+    * micro-batch pays per-partition state-store open/commit overhead,
+    * and these AvailableNow drains process bounded data where 8 state
+    * partitions saturate the work (see graft.Tuning). Production streams
+    * with wide key spaces keep the session default. */
+  private def withStreamShuffle[A](s: SparkSession)(f: => A): A =
+    graft.Tuning.withShufflePartitions(s, 8)(f)
 
   /** Streaming source over the events table, arriving in MULTIPLE
     * micro-batches: the single events.parquet is split into four files in

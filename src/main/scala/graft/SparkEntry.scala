@@ -47,6 +47,7 @@ object SparkEntry {
     "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_sketch_rollup"   -> ((s, d) => Aggregates.sketchRollup(s, d)),
     "q_agg_pivot"       -> ((s, d) => Aggregates.pivotEventValues(s, d)),
+    "q_agg_unpivot"     -> ((s, d) => Aggregates.unpivotEventValues(s, d)),
     // §2.3 joins
     "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
     "q_join_shuffle"   -> ((s, d) => Joins.shuffleJoinRevenue(s, d)),
@@ -215,6 +216,12 @@ object SparkEntry {
          CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
          CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // melt(pivot(x)) collapses to the plain grouped sum — the identity
+    // the round trip must satisfy
+    "q_agg_unpivot" ->
+      s"""SELECT user_id, event_type, ${dsum("value")} AS total
+          FROM events GROUP BY user_id, event_type
+          ORDER BY user_id, event_type""",
     "q_window_ntile" ->
       """SELECT event_id,
          CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS bucket

@@ -159,6 +159,18 @@ object Aggregates {
       .agg(dsum(col("value")))
       .orderBy(col("user_id"))
 
+  /** UNPIVOT (melt) — the wide-to-long inverse of [[pivotEventValues]]:
+    * the pivoted per-user totals flow back to (user_id, event_type,
+    * total) rows, dropping the null cells the pivot manufactured. A pure
+    * row-local projection: no shuffle beyond the pivot's own aggregate. */
+  def unpivotEventValues(s: SparkSession, d: String): DataFrame =
+    pivotEventValues(s, d)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "total")
+      .filter(col("total").isNotNull)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Two-level MERGEABLE-SKETCH rollup — the 100 TB pre-aggregation
     * pattern: per-(day, type) HLL sketches materialize once (in
     * production, a daily sketch table), then any coarser rollup UNIONS

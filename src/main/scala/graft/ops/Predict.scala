@@ -122,12 +122,16 @@ object Predict {
       predictor: Predictor = LinearPredictor, batchSize: Int = 1024): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(predictor)
-    val frame = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
-    val windows = Tables.events(s, d)
-      .select(col("event_id"), col("event_type"),
-        collect_list(col("value")).over(frame).as("w"))
-      .filter(size(col("w")) === k)
+    // windows materialize through Chunked.frames (overlapped time-chunk
+    // repartitioning), so a hot series' k× collect_list amplification is
+    // spread over bounded chunk tasks, not one sort task per series
+    val windows = Chunked.frames(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("ts"), col("value")),
+        "event_type", "ts", "event_id", k) { w =>
+        Seq(collect_list(col("value")).over(w).as("w"))
+      }
+      .select(col("event_id"), col("event_type"), col("w"))
       .as[(Long, String, Array[Double])]
     windows.mapPartitions { it =>
       val p = bc.value

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
@@ -28,12 +27,15 @@ object TimeSeries {
     * squares = native dot(win, win). */
   private def windows(s: SparkSession, d: String, w: Int): DataFrame = {
     graft.functions.Native.register(s)
-    val frame = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id")).rowsBetween(-(w - 1), 0)
-    Tables.events(s, d)
-      .select(col("event_id"), col("event_type"),
-        collect_list(col("value")).over(frame).as("win"))
-      .filter(size(col("win")) === w)
+    // frames via Chunked.frames — bounded chunk tasks per series instead
+    // of one sort task per series (same skew fix as slidingWindowStats)
+    Chunked.frames(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("ts"), col("value")),
+        "event_type", "ts", "event_id", w) { fr =>
+        Seq(collect_list(col("value")).over(fr).as("win"))
+      }
+      .select(col("event_id"), col("event_type"), col("win"))
       // sum as dot(win, ones): bit-identical to the left-fold sum
       // (x * 1.0 == x exactly, same accumulation order) but codegen'd —
       // an interpreted aggregate() HOF here gets INLINED once per use

@@ -18,9 +18,6 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Windows {
 
-  private def byTypeTime = Window.partitionBy(col("event_type"))
-    .orderBy(col("ts"), col("event_id"))
-
   /** W5 — ranking/analytic functions over per-user event streams. */
   def rankPerUser(s: SparkSession, d: String): DataFrame = {
     val wTime  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -73,20 +70,25 @@ object Windows {
     * `batch_processor.py:89-97`, k=60). Emits per-window frame stats, not
     * raw lists (deterministic, oracle-comparable — SURVEY §7 R2). The sum
     * runs through decimal so the frame-evaluation order (Spark streaming
-    * frame vs DuckDB segment tree) cannot perturb bits. */
-  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame = {
-    val frame = byTypeTime.rowsBetween(-(k - 1), 0)
-    Tables.events(s, d)
-      .select(col("event_id"),
-        count(lit(1)).over(frame).as("w_cnt"),
+    * frame vs DuckDB segment tree) cannot perturb bits.
+    *
+    * Frames evaluate through [[Chunked.frames]] (overlapped time-chunk
+    * repartitioning): a hot series spreads over many bounded tasks
+    * instead of funnelling through one sort task — row-identical output
+    * to the plain `Window.partitionBy(event_type)` formulation (the
+    * oracle pins it). */
+  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame =
+    Chunked.frames(Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("ts"), col("value")),
+      "event_type", "ts", "event_id", k) { w =>
+      Seq(
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .over(frame).cast(DoubleType).as("w_sum"),
-        min(col("value")).over(frame).as("w_min"),
-        max(col("value")).over(frame).as("w_max"))
-      .filter(col("w_cnt") === k)
+          .over(w).cast(DoubleType).as("w_sum"),
+        min(col("value")).over(w).as("w_min"),
+        max(col("value")).over(w).as("w_max"))
+    }
       .select(col("event_id"), col("w_sum"), col("w_min"), col("w_max"))
       .orderBy(col("event_id"))
-  }
 
   /** W5 — running (cumulative) aggregates per user in event-time order:
     * the unbounded-preceding frame. Decimal-routed running sum so the

@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.Chunked
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Overlapped time-chunk repartitioning (the stride-1 window skew fix):
+  * chunked frames must be ROW-IDENTICAL to the plain per-series window
+  * while actually splitting a hot series into >1 bounded chunk. */
+class ChunkedSpec extends SparkSpec {
+
+  test("mergeChunks: every non-final chunk reaches minRows, order preserved") {
+    val counts = Seq(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L, 4 -> 10L)
+    val m = Chunked.mergeChunks(counts, minRows = 25L)
+    // greedy: {0,1,2} -> 0 (30 rows), {3,4} -> trailing 20 < 25 folds back
+    assert(m.values.toSet.size >= 1)
+    val byFc = counts.groupBy { case (cc, _) => m(cc) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val maxFc = byFc.keys.max
+    byFc.foreach { case (fc, n) => if (fc != maxFc) assert(n >= 25L) }
+    // order-preserving: cc1 < cc2 => fc(cc1) <= fc(cc2)
+    counts.map(_._1).sliding(2).foreach {
+      case Seq(a, b) => assert(m(a) <= m(b)); case _ =>
+    }
+  }
+
+  test("mergeChunks: undersized trailing chunk folds into its predecessor") {
+    val m = Chunked.mergeChunks(Seq(0 -> 100L, 1 -> 3L), minRows = 50L)
+    assert(m(0) == 0 && m(1) == 0)
+    val m2 = Chunked.mergeChunks(Seq(0 -> 100L, 1 -> 60L), minRows = 50L)
+    assert(m2(0) == 0 && m2(1) == 1)
+  }
+
+  /** 2-series skewed fixture: one hot series (n rows), one cold. */
+  private def skewed(hot: Int, cold: Int) = {
+    import spark.implicits._
+    val mk = (n: Int, series: String, base: Long) =>
+      (0 until n).map { i =>
+        (base + i, series,
+          new java.sql.Timestamp(1700000000000L + i * 1000L),
+          math.sin(i * 0.37) * 50 + 100)
+      }
+    (mk(hot, "hot", 0L) ++ mk(cold, "cold", 1000000L))
+      .toDF("event_id", "event_type", "ts", "value")
+  }
+
+  test("chunked frames == plain window frames on a skewed fixture, and the hot series splits") {
+    val k = 5
+    val df = skewed(hot = 3000, cold = 40)
+    val plainW = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+    val plain = df.select(col("event_id"),
+        count(lit(1)).over(plainW).as("c"),
+        sum(col("value")).over(plainW).as("s"),
+        collect_list(col("value")).over(plainW).as("w"))
+      .filter(col("c") === k).drop("c")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Double](2).toList)).toMap
+    val chunked = Chunked.frames(df, "event_type", "ts", "event_id", k,
+        minChunkRows = 100, nBoundaries = 16) { w =>
+        Seq(sum(col("value")).over(w).as("s"),
+          collect_list(col("value")).over(w).as("w"))
+      }
+      .select(col("event_id"), col("s"), col("w"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Double](2).toList)).toMap
+    assert(chunked.keySet == plain.keySet)
+    chunked.foreach { case (id, (s, w)) =>
+      val (ps, pw) = plain(id)
+      assert(w == pw, s"window list mismatch at $id")
+      assert(math.abs(s - ps) < 1e-9)
+    }
+    // the scale claim: the hot series runs as >1 final chunk, every
+    // non-final chunk big enough to donate a full k-1 warm-up
+    val (ccExpr, mapping) = Chunked.chunkPlan(df, "event_type", "ts",
+      minRows = 100L, nBoundaries = 16)
+    val hotChunks = mapping.filter(col("event_type") === "hot")
+      .select(col("_fc")).distinct().count()
+    assert(hotChunks > 1, s"hot series should split, got $hotChunks chunk(s)")
+    val sizes = df.withColumn("_cc", ccExpr)
+      .join(broadcast(mapping), Seq("event_type", "_cc"))
+      .groupBy(col("event_type"), col("_fc")).count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    sizes.groupBy(_._1).foreach { case (_, chunks) =>
+      val maxFc = chunks.map(_._2).max
+      chunks.foreach { case (_, fc, n) => if (fc != maxFc) assert(n >= k - 1) }
+    }
+  }
+
+  test("chunked sliding stats on real events equal the plain-window formulation") {
+    val k = 60
+    val plainW = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+    val plain = Tables.events(spark, sf)
+      .select(col("event_id"),
+        count(lit(1)).over(plainW).as("c"),
+        min(col("value")).over(plainW).as("mn"),
+        max(col("value")).over(plainW).as("mx"))
+      .filter(col("c") === k)
+      .select(col("event_id"), col("mn"), col("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val viaQuery = q("q_sliding_windows")
+      .select(col("event_id"), col("w_min"), col("w_max"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(viaQuery == plain)
+  }
+}

@@ -603,6 +603,11 @@ object SparkEntry {
                FROM scored)
          SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
          FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // ASCII-ONLY assumption: this oracle folds DuckDB characters/code
+    // points while Spark's featureColumns folds UTF-8 bytes — equal only
+    // while 1 char == 1 byte. TextMultimodalSpec asserts the fixture
+    // satisfies length(text) == octet_length(text) so a non-ASCII
+    // fixture change fails loudly, not silently.
     "q_multimodal_features" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_bytes,

@@ -30,9 +30,12 @@ final class TopKBuf(val k: Int) extends Serializable {
   }
 
   /** Values ordered by (ord1, ord2) DESCENDING — newest first for
-    * time-ordered keys. */
+    * time-ordered keys. Compares via [[less]] rather than arithmetic
+    * negation: negating Long.MinValue overflows back to itself, which
+    * would sort an extreme key as LARGEST instead of smallest. */
   def sortedValuesDesc: Array[Double] =
-    (0 until n).sortBy(i => (-o1(i), -o2(i))).map(v).toArray
+    (0 until n).sortWith((a, b) => less(o1(b), o2(b), o1(a), o2(a)))
+      .map(v).toArray
 }
 
 /** Last-k / top-k as ONE custom aggregate (SURVEY §7.3 preference (b)):

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.Tables
 import graft.ops.{Aggregates, Predict}
 import java.nio.file.Files
-import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -66,6 +65,29 @@ object Pipeline {
       s.readStream.schema(Tables.eventsRawSchema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(staged))
+  }
+
+  /** Watermark delay for the staged replay source, DERIVED from the data
+    * (one cached min/max pass per staged dir): the staged files are
+    * hash-split, so a later micro-batch can carry the corpus's OLDEST
+    * event — the only delay that can never evict still-live state is the
+    * full corpus span (+1 day slack for the daily-window bucket edge).
+    * A hard-coded delay sized to one fixture would silently drop late
+    * rows the moment a wider corpus arrives — the worst failure mode for
+    * an oracle-checked pipeline. A time-ordered production source would
+    * use its real disorder bound (minutes) instead. */
+  private val spanCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def watermarkDelay(s: SparkSession, d: String): String = {
+    val staged = prestage(s, d)
+    spanCache.computeIfAbsent(staged, { p =>
+      val r = Tables.eventsTsFix(
+          s.read.schema(Tables.eventsRawSchema).parquet(p))
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      val days =
+        if (r.isNullAt(0)) 1L
+        else (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) / 86400000L + 2L
+      s"$days days"
+    })
   }
 
   /** The reference's full stream pipeline (S1→P1-P3→S4: source → JSON
@@ -134,11 +156,12 @@ object Pipeline {
     // watermark delay must cover the source's arrival DISORDER: the
     // staged files are hash-partitioned, so a micro-batch can carry
     // events older than any previous batch's max. In update mode a
-    // window whose state was watermark-evicted silently drops late rows,
-    // so the delay is sized past the corpus's 30-day span here; with a
-    // time-ordered production source this would be minutes.
+    // window whose state was watermark-evicted silently drops late
+    // rows, so the delay derives from the corpus's actual span
+    // (watermarkDelay); with a time-ordered production source this
+    // would be minutes.
     val agg = eventsStream(s, d)
-      .withWatermark("ts", "45 days")
+      .withWatermark("ts", watermarkDelay(s, d))
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
@@ -170,18 +193,25 @@ object Pipeline {
     * domain is small so state is bounded by construction. Output keys ==
     * batch DISTINCT over the same data, which is what the oracle checks. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val sinkDir = tmp("graft_ddsink_")
     withStreamShuffle(s) {
       val q = eventsStream(s, d)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
-        .writeStream.outputMode("append").format("memory").queryName(name)
+        .writeStream.outputMode("append")
         .option("checkpointLocation", tmp("graft_ckpt_"))
         .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // executor-side parquet append — a memory sink would funnel
+          // every first-seen key through the driver (the scale cliff the
+          // other drains already avoid)
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
         .start()
       q.awaitTermination()
     }
-    s.table(name).orderBy(col("user_id"), col("event_type"))
+    s.read.parquet(sinkDir).orderBy(col("user_id"), col("event_type"))
   }
 
   /** Stream-STREAM interval join (T4/T6 extension — the remaining core
@@ -203,12 +233,12 @@ object Pipeline {
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("c_id"), col("value").as("click_value"))
-        .withWatermark("c_ts", "45 days")
+        .withWatermark("c_ts", watermarkDelay(s, d))
       val purchases = eventsStream(s, d, filesPerTrigger = 2)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_id"))
-        .withWatermark("p_ts", "45 days")
+        .withWatermark("p_ts", watermarkDelay(s, d))
       val joined = purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
@@ -255,7 +285,10 @@ object Pipeline {
         q.awaitTermination()
         q.runId.toString
       }
-      lst.awaitTerminated(runId)
+      // fail loudly if the terminated event never lands: an incomplete
+      // listener buffer must not masquerade as a successful metrics run
+      require(lst.awaitTerminated(runId),
+        s"listener terminated event for run $runId not received in time")
       lst.metricsDf(s, runId)
     } finally s.streams.removeListener(lst)
   }
@@ -267,7 +300,7 @@ object Pipeline {
   def statefulPredictions(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val name = "stateful_" + UUID.randomUUID().toString.replace("-", "")
+    val sinkDir = tmp("graft_stsink_")
     val src = eventsStream(s, d)
       .select($"event_type", $"ts", $"event_id", $"value").as[E]
     val fn = (key: String, rows: Iterator[E], state: GroupState[Seq[Double]]) => {
@@ -288,12 +321,17 @@ object Pipeline {
       val q = src.groupByKey(_.event_type)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
         .toDF("event_type", "predicted", "n_obs")
-        .writeStream.outputMode("append").format("memory").queryName(name)
+        .writeStream.outputMode("append")
         .option("checkpointLocation", tmp("graft_ckpt_"))
         .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // executor-side sink, same pattern as every other drain here
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
         .start()
       q.awaitTermination()
     }
-    s.table(name).orderBy(col("event_type"))
+    s.read.parquet(sinkDir).orderBy(col("event_type"), col("n_obs"))
   }
 }

@@ -60,10 +60,21 @@ class NativeSpec extends SparkSpec {
       val uniq = xs.zipWithIndex.map { case ((o1, _, v), i) => (o1, i.toLong, v) }
       val buf = new graft.functions.TopKBuf(k)
       uniq.foreach { case (o1, o2, v) => buf.insert(o1, o2, v) }
-      val expected = uniq.sortBy { case (o1, o2, _) => (-o1, -o2) }.take(k).map(_._3)
+      // overflow-safe descending sort (NOT arithmetic negation, which
+      // maps Long.MinValue to itself)
+      val expected = uniq.sortBy { case (o1, o2, _) => (o1, o2) }
+        .reverse.take(k).map(_._3)
       buf.sortedValuesDesc.toSeq == expected
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("TopKBuf handles Long.MinValue/MaxValue ordering keys without overflow") {
+    val buf = new graft.functions.TopKBuf(2)
+    buf.insert(Long.MinValue, 0L, 1.0) // extreme OLDEST — must lose
+    buf.insert(0L, 1L, 2.0)
+    buf.insert(Long.MaxValue, 2L, 3.0) // extreme NEWEST — must rank first
+    assert(buf.sortedValuesDesc.toSeq == Seq(3.0, 2.0))
   }
 
   test("TopKBuf merge is order-insensitive (partial aggregation law)") {

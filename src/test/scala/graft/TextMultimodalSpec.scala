@@ -57,6 +57,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp1 == noisy)
   }
 
+  test("multimodal oracle precondition: fixture text is pure ASCII") {
+    // the q_multimodal_features oracle folds DuckDB CHARACTERS while the
+    // Spark side folds UTF-8 BYTES; the two agree only while every
+    // document is ASCII (1 char == 1 byte). This assertion makes a
+    // non-ASCII fixture change fail LOUDLY here instead of silently
+    // flipping the oracle hash.
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(nonAscii == 0L,
+      "documents fixture contains non-ASCII text; the q_multimodal_features oracle's char==byte assumption no longer holds")
+  }
+
   test("multimodal: scalar feature query matches the batched array-decode path") {
     val scalars = q("q_multimodal_features").collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -58,6 +58,8 @@ object SparkEntry {
     "q_join_asof"      -> ((s, d) => Joins.asofLastClickBeforePurchase(s, d)),
     "q_join_bucketed"  -> ((s, d) => Joins.bucketedJoinRevenue(s, d)),
     "q_agg_salted"     -> ((s, d) => Aggregates.saltedUserTotals(s, d)),
+    "q_join_skew_salted" -> ((s, d) => Joins.saltedSkewJoinTypeAvg(s, d)),
+    "q_sql_correlated"   -> ((s, d) => Relational.sqlCorrelatedCustomer(s, d)),
     // §2.5 windows
     "q_window_rank"    -> ((s, d) => Windows.rankPerUser(s, d)),
     "q_window_lag"     -> ((s, d) => Windows.lagLeadPerUser(s, d)),
@@ -287,6 +289,17 @@ object SparkEntry {
     "q_agg_salted" ->
       s"""SELECT user_id, ${dsum("value")} AS total, count(*) AS n
           FROM events GROUP BY user_id ORDER BY user_id""",
+    // oracle is the PLAIN (unsalted) join — salting must be invisible in
+    // the result; the skew mechanics are asserted in JoinSpec
+    "q_join_skew_salted" ->
+      s"""WITH prof AS (SELECT event_type, ${dsum("value")} / count(*) AS type_avg
+          FROM events GROUP BY event_type)
+          SELECT e.event_id, e.event_type, e.value, p.type_avg
+          FROM events e JOIN prof p USING (event_type)
+          ORDER BY e.event_id""",
+    // identical SQL text runs through BOTH engines (see
+    // Relational.CorrelatedCustomerSql for the decorrelation contract)
+    "q_sql_correlated" -> graft.ops.Relational.CorrelatedCustomerSql,
     "q_window_rank" ->
       """SELECT event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -447,6 +460,29 @@ object SparkEntry {
          SELECT doc_id, CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
                              THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS rh
          FROM h ORDER BY doc_id""",
+    // mirrors Dedup.simhashSignatures exactly: 3-token distinct shingles
+    // of the lowercased tokens, per-shingle RollingHash (same HUGEINT
+    // mod-2^64 fold as q_text_rollhash), bit j of the signature set iff
+    // MORE THAN half the shingle hashes have bit j set (sum of ±1 > 0)
+    "q_dedup_simhash" ->
+      """WITH nt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(toks)-2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+          FROM nt WHERE len(toks) >= 3),
+         hs AS (SELECT doc_id,
+            list_transform(shs, sgl ->
+              list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(generate_series(1, length(sgl)), i -> ascii(sgl[i]))),
+                (a, b) -> (a * 1000003 + b) % CAST(18446744073709551616 AS HUGEINT))) AS hl
+          FROM sh),
+         sig AS (SELECT doc_id,
+            list_sum(list_transform(generate_series(0, 63), j ->
+              CASE WHEN 2 * len(list_filter(hl, h -> ((h >> j) & 1) = 1)) > len(hl)
+                   THEN (CAST(1 AS HUGEINT) << j) ELSE CAST(0 AS HUGEINT) END)) AS hu
+          FROM hs)
+         SELECT doc_id, CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+             THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS simhash
+         FROM sig ORDER BY doc_id""",
     // the stream pipeline's final output IS the last-5 linear prediction
     // per series over the full event stream (stream == batch parity,
     // also asserted in StreamingSpec), so the batch oracle applies

@@ -161,23 +161,35 @@ object Dedup {
         .join(comp.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("nbr_component"))
+      // carry the pre-round label as `prev` so convergence is decided
+      // INSIDE this round's single action (below) — no separate
+      // join+count job per round
       val propagated = comp
         .join(nbr.select(col("src").as("doc_id"), col("nbr_component")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("prev"),
           least(col("component"),
             coalesce(col("nbr_component"), col("component"))).as("component"))
       // pointer jumping: follow one's label to ITS label (labels are
       // doc_ids, so this is a self-join), halving chain depth per round
-      val next = propagated
+      val jumped = propagated
         .join(propagated.select(col("doc_id").as("component"),
           col("component").as("jumped")), Seq("component"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("prev"),
           least(col("component"),
             coalesce(col("jumped"), col("component"))).as("component"))
+      // the changed-row count rides the checkpoint materialization as an
+      // observed metric: ONE action (and its shuffles) per round total,
+      // instead of checkpoint + a second join/count job over the result
+      val obs = org.apache.spark.sql.Observation(s"components_r$it")
+      val next = jumped
+        .observe(obs,
+          sum(when(col("component") < col("prev"), 1L).otherwise(0L)).as("n_changed"))
+        .select(col("doc_id"), col("component"))
         .localCheckpoint(true)
-      changed = next
-        .join(comp.select(col("doc_id"), col("component").as("prev")), Seq("doc_id"))
-        .filter(col("component") < col("prev")).count()
+      changed = obs.get("n_changed") match {
+        case n: java.lang.Long => n.longValue
+        case _                 => 0L // null sum ⇔ zero rows ⇔ converged
+      }
       comp = next
       it += 1
     }
@@ -200,9 +212,16 @@ object Dedup {
 
   /** 64-bit SimHash per document: per bit j, sum ±1 weighted by whether
     * bit j of each shingle hash is set; bit j of the signature = sign.
-    * One explode + one 64-column aggregate — no shuffle of text. */
+    * One explode + one 64-column aggregate — no shuffle of text.
+    * The per-shingle hash is the native RollingHash (not xxhash64) so
+    * the ENTIRE signature is reproducible in the DuckDB oracle via the
+    * same HUGEINT mod-2^64 fold proven for q_text_rollhash — hash
+    * quality is equivalent for sketching (avalanche per byte via the
+    * 1000003 multiplier), and the sketch becomes hash-checkable. */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d).withColumn("h", xxhash64(col("shingle")))
+    graft.functions.Native.register(s)
+    val sh = shingleRows(s, d)
+      .withColumn("h", graft.functions.Native.rollingHash(col("shingle")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$j")

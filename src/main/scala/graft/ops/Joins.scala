@@ -76,6 +76,45 @@ object Joins {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Skew-safe equi-join by explicit KEY SALTING — the hot-key half of
+    * the 100 TB story (q_agg_salted covers skewed aggregation). A plain
+    * shuffle join hash-partitions both sides on `key`, so a hot key
+    * funnels its entire fact volume through ONE task. Salting appends a
+    * per-row salt to the fact side and REPLICATES the small side once
+    * per salt value, joining on (key, salt): the hot key now spreads
+    * over `salts` tasks, at the cost of a salts× blow-up of the small
+    * side only. Results are exactly the plain join (each fact row meets
+    * exactly one replica of its key's row). The SHUFFLE_HASH hint keeps
+    * the demonstration a shuffle join even where AQE would broadcast
+    * the replicated side at toy scale — production keeps the hint
+    * precisely when the small side exceeds the broadcast threshold,
+    * which is when salting matters. */
+  def saltedEquiJoin(fact: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
+    val repl = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.hint("shuffle_hash")
+      .join(repl, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Salted-join demonstration query: every event joined to its type's
+    * profile (average value) — event_type is the naturally hot key
+    * (5 values across the whole corpus). Oracle = the PLAIN join in SQL;
+    * JoinSpec asserts the salted shuffle actually partitions on
+    * (event_type, salt). */
+  def saltedSkewJoinTypeAvg(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, d)
+    val prof = ev.groupBy(col("event_type"))
+      .agg((Aggregates.dsum(col("value")) / count(lit(1))).as("type_avg"))
+    saltedEquiJoin(ev.select(col("event_id"), col("event_type"), col("value")),
+        prof, "event_type", salts)
+      .select(col("event_id"), col("event_type"), col("value"), col("type_avg"))
+      .orderBy(col("event_id"))
+  }
+
   /** J3a — left semi (EXISTS): customers that have at least one order. */
   def semiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

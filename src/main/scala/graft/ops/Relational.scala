@@ -105,6 +105,30 @@ object Relational {
     s.sql(RevenueByYearPrioritySql)
   }
 
+  /** Correlated-subquery surface (same SQL text, both engines): a
+    * correlated EXISTS plus two correlated scalar subqueries (COUNT and
+    * MAX). Catalyst must DECORRELATE all three — the EXISTS into a left
+    * semi join, each scalar aggregate into a left outer join over a
+    * grouped subplan (including the COUNT-over-empty-group null→0 edge)
+    * — because per-row subquery re-execution is not an executable plan
+    * shape in Spark at all. RelationalSpec asserts the optimized plan is
+    * pure joins with no surviving correlated predicate. */
+  val CorrelatedCustomerSql: String =
+    """SELECT c_custkey, c_name,
+       CAST((SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+       (SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = c.c_custkey) AS max_price
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o3
+                     WHERE o3.o_custkey = c.c_custkey
+                       AND o3.o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  def sqlCorrelatedCustomer(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(CorrelatedCustomerSql)
+  }
+
   /** count(*) — reference A1 (`batch_processor.py:82`). */
   def countAll(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(count(lit(1)).as("n"))

@@ -146,17 +146,26 @@ object Similarity {
   def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       dim: Int = 64): DataFrame = {
     val e = corpus(s, d)
-    val buckets = e
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
-        posexplode(lshSigUdf(dim)(col("embedding"))).as(Seq("t", "sig")))
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val buckets = en
+      .select(col("vec_id"), posexplode(lshSigUdf(dim)(col("embedding"))).as(Seq("t", "sig")))
     val qb = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("t"), col("sig"))
-    val cands = buckets.join(broadcast(qb), Seq("t", "sig"))
+      .select(col("vec_id").as("q_id"), col("t"), col("sig"))
+    // candidate ids first (the distinct shuffles 16-byte pairs only);
+    // vectors join back AFTER — corpus side by equi-join, query side by
+    // broadcast — so each surviving candidate moves its payload once
+    val candIds = buckets.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        col("vec_id").as("n_id"), col("embedding"), col("nrm"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
+    val q = en.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cands = candIds
+      .join(en.select(col("vec_id").as("n_id"),
+        col("embedding"), col("nrm")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cands.withColumn("cos", cosineFromNorms(col("q_emb"), col("embedding"),
         col("q_nrm"), col("nrm")))
@@ -298,19 +307,26 @@ object Similarity {
   /** Candidate pairs from sign-band LSH: explode each vector into its L
     * (band, key) bucket rows, equi-join on the bucket — a hash join over
     * fixed-width keys, never a cross product — and dedupe pairs. The
-    * only shuffle of embedding payloads is the surviving-candidate set
-    * (~3% of n² here), not the corpus squared. */
+    * bucket join and the pair-distinct shuffle ONLY 16-byte id pairs;
+    * embedding payloads join back in AFTER the distinct, so each
+    * surviving pair moves its two vectors exactly once (at 100 TB the
+    * pre-distinct duplicate factor — one copy per shared band — would
+    * otherwise multiply the candidate-stage shuffle bytes). */
   def signBandCandidates(e: DataFrame): DataFrame = {
-    val b = e.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nrm"),
-      posexplode(signBandKeys).as(Seq("t", "key")))
-    b.select(col("t"), col("key"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      .join(b.select(col("t"), col("key"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("t", "key"))
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val b = en.select(col("vec_id"), posexplode(signBandKeys).as(Seq("t", "key")))
+    val pairs = b.select(col("t"), col("key"), col("vec_id").as("id_a"))
+      .join(b.select(col("t"), col("key"), col("vec_id").as("id_b")), Seq("t", "key"))
       .filter(col("id_b") > col("id_a"))
-      .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(en.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), Seq("id_a"))
+      .join(en.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
   }
 
   /** Embedding-cosine near-duplicate DEDUP, blocked on sign-band LSH

@@ -66,6 +66,42 @@ class DedupSpec extends SparkSpec {
     assert(comp.length == 100 && comp.forall(_._2 == 0L))
   }
 
+  test("components: convergence check rides the round's checkpoint (no count actions)") {
+    import spark.implicits._
+    val funcNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lst = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        funcNames.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(lst)
+    try {
+      val nodes = (0L until 64L).toDF("doc_id")
+      val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      Dedup.components(nodes, edges).collect()
+      // listener delivery is async — wait for the bus to drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!funcNames.contains("collect") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val names = funcNames.toArray(Array.empty[String]).toSeq
+      assert(!names.contains("count"),
+        s"components must not run a per-round count action; saw $names")
+      assert(names.count(_ == "localCheckpoint") >= 3,
+        s"expected per-round checkpoint actions; saw $names")
+    } finally spark.listenerManager.unregister(lst)
+  }
+
+  test("components throws loudly when maxIters is too small to converge") {
+    import spark.implicits._
+    val nodes = (0L until 64L).toDF("doc_id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.components(nodes, edges, maxIters = 1)
+    }
+  }
+
   test("simhash: near-identical docs collide, signatures are diverse") {
     val sig = q("q_dedup_simhash")
     val n = sig.count()

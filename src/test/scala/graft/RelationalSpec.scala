@@ -146,4 +146,50 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() ==
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
+
+  test("salted join equals the plain join and spreads the hot key over salts") {
+    import spark.implicits._
+    // skewed fixture: one hot key carrying 97% of the fact rows
+    val fact = ((0 until 5000).map(i => (i.toLong, "hot")) ++
+      (0 until 150).map(i => (5000L + i, s"cold${i % 3}"))).toDF("id", "k")
+    val small = Seq(("hot", 1.0), ("cold0", 2.0), ("cold1", 3.0), ("cold2", 4.0))
+      .toDF("k", "w")
+    val salted = graft.ops.Joins.saltedEquiJoin(fact, small, "k", salts = 8)
+    // the join's shuffle must hash on (key, salt), not the key alone —
+    // that is the mechanism that splits the hot key across tasks
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(2000))
+    assert(plan.matches("(?s).*hashpartitioning\\(.*k.*__salt.*"),
+      s"expected the shuffle to partition on (k, __salt):\n${plan.take(2000)}")
+    // salting must be invisible in the result
+    val expected = fact.join(small, Seq("k")).select("id", "k", "w")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = salted.select("id", "k", "w")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // and the salted fact side really carries >1 distinct salt for the hot key
+    val hotSalts = fact.withColumn("__salt",
+        pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+      .filter(col("k") === "hot").select("__salt").distinct().count()
+    assert(hotSalts > 1, s"hot key landed in $hotSalts salt buckets")
+  }
+
+  test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
+    val df = q("q_sql_correlated")
+    val optimized = df.queryExecution.optimizedPlan
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // EXISTS → semi join; two scalar aggregates → one outer join each
+    assert(joins.size >= 3, s"expected >=3 decorrelated joins:\n$optimized")
+    assert(!optimized.toString.contains("scalar-subquery"),
+      "correlated scalar subquery survived optimization")
+    // semantics: EXISTS filter keeps exactly the urgent-order customers,
+    // and the COUNT subquery can never be below 1 for a kept customer
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    assert(df.count() == urgent)
+    assert(df.filter(col("n_orders") < 1).count() == 0)
+  }
 }

@@ -99,6 +99,22 @@ class SimilaritySpec extends SparkSpec {
     assert(found == truth)
   }
 
+  test("candidate distinct shuffles id pairs only — no array payload through an Aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val plans = Seq(
+      Similarity.signBandCandidates(Tables.embeddings(spark, sf)),
+      SparkEntry.queries("q_ann_lsh")(spark, sf))
+    plans.foreach { df =>
+      val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      assert(aggs.nonEmpty, "expected a pair-distinct Aggregate in the plan")
+      aggs.foreach { a =>
+        assert(!a.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"embedding payload traveling through the distinct: ${a.output.map(_.name)}")
+      }
+    }
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -51,29 +51,44 @@ object Predict {
     }
   }
 
+  /** GRU cell weights, row-major (`u*` are hidden×hidden). A plain data
+    * holder so TRAINED weights drop in without code changes — see
+    * [[GruPredictor.fromFile]] for the on-disk format. */
+  final case class GruWeights(hidden: Int,
+      wz: Array[Double], uz: Array[Double], bz: Array[Double],
+      wr: Array[Double], ur: Array[Double], br: Array[Double],
+      wh: Array[Double], uh: Array[Double], bh: Array[Double],
+      wOut: Array[Double]) {
+    require(hidden > 0, s"hidden must be positive, got $hidden")
+    for ((n, a) <- Seq("wz" -> wz, "bz" -> bz, "wr" -> wr, "br" -> br,
+        "wh" -> wh, "bh" -> bh, "wOut" -> wOut))
+      require(a.length == hidden, s"$n must have $hidden values, got ${a.length}")
+    for ((n, a) <- Seq("uz" -> uz, "ur" -> ur, "uh" -> uh))
+      require(a.length == hidden * hidden,
+        s"$n must have ${hidden * hidden} values, got ${a.length}")
+  }
+
   /** Recurrent-cell predictor with the reference's OPERATOR SHAPE (an
     * RNN forward pass over the lookback window — the reference runs a
     * Keras LSTM, `stream_consumer.py:50-54`): a single GRU cell (standard
     * public formulation — update/reset gates + candidate state) unrolled
     * over the window, hidden state read out through a linear head. The
-    * sandbox has no trained weights (SURVEY §7 R1), so weights are fixed
-    * deterministic values from a seeded PRNG — the POINT is the batched
-    * dataflow (weights broadcast once, one matrix-style pass per buffered
-    * batch), not the learned function. Values are deterministic and
-    * spec-verified batch == row-at-a-time; not SQL-expressible, so its
+    * sandbox has no trained weights (SURVEY §7 R1), so the default
+    * constructor fills [[GruWeights]] from a seeded PRNG — the POINT is
+    * the batched dataflow (weights broadcast once, one matrix-style pass
+    * per buffered batch), not the learned function; a REAL trained model
+    * swaps in via [[GruPredictor.fromFile]] with no other code change.
+    * Values are deterministic and spec-verified batch == row-at-a-time
+    * (and file-loaded == hand-computed); not SQL-expressible, so its
     * query is rows-only by design. */
-  class GruPredictor(hidden: Int = 4, seed: Long = 7L) extends Predictor {
-    private val rnd = new scala.util.Random(seed)
-    private def mat(n: Int): Array[Double] = Array.fill(n)(rnd.nextGaussian() * 0.3)
-    // gate weights: input (scalar) weight, recurrent weights, bias
-    private val wz = mat(hidden); private val uz = mat(hidden * hidden); private val bz = mat(hidden)
-    private val wr = mat(hidden); private val ur = mat(hidden * hidden); private val br = mat(hidden)
-    private val wh = mat(hidden); private val uh = mat(hidden * hidden); private val bh = mat(hidden)
-    private val wOut = mat(hidden)
+  class GruPredictor(val weights: GruWeights) extends Predictor {
+    def this(hidden: Int = 4, seed: Long = 7L) =
+      this(GruPredictor.seededWeights(hidden, seed))
 
     @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
     override def predict(lastK: Seq[Double]): Double = {
+      import weights._
       // scale-free input: predict the RELATIVE next step around the last
       // observation so untrained weights still yield price-magnitude output
       val base = lastK.last
@@ -105,6 +120,48 @@ object Predict {
       var i = 0
       while (i < hidden) { out += wOut(i) * h(i); i += 1 }
       base * (1.0 + out)
+    }
+  }
+
+  object GruPredictor {
+    /** Deterministic stand-in weights (no trained model in the sandbox). */
+    def seededWeights(hidden: Int, seed: Long): GruWeights = {
+      val rnd = new scala.util.Random(seed)
+      def mat(n: Int): Array[Double] = Array.fill(n)(rnd.nextGaussian() * 0.3)
+      GruWeights(hidden,
+        mat(hidden), mat(hidden * hidden), mat(hidden),
+        mat(hidden), mat(hidden * hidden), mat(hidden),
+        mat(hidden), mat(hidden * hidden), mat(hidden),
+        mat(hidden))
+    }
+
+    /** Load trained weights from a plain text file — the export hook for
+      * a model trained elsewhere (any framework can dump this format):
+      * one `name:v1,v2,...` line per tensor, row-major, `#` comments and
+      * blank lines ignored. Required names: `hidden` (one int) and the
+      * ten tensors of [[GruWeights]]; sizes are validated on load and
+      * misshapen files fail loudly. */
+    def fromFile(path: String): GruPredictor =
+      new GruPredictor(parseWeights(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)))
+
+    private[graft] def parseWeights(text: String): GruWeights = {
+      val m: Map[String, Array[Double]] = text.linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val parts = l.split(":", 2)
+          require(parts.length == 2, s"malformed weight line: '$l'")
+          parts(0).trim -> parts(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+        }.toMap
+      def g(name: String): Array[Double] =
+        m.getOrElse(name, throw new IllegalArgumentException(s"missing tensor '$name'"))
+      val hidden = g("hidden").head.toInt
+      GruWeights(hidden,
+        g("wz"), g("uz"), g("bz"),
+        g("wr"), g("ur"), g("br"),
+        g("wh"), g("uh"), g("bh"),
+        g("wOut"))
     }
   }
 

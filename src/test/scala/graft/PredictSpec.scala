@@ -65,4 +65,51 @@ class PredictSpec extends SparkSpec {
   test("q_predict_gru covers every complete window, like the linear path") {
     assert(q("q_predict_gru").count() == q("q_predict_windows").count())
   }
+
+  test("GRU weights load from an external file and match a hand-computed forward pass") {
+    val wtxt =
+      """# trained-model export fixture (hidden=1)
+        |hidden:1
+        |wz:0.5
+        |uz:0.25
+        |bz:0.1
+        |wr:-0.3
+        |ur:0.2
+        |br:0.0
+        |wh:0.8
+        |uh:-0.5
+        |bh:0.05
+        |wOut:1.5
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("gru_", ".weights")
+    java.nio.file.Files.write(f, wtxt.getBytes("UTF-8"))
+    val p = Predict.GruPredictor.fromFile(f.toString)
+    // independent scalar re-derivation of the documented cell equations
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val xs = Seq(100.0, 110.0, 121.0)
+    val base = xs.last
+    var h = 0.0
+    xs.foreach { x0 =>
+      val x = x0 / base - 1.0
+      val z = sig(0.5 * x + 0.25 * h + 0.1)
+      val r = sig(-0.3 * x + 0.2 * h + 0.0)
+      val cand = math.tanh(0.8 * x + -0.5 * r * h + 0.05)
+      h = (1.0 - z) * h + z * cand
+    }
+    val expected = base * (1.0 + 1.5 * h)
+    assert(p.predict(xs) == expected, s"${p.predict(xs)} != $expected")
+    // a file-loaded predictor is a drop-in for the seeded one
+    assert(p.predictBatch(Array(xs.toArray))(0) == expected)
+  }
+
+  test("misshapen weight files fail loudly on load") {
+    intercept[IllegalArgumentException] {
+      Predict.GruPredictor.parseWeights("hidden:2\nwz:0.1\n") // missing tensors
+    }
+    intercept[IllegalArgumentException] {
+      Predict.GruPredictor.parseWeights(
+        "hidden:2\nwz:1,2\nuz:1,2,3\nbz:1,2\nwr:1,2\nur:1,2,3,4\nbr:1,2\n" +
+        "wh:1,2\nuh:1,2,3,4\nbh:1,2\nwOut:1,2") // uz is 3 values, needs 4
+    }
+  }
 }

@@ -72,6 +72,8 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Windows.runningTotals(s, d)),
     "q_window_ntile"   -> ((s, d) => Windows.ntileBuckets(s, d)),
     "q_window_topk"    -> ((s, d) => Windows.topKPerGroup(s, d)),
+    "q_sessionize"     -> ((s, d) => Windows.sessionize(s, d)),
+    "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
     // operator (buffered predictBatch per partition, broadcast weights —
@@ -237,6 +239,43 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS med,
          quantile_cont(value, 0.9) AS p90, count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // gaps-and-islands sessionization; epoch_us truncates DuckDB's ns
+    // precision to Spark's us so gap comparisons and ordering agree
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                 OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (SELECT user_id, us,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+           FROM l)
+         SELECT user_id, sess_idx, count(*) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+         FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""",
+    // mirrors Relational.stratifiedSample: per-stratum keep-threshold
+    // floor(0.5 * n_min/n_t * 2^32) against the top 32 bits of the
+    // HUGEINT rolling hash of 'strat#'||event_id||'#v1' (same fold as
+    // q_text_rollhash; see stratifiedSample's scaladoc for why the
+    // salt+suffix are load-bearing) — a rows-exact sampling oracle
+    "q_sample_stratified" ->
+      """WITH prof AS (SELECT event_type, count(*) AS n_t FROM events GROUP BY event_type),
+         r AS (SELECT event_type,
+            CAST(floor(CAST((SELECT min(n_t) FROM prof) AS DOUBLE) / CAST(n_t AS DOUBLE)
+              * 0.5 * 4294967296.0) AS BIGINT) AS thresh
+           FROM prof),
+         h AS (SELECT event_id, event_type, value,
+            list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(generate_series(1, length('strat#' || CAST(event_id AS VARCHAR) || '#v1')),
+                i -> ascii(('strat#' || CAST(event_id AS VARCHAR) || '#v1')[i]))),
+              (a, b) -> (a * 1000003 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM events)
+         SELECT e.event_type, e.event_id, e.value
+         FROM h e JOIN r USING (event_type)
+         WHERE (e.hu >> 32) < CAST(r.thresh AS HUGEINT)
+         ORDER BY e.event_type, e.event_id""",
     "q_window_running" ->
       """SELECT event_id,
          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER

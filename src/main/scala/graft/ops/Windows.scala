@@ -114,6 +114,32 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Sessionization (gaps-and-islands): a new session opens when a
+    * user's inactivity gap exceeds `gapMinutes`. ONE shuffle on user_id
+    * + one in-partition sort covers the lag, the running session index,
+    * and (via partial aggregation) the per-session rollup — the
+    * canonical event-time segmentation of a clickstream at scale (user
+    * cardinality is high, so partitions stay balanced; contrast the hot
+    * 5-value event_type keys that need [[Chunked.frames]]). */
+  def sessionizeDf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame =
+    sessionizeDf(Tables.events(s, d), gapMinutes)
+
   /** Top-k rows per group by a measure — the canonical window+filter
     * pattern (per-partition heap, no global sort). */
   def topKPerGroup(s: SparkSession, d: String, k: Int = 3): DataFrame = {

@@ -95,6 +95,49 @@ class WindowSpec extends SparkSpec {
     assert(self.exists(p => math.abs(p._2 - 1.0) < 1e-9))
   }
 
+  test("sessionize splits on >30min gaps and covers every event exactly once") {
+    import spark.implicits._
+    def t(mins: Long) = new java.sql.Timestamp(1704067200000L + mins * 60000L)
+    // user 1: a 3-event burst, a 2h gap, a 2-event burst; user 2: singleton
+    val fx = Seq(
+      (1L, 1L, t(0)), (1L, 2L, t(10)), (1L, 3L, t(20)),
+      (1L, 4L, t(150)), (1L, 5L, t(160)),
+      (2L, 6L, t(0))).toDF("user_id", "event_id", "ts")
+    val sess = graft.ops.Windows.sessionizeDf(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sess == Map(
+      (1L, 1L) -> (3L, 20L * 60000000L),
+      (1L, 2L) -> (2L, 10L * 60000000L),
+      (2L, 1L) -> (1L, 0L)))
+    // on the real corpus: partition of the events, no loss, no overlap
+    val df = q("q_sessionize")
+    assert(df.agg(sum(col("n_events"))).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    assert(df.filter(col("duration_us") < 0).count() == 0)
+  }
+
+  test("stratified sample balances strata deterministically with a broadcast-only fact path") {
+    val counts = q("q_sample_stratified").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prof = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = prof.values.min
+    val target = nMin / 2.0
+    prof.foreach { case (t, nT) =>
+      val c = counts.getOrElse(t, 0L)
+      assert(c < nT, s"stratum '$t' must be genuinely thinned ($c of $nT kept)")
+      assert(math.abs(c - target) <= 5 * math.sqrt(target) + 1,
+        s"stratum '$t' sampled $c, want ≈$target")
+    }
+    // deterministic in the key: a second run yields the identical set
+    val a = q("q_sample_stratified").collect().map(_.getLong(1)).toSet
+    val b = q("q_sample_stratified").collect().map(_.getLong(1)).toSet
+    assert(a == b)
+    // the fact side meets the 5-row rate table by broadcast, not shuffle
+    val plan = q("q_sample_stratified").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("rank/lag window results align with per-user ordering") {
     val lagged = q("q_window_lag").limit(0) // schema check only
     assert(lagged.columns.toSeq ==

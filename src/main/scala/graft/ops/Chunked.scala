@@ -71,6 +71,28 @@ object Chunked {
     out.toMap
   }
 
+  /** Chunk plans are cached per (input plan, series, time, minRows,
+    * nBoundaries) for the life of the JVM — the quantile pass and the
+    * per-(series, chunk) counts are PROPERTIES OF THE DATA, not of the
+    * query, so the whole stride-1 family (sliding stats, batched
+    * predict, GRU, shape search) over the same corpus shares one plan
+    * instead of each query paying the two planning jobs again (the same
+    * train-once lifecycle as [[Similarity.trainedCentroids]]). */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Long, Int), (Column, DataFrame)]()
+
+  /** Checkpointed boundary rows per (corpus, series, time, id, k, …) —
+    * see the cache note inside [[frames]]. Bounded: ≤ 2(k−1) rows per
+    * chunk, independent of the frame columns requested. */
+  private val boundaryCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String, Int, Long, Int), DataFrame]()
+
+  private[graft] def chunkPlanCached(df: DataFrame, series: String, time: String,
+      minRows: Long, nBoundaries: Int): (Column, DataFrame) =
+    planCache.computeIfAbsent(
+      (df.queryExecution.logical.semanticHash(), series, time, minRows, nBoundaries),
+      _ => chunkPlan(df, series, time, minRows, nBoundaries))
+
   /** The (series, candidateChunk) → finalChunk assignment as a tiny
     * broadcastable DataFrame, plus the candidate-chunk column expression
     * (a codegen'd sum of boundary comparisons — no UDF, no HOF).
@@ -111,30 +133,66 @@ object Chunked {
     * caller's frame columns from the chunked WindowSpec; an internal
     * frame count keeps only COMPLETE windows (the family's shared
     * `w_cnt === k` filter), so callers get exactly the plain window's
-    * qualifying rows plus their frame columns. */
+    * qualifying rows plus their frame columns.
+    *
+    * Cost shape (the r2 version shuffled the corpus twice and sorted it
+    * three times; this one matches the PLAIN window's data motion): one
+    * exchange + sort of the corpus, with ONE WindowExec computing the
+    * caller's frames plus two marker counts over different frames of the
+    * same sort — `_n` (trailing frame size: `_n === k` ⇔ the frame is
+    * complete within the chunk) and `_nf` (leading frame size: `_nf < k`
+    * ⇔ the row is one of the chunk's last k−1, i.e. successor warm-up).
+    * Rows with in-chunk-complete frames emit straight off that pass.
+    * Only the BOUNDARY set — chunk heads (incomplete in-chunk frame) and
+    * chunk tails (warm-up context, ≤ 2(k−1) rows per chunk in total) —
+    * goes through a second, checkpointed mini-pass that re-evaluates the
+    * heads' frames with the predecessor's tail rows present and discards
+    * the warm copies. The checkpoint bounds lineage AND stops the big
+    * subtree re-executing for each tiny branch; its size is boundary
+    * rows, never the corpus. */
   def frames(df: DataFrame, series: String, time: String, id: String, k: Int,
       minChunkRows: Long = 8192, nBoundaries: Int = 32)
       (frameCols: WindowSpec => Seq[Column]): DataFrame = {
     require(k >= 1, "window length must be >= 1")
     val minRows = math.max((k - 1).toLong, minChunkRows)
-    val (ccExpr, mapping) = chunkPlan(df, series, time, minRows, nBoundaries)
+    val (ccExpr, mapping) = chunkPlanCached(df, series, time, minRows, nBoundaries)
     val based = df.withColumn("_cc", ccExpr)
       .join(broadcast(mapping), Seq(series, "_cc"))
-    // tag each chunk's trailing k−1 rows (bounded per-chunk sort), then
-    // replicate them into the successor chunk as warm-up
-    val wDesc = Window.partitionBy(col(series), col("_fc"))
-      .orderBy(col(time).desc, col(id).desc)
-    val tagged = based.withColumn("_rd", row_number().over(wDesc))
-    val warm = tagged.filter(col("_rd") <= k - 1)
-      .withColumn("_fc", col("_fc") + 1)
-      .withColumn("_warm", lit(true))
-    val all = tagged.withColumn("_warm", lit(false)).unionByName(warm)
-    val w = Window.partitionBy(col(series), col("_fc"))
-      .orderBy(col(time), col(id)).rowsBetween(-(k - 1), 0)
-    val outCols = df.columns.map(col).toSeq ++ frameCols(w) :+
-      count(lit(1)).over(w).as("_n") :+ col("_warm")
-    all.select(outCols: _*)
+    val wp = Window.partitionBy(col(series), col("_fc"))
+      .orderBy(col(time), col(id))
+    val w  = wp.rowsBetween(-(k - 1), 0)
+    val wf = wp.rowsBetween(0, k - 1)
+    val fcols = frameCols(w)
+    val windowed = based.select((df.columns.map(col).toSeq :+ col("_fc")) ++
+      fcols :+ count(lit(1)).over(w).as("_n") :+ count(lit(1)).over(wf).as("_nf"): _*)
+    val frameNames = windowed.columns
+      .slice(df.columns.length + 1, df.columns.length + 1 + fcols.length)
+    val outCols = (df.columns ++ frameNames).map(col).toSeq
+    val mainOut = windowed.filter(col("_n") === k).select(outCols: _*)
+    // boundary mini-pass: heads (frame incomplete in-chunk) re-evaluate
+    // with the predecessor chunk's last k−1 rows replicated in as warm-up.
+    // The boundary SET depends only on (corpus, series, time, id, k) —
+    // never on the caller's frame columns — so the checkpointed rows are
+    // cached and shared across the whole family (sliding stats, batched
+    // predict, GRU all chunk the same corpus at the same k): each query
+    // pays ONE corpus-sized pass, not two. The cached branch prunes the
+    // frame columns out of its WindowExec (only _n/_nf are referenced),
+    // so even the first computation skips the collect_list work.
+    val boundary = boundaryCache.computeIfAbsent(
+      (df.queryExecution.logical.semanticHash(), series, time, id, k, minRows, nBoundaries),
+      _ => windowed
+        .filter(col("_n") < k || col("_nf") < k)
+        .select((df.columns.map(col) :+ col("_fc") :+ col("_n") :+ col("_nf")): _*)
+        .localCheckpoint(true))
+    val heads = boundary.filter(col("_n") < k).withColumn("_warm", lit(false))
+    val tails = boundary.filter(col("_nf") < k)
+      .withColumn("_fc", col("_fc") + 1).withColumn("_warm", lit(true))
+    val tiny = heads.unionByName(tails).drop("_n", "_nf")
+    val tinyCols = (df.columns.map(col).toSeq :+ col("_warm")) ++
+      frameCols(w) :+ count(lit(1)).over(w).as("_n")
+    val tinyOut = tiny.select(tinyCols: _*)
       .filter(!col("_warm") && col("_n") === k)
-      .drop("_n", "_warm")
+      .select(outCols: _*)
+    mainOut.unionByName(tinyOut)
   }
 }

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_window_ntile"   -> ((s, d) => Windows.ntileBuckets(s, d)),
     "q_window_topk"    -> ((s, d) => Windows.topKPerGroup(s, d)),
     "q_sessionize"     -> ((s, d) => Windows.sessionize(s, d)),
+    "q_session_window" -> ((s, d) => Windows.sessionWindowNative(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
@@ -255,6 +256,23 @@ object SparkEntry {
          SELECT user_id, sess_idx, count(*) AS n_events,
            CAST(max(us) - min(us) AS BIGINT) AS duration_us
          FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""",
+    // native session_window semantics: a gap of EXACTLY the threshold
+    // starts a new session (>=, not >) and end = last event + gap
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                 OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (SELECT user_id, us,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+           FROM l)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sess_idx ORDER BY user_id, start_us""",
     // mirrors Relational.stratifiedSample: per-stratum keep-threshold
     // floor(0.5 * n_min/n_t * 2^32) against the top 32 bits of the
     // HUGEINT rolling hash of 'strat#'||event_id||'#v1' (same fold as

@@ -140,6 +140,26 @@ object Windows {
   def sessionize(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame =
     sessionizeDf(Tables.events(s, d), gapMinutes)
 
+  /** The same segmentation through Spark's NATIVE session_window
+    * operator (one `groupBy(session_window(ts, gap), user)` — Spark
+    * plans the merge of overlapping per-event windows itself, the same
+    * state machinery Structured Streaming uses for streaming sessions).
+    * Semantics differ from [[sessionizeDf]] at exactly one edge: a gap
+    * of EXACTLY `gap` starts a new session here (window end is
+    * exclusive), while the lag formulation splits only on strictly
+    * greater — the oracle mirrors the ≥ edge. Output start/end are the
+    * session bounds in epoch micros (end = last event + gap). */
+  def sessionWindowNative(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** Top-k rows per group by a measure — the canonical window+filter
     * pattern (per-partition heap, no global sort). */
   def topKPerGroup(s: SparkSession, d: String, k: Int = 3): DataFrame = {

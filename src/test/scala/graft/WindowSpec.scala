@@ -116,6 +116,23 @@ class WindowSpec extends SparkSpec {
     assert(df.filter(col("duration_us") < 0).count() == 0)
   }
 
+  test("native session_window agrees with gaps-and-islands up to the >= edge") {
+    val nat = q("q_session_window")
+    val gi = q("q_sessionize")
+    // same corpus, same gap: total events covered identically; session
+    // counts can differ only on gaps of exactly 30min (none in a
+    // continuous-time fixture, but don't assume — compare bounds)
+    assert(nat.agg(sum(col("n_events"))).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    val natSessions = nat.count()
+    val giSessions = gi.count()
+    assert(natSessions >= giSessions, "session_window splits >= the lag formulation")
+    // every native session is internally consistent: end = start + span + gap
+    nat.collect().foreach { r =>
+      assert(r.getAs[Long]("end_us") > r.getAs[Long]("start_us"))
+    }
+  }
+
   test("stratified sample balances strata deterministically with a broadcast-only fact path") {
     val counts = q("q_sample_stratified").groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

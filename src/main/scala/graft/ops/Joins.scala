@@ -95,8 +95,10 @@ object Joins {
       pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
     val repl = small.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    salted.hint("shuffle_hash")
-      .join(repl, Seq(key, "__salt"))
+    // the hint rides the SMALL side so it becomes the hash-table build
+    // side (BuildRight) — building over the fact side would materialize
+    // a per-partition hash table of the corpus at scale
+    salted.join(repl.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
 

@@ -163,7 +163,9 @@ object Drive {
           "q_join_broadcast", "q_join_bucketed", "q_sliding_windows",
           "q_minmax_scale", "q_last5_window", "q_predict_next", "q_ann_ivf",
           "q_dedup_embed", "q_predict_windows", "q_top_tokens",
-          "q_scan_partitioned", "q_ts_search").foreach { name =>
+          "q_scan_partitioned", "q_ts_search", "q_join_skew_salted",
+          "q_sql_correlated", "q_sample_stratified", "q_sessionize",
+          "q_session_window").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

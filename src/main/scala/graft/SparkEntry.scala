@@ -47,6 +47,7 @@ object SparkEntry {
     "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_sketch_rollup"   -> ((s, d) => Aggregates.sketchRollup(s, d)),
     "q_agg_pivot"       -> ((s, d) => Aggregates.pivotEventValues(s, d)),
+    "q_agg_monthly"     -> ((s, d) => Aggregates.monthlyRevenue(s, d)),
     "q_agg_unpivot"     -> ((s, d) => Aggregates.unpivotEventValues(s, d)),
     // §2.3 joins
     "q_join_broadcast" -> ((s, d) => Joins.broadcastJoin(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_window_topk"    -> ((s, d) => Windows.topKPerGroup(s, d)),
     "q_sessionize"     -> ((s, d) => Windows.sessionize(s, d)),
     "q_session_window" -> ((s, d) => Windows.sessionWindowNative(s, d)),
+    "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
@@ -96,6 +98,7 @@ object SparkEntry {
     "q_text_langid"      -> ((s, d) => TextOps.langId(s, d)),
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
+    "q_text_editdist"    -> ((s, d) => TextOps.editDistanceConsecutive(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
@@ -124,6 +127,7 @@ object SparkEntry {
     "q_stream_pipeline"  -> ((s, d) => graft.streaming.Pipeline.streamPipeline(s, d)),
     "q_event_window"     -> ((s, d) => graft.streaming.Pipeline.eventTimeWindow(s, d)),
     "q_stream_dedup"     -> ((s, d) => graft.streaming.Pipeline.streamDedup(s, d)),
+    "q_stream_dedup_wm"  -> ((s, d) => graft.streaming.Pipeline.streamDedupBounded(s, d)),
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
     "q_stream_metrics"   -> ((s, d) => graft.streaming.Pipeline.streamWithMetrics(s, d)),
     "q_stream_join"      -> ((s, d) => graft.streaming.Pipeline.streamStreamJoin(s, d)),
@@ -305,6 +309,26 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // watermark-bounded streaming dedup: the derived delay spans the
+    // whole staged corpus, so no state evicts mid-drain and the output
+    // equals the batch DISTINCT (in production the delay is minutes and
+    // the state store stays bounded — that is the point of the operator)
+    "q_stream_dedup_wm" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "q_agg_monthly" ->
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+          count(*) AS n_orders, ${dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_window_pctrank" ->
+      """SELECT event_id,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+         FROM events ORDER BY event_id""",
+    "q_text_editdist" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         ORDER BY id_a""",
     "q_join_broadcast" ->
       """SELECT n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",

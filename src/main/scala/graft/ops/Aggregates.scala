@@ -63,6 +63,17 @@ object Aggregates {
   /** Global metric summary — the reference's latency-stats computation
     * (`stream_consumer.py:110-111`: mean/min/max over the collected series)
     * as one distributed aggregate. */
+  /** Calendar-bucket rollup via date_trunc — the time-dimension cousin
+    * of the key-grouped aggregates: one partial/final aggregate on the
+    * truncated month, never a per-month window. The month bucket is a
+    * pure scan-side expression, so partition pruning on a date-
+    * partitioned layout composes with it for free. */
+  def monthlyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+
   def metricsSummary(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .agg(

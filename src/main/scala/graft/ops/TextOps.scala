@@ -156,4 +156,20 @@ object TextOps {
           regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("rh"))
       .orderBy(col("doc_id"))
   }
+
+  /** Edit-distance between consecutive documents' prefixes — the fuzzy
+    * VERIFY stage of a dedup pipeline (levenshtein is O(len²) per pair,
+    * so at scale it only ever runs on blocked candidates, here the
+    * consecutive-pair calibration set, and on bounded prefixes). Uses
+    * the built-in codegen'd `levenshtein`. */
+  def editDistanceConsecutive(s: SparkSession, d: String, prefix: Int = 80): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, prefix).as("p"))
+    docs.select(col("doc_id").as("id_a"), col("p").as("pa"))
+      .join(docs.select(col("doc_id").as("id_b"), col("p").as("pb")),
+        col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"))
+      .orderBy(col("id_a"))
+  }
 }

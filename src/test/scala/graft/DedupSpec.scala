@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(distinct > n / 2, "signatures should be diverse on non-dup docs")
   }
 
+  test("edit distance: zero against self, bounded by the compared prefix length") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val self = docs.select(
+      levenshtein(substring(col("text"), 1, 80), substring(col("text"), 1, 80)).as("d"))
+      .agg(max(col("d"))).head().getInt(0)
+    assert(self == 0)
+    q("q_text_editdist").collect().foreach { r =>
+      val d = r.getAs[Long]("edit_dist")
+      assert(d >= 0 && d <= 80)
+    }
+  }
+
   test("simhash pairs have hamming <= 3 and are id-ordered") {
     Dedup.simhashPairs(spark, sf).collect().foreach { r =>
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))

@@ -38,6 +38,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark-bounded streaming dedup equals the unbounded one on an in-span corpus") {
+    val bounded = q("q_stream_dedup_wm").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val unbounded = q("q_stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bounded == unbounded,
+      "corpus span fits inside the derived watermark delay, so no key state may evict mid-drain")
+  }
+
   test("stateful predictions emit one row per series per micro-batch") {
     val rows = q("q_stateful_predict").collect()
     val series = Tables.events(spark, sf).select("event_type").distinct()

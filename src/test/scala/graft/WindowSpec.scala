@@ -116,6 +116,22 @@ class WindowSpec extends SparkSpec {
     assert(df.filter(col("duration_us") < 0).count() == 0)
   }
 
+  test("percent_rank/cume_dist are in [0,1] with the right endpoints per series") {
+    val rows = q("q_window_pctrank").collect()
+    rows.foreach { r =>
+      val pr = r.getDouble(1); val cd = r.getDouble(2)
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    // every series has a minimum (pr == 0) and the last row's cd == 1
+    assert(rows.count(_.getDouble(1) == 0.0) >= 1)
+    assert(rows.count(_.getDouble(2) == 1.0) >= 1)
+  }
+
+  test("monthly rollup partitions the orders table") {
+    assert(q("q_agg_monthly").agg(sum(col("n_orders"))).head().getLong(0) ==
+      Tables.orders(spark, sf).count())
+  }
+
   test("native session_window agrees with gaps-and-islands up to the >= edge") {
     val nat = q("q_session_window")
     val gi = q("q_sessionize")

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     "q_text_editdist"    -> ((s, d) => TextOps.editDistanceConsecutive(s, d)),
+    "q_text_scrub"       -> ((s, d) => TextOps.scrub(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_dedup_minhash"       -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
+    "q_decontaminate"       -> ((s, d) => Dedup.decontaminate(s, d)),
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
     "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
@@ -329,6 +331,47 @@ object SparkEntry {
          CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default; the patterns themselves are RE2-safe
+    "q_text_scrub" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]+', '<NUM>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
+    // decontamination = hashSplit ⋈ content fingerprints ⋈ the exact
+    // >=0.5-Jaccard pair set (same CTEs as q_dedup_minhash's oracle)
+    "q_decontaminate" ->
+      """WITH sp AS (SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents),
+         fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         ex AS (SELECT tt.doc_id AS test_id, tr.doc_id AS train_id, 'exact' AS reason
+                FROM fp tr JOIN sp str ON str.doc_id = tr.doc_id AND str.split = 'train'
+                JOIN fp tt ON tt.fp = tr.fp
+                JOIN sp stt ON stt.doc_id = tt.doc_id AND stt.split = 'test'),
+         arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT id_a, id_b
+                FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5),
+         nd AS (SELECT jp.id_b AS test_id, jp.id_a AS train_id, 'neardup' AS reason
+                FROM jp JOIN sp sa ON sa.doc_id = jp.id_a AND sa.split = 'train'
+                JOIN sp sb ON sb.doc_id = jp.id_b AND sb.split = 'test'
+                UNION ALL
+                SELECT jp.id_a AS test_id, jp.id_b AS train_id, 'neardup' AS reason
+                FROM jp JOIN sp sa ON sa.doc_id = jp.id_a AND sa.split = 'test'
+                JOIN sp sb ON sb.doc_id = jp.id_b AND sb.split = 'train')
+         SELECT test_id, train_id, min(reason) AS reason
+         FROM (SELECT * FROM ex UNION ALL SELECT * FROM nd) u
+         GROUP BY test_id, train_id ORDER BY test_id, train_id""",
     "q_join_broadcast" ->
       """SELECT n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey ORDER BY n_name""",

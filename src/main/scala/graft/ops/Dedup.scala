@@ -210,6 +210,40 @@ object Dedup {
       .withColumn("is_keeper", col("doc_id") === col("component"))
       .orderBy(col("doc_id"))
 
+  /** Train/test DECONTAMINATION — the corpus-hygiene op every training
+    * pipeline runs before eval: find test-split documents whose content
+    * leaks from the train split, either verbatim (same content hash) or
+    * as a near-duplicate (≥0.5 shingle Jaccard via the LSH pair set).
+    * Pure composition of already-proven parts: [[TextOps.hashSplit]]
+    * (coordination-free split) ⋈ content fingerprints ⋈
+    * [[minhashLshPairs]] — every join an equi-join on hashes/ids, no
+    * new shuffle shape. One row per contaminated (test, train) pair,
+    * reason = 'exact' before 'neardup' when both hold. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val split = TextOps.hashSplit(s, d)
+    val fp = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(split, Seq("doc_id"))
+    val exactPairs = fp.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("fp"))
+      .join(fp.filter(col("split") === "test")
+        .select(col("doc_id").as("test_id"), col("fp")), Seq("fp"))
+      .select(col("test_id"), col("train_id"), lit("exact").as("reason"))
+    val withSplits = minhashLshPairs(s, d)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sp_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sp_b")), Seq("id_b"))
+    val nearPairs = withSplits
+      .filter(col("sp_a") === "train" && col("sp_b") === "test")
+      .select(col("id_b").as("test_id"), col("id_a").as("train_id"))
+      .unionByName(withSplits
+        .filter(col("sp_a") === "test" && col("sp_b") === "train")
+        .select(col("id_a").as("test_id"), col("id_b").as("train_id")))
+      .select(col("test_id"), col("train_id"), lit("neardup").as("reason"))
+    exactPairs.unionByName(nearPairs)
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(min(col("reason")).as("reason"))
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** 64-bit SimHash per document: per bit j, sum ±1 weighted by whether
     * bit j of each shingle hash is set; bit j of the signature = sign.
     * One explode + one 64-column aggregate — no shuffle of text.

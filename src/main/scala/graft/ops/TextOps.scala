@@ -157,6 +157,20 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Text scrubbing: mask emails then digit runs — the privacy/cleaning
+    * pass of a corpus pipeline. Pure per-row regexp_replace (codegen'd,
+    * zero shuffle); patterns are RE2-safe so the identical regexes run
+    * in the DuckDB oracle (with its 'g' flag matching Spark's
+    * replace-all default). */
+  def scrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+
   /** Edit-distance between consecutive documents' prefixes — the fuzzy
     * VERIFY stage of a dedup pipeline (levenshtein is O(len²) per pair,
     * so at scale it only ever runs on blocked candidates, here the

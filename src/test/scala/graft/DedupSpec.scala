@@ -109,6 +109,34 @@ class DedupSpec extends SparkSpec {
     assert(distinct > n / 2, "signatures should be diverse on non-dup docs")
   }
 
+  test("decontamination pairs genuinely span the split boundary") {
+    val split = graft.ops.TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("q_decontaminate").collect()
+    rows.foreach { r =>
+      assert(split(r.getAs[Long]("test_id")) == "test")
+      assert(split(r.getAs[Long]("train_id")) == "train")
+      assert(Set("exact", "neardup")(r.getAs[String]("reason")))
+    }
+    // exact contamination implies identical fingerprints
+    val fps = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getAs[String]("reason") == "exact").foreach { r =>
+      assert(fps(r.getAs[Long]("test_id")) == fps(r.getAs[Long]("train_id")))
+    }
+  }
+
+  test("scrub masks every digit run and leaves no raw digits behind") {
+    val scrubbed = graft.ops.TextOps.scrub(spark, sf)
+    assert(scrubbed.filter(col("scrubbed").rlike("[0-9]")).count() == 0)
+    // masking is idempotent
+    val twice = scrubbed.select(col("doc_id"),
+      regexp_replace(col("scrubbed"), "[0-9]+", "<NUM>").as("s2"))
+    assert(scrubbed.join(twice, "doc_id")
+      .filter(col("scrubbed") =!= col("s2")).count() == 0)
+  }
+
   test("edit distance: zero against self, bounded by the compared prefix length") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -87,6 +87,41 @@ class ChunkedSpec extends SparkSpec {
     }
   }
 
+  test("boundary cache is frame-agnostic: two frame families over one corpus stay correct") {
+    // the boundary-set cache key deliberately OMITS the caller's frame
+    // columns (the set depends only on corpus/series/time/id/k); this
+    // guards the invariant by running two different frame families over
+    // the same fixture+k — the second call reuses the first's cached
+    // boundary rows and must still match its own plain-window truth
+    val k = 7
+    val df = skewed(hot = 2000, cold = 60)
+    val plainW = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+    def plain(cols: Seq[(String, org.apache.spark.sql.Column)]) =
+      df.select(col("event_id") +: (count(lit(1)).over(plainW).as("c") +:
+          cols.map { case (n, c) => c.as(n) }): _*)
+        .filter(col("c") === k).drop("c")
+    def chunked(cols: (org.apache.spark.sql.expressions.WindowSpec => Seq[org.apache.spark.sql.Column])) =
+      Chunked.frames(df, "event_type", "ts", "event_id", k,
+        minChunkRows = 100, nBoundaries = 16)(cols)
+    // family 1: sum
+    val s1 = chunked(w => Seq(sum(col("value")).over(w).as("s")))
+      .select("event_id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p1 = plain(Seq("s" -> sum(col("value")).over(plainW))).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("s")).toMap
+    assert(s1.keySet == p1.keySet && s1.forall { case (id, v) => math.abs(v - p1(id)) < 1e-9 })
+    // family 2 (cache hit): min/max — different frame columns entirely
+    val s2 = chunked(w => Seq(min(col("value")).over(w).as("mn"),
+        max(col("value")).over(w).as("mx")))
+      .select("event_id", "mn", "mx").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val p2 = plain(Seq("mn" -> min(col("value")).over(plainW),
+        "mx" -> max(col("value")).over(plainW)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("mn"), r.getAs[Double]("mx"))).toMap
+    assert(s2 == p2)
+  }
+
   test("chunked sliding stats on real events equal the plain-window formulation") {
     val k = 60
     val plainW = Window.partitionBy(col("event_type"))

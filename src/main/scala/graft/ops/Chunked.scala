@@ -43,6 +43,12 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * alone to keep the candidate key a pure codegen'd column). Real tick
   * streams disperse in time; the degenerate case degrades to the old
   * one-task behavior, never to wrong results.
+  *
+  * Driver-side budget: the merge step collects one count row per
+  * (series, candidate chunk) — O(|series| · nBoundaries). Chunking
+  * exists for LOW-cardinality hot series keys (the skew case this file
+  * solves); a high-cardinality series key already balances under the
+  * plain window and should not route through [[frames]].
   */
 object Chunked {
 

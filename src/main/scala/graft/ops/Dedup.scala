@@ -94,7 +94,21 @@ object Dedup {
     * probability at j=0.5, vanishing above it). Only 8-byte bucket keys
     * shuffle for candidate generation; shingle arrays travel once, for
     * the surviving candidates. */
-  def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+  /** Near-dup PAIR SETS are cached per (corpus, threshold) for the life
+    * of the JVM — the signature/banding pipeline is an INDEX over the
+    * corpus, built once and consumed by every downstream client
+    * (near-dup listing, cluster components, decontamination), the same
+    * build-once lifecycle as [[Similarity.trainedCentroids]]. The
+    * checkpointed result is tiny (matched pairs only), so the cache
+    * stores kilobytes while saving the shingle+signature scans. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
+
+  def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
+    pairsCache.computeIfAbsent((d, threshold),
+      _ => minhashLshPairsUncached(s, d, threshold).localCheckpoint(true))
+
+  private def minhashLshPairsUncached(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)

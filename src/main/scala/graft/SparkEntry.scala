@@ -100,6 +100,7 @@ object SparkEntry {
     "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     "q_text_editdist"    -> ((s, d) => TextOps.editDistanceConsecutive(s, d)),
     "q_text_scrub"       -> ((s, d) => TextOps.scrub(s, d)),
+    "q_text_novelty"     -> ((s, d) => TextOps.bigramNovelty(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
@@ -331,6 +332,18 @@ object SparkEntry {
          CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
+    // exact counts, one final double division — value-exact without
+    // decimal routing; docs with <2 tokens have no bigrams and no row
+    "q_text_novelty" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         bg AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 1))) t(i)),
+         df AS (SELECT bigram, count(*) AS dfreq FROM bg GROUP BY bigram)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+         FROM bg JOIN df USING (bigram)
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all default; the patterns themselves are RE2-safe
     "q_text_scrub" ->

@@ -157,6 +157,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct 2-token bigrams per document (UDF over the split-once
+    * token array for the same interpreted-HOF-inlining reason as
+    * Dedup.shingles — see that scaladoc; only set membership is
+    * consumed downstream). */
+  private val bigramUdf = org.apache.spark.sql.functions.udf { (toks: Seq[String]) =>
+    if (toks.length < 2) Seq.empty[String]
+    else toks.sliding(2).map(_.mkString(" ")).toVector.distinct
+  }
+
+  /** Bigram NOVELTY — the fraction of a document's distinct bigrams
+    * that occur in NO other document: a corpus-level
+    * diversity/boilerplate signal (template-heavy docs score ≈0, novel
+    * prose ≈1). Two aggregates and one equi-join, all on bigram/doc
+    * keys: explode distinct bigrams → document-frequency per bigram
+    * (partial-aggregating count) → join back → per-doc ratio. The only
+    * floating-point op is one final division of exact counts, so the
+    * oracle is value-exact with no decimal routing. */
+  def bigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigramUdf(tokens(col("text")))).as("bigram"))
+    val docFreq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    bg.join(docFreq, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast(org.apache.spark.sql.types.DoubleType) / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text scrubbing: mask emails then digit runs — the privacy/cleaning
     * pass of a corpus pipeline. Pure per-row regexp_replace (codegen'd,
     * zero shuffle); patterns are RE2-safe so the identical regexes run

@@ -57,6 +57,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp1 == noisy)
   }
 
+  test("bigram novelty is a valid ratio and a duplicated doc zeroes out") {
+    val rows = SparkEntry.queries("q_text_novelty")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams"); val u = r.getAs[Long]("n_unique")
+      assert(u >= 0 && u <= n)
+      assert(r.getAs[Double]("novelty") == u.toDouble / n)
+    }
+    // exact duplicates share every bigram, so both score 0 novelty
+    val fps = Tables.documents(spark, sf)
+      .groupBy(md5(col("text"))).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (fps.nonEmpty) {
+      val nov = rows.map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+      fps.foreach(id => assert(nov.get(id).forall(_ == 0.0),
+        s"duplicated doc $id must have zero novelty"))
+    }
+  }
+
   test("multimodal oracle precondition: fixture text is pure ASCII") {
     // the q_multimodal_features oracle folds DuckDB CHARACTERS while the
     // Spark side folds UTF-8 BYTES; the two agree only while every

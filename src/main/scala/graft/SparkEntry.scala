@@ -46,6 +46,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Aggregates.approxDistinctParts(s, d)),
     "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_sketch_rollup"   -> ((s, d) => Aggregates.sketchRollup(s, d)),
+    "q_approx_topk"     -> ((s, d) => Aggregates.approxTopTokens(s, d)),
     "q_agg_pivot"       -> ((s, d) => Aggregates.pivotEventValues(s, d)),
     "q_agg_monthly"     -> ((s, d) => Aggregates.monthlyRevenue(s, d)),
     "q_agg_unpivot"     -> ((s, d) => Aggregates.unpivotEventValues(s, d)),

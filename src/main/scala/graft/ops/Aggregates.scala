@@ -63,6 +63,22 @@ object Aggregates {
   /** Global metric summary — the reference's latency-stats computation
     * (`stream_consumer.py:110-111`: mean/min/max over the collected series)
     * as one distributed aggregate. */
+  /** A7 sketch family — approximate HEAVY HITTERS via Spark 4's
+    * `approx_top_k` (a mergeable frequency sketch: per-partition
+    * sketches combine associatively, so only sketch buffers shuffle —
+    * never the token stream). The scale path for "top terms over 100 TB
+    * of text" when the exact vocab aggregate (q_top_tokens) gets too
+    * wide; approximate by construction → rows-only, spec pins it to the
+    * exact counts. */
+  def approxTopTokens(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(expr(s"approx_top_k(token, $k)").as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "tc")))
+      .select((col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("rnk"),
+        col("tc.item").as("token"), col("tc.count").as("est_freq"))
+
   /** Calendar-bucket rollup via date_trunc — the time-dimension cousin
     * of the key-grouped aggregates: one partial/final aggregate on the
     * truncated month, never a per-month window. The month bucket is a

@@ -109,6 +109,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_top_k heavy hitters pin to the exact vocabulary counts") {
+    val approx = q("q_approx_topk").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_freq")).toMap
+    val exact = q("q_top_tokens").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("freq")).toMap
+    // at this scale the sketch tracks far more items than the true
+    // vocabulary head, so the top-10 exact tokens must all surface with
+    // exact counts
+    exact.toSeq.sortBy(-_._2).take(10).foreach { case (t, f) =>
+      assert(approx.contains(t), s"heavy hitter '$t' missing from sketch")
+      assert(approx(t) == f, s"'$t': sketch ${approx(t)} != exact $f")
+    }
+  }
+
   test("semi + anti partition customers") {
     val total = Tables.customer(spark, sf).count()
     assert(q("q_join_semi").count() + q("q_join_anti").count() == total)

@@ -87,6 +87,54 @@ class ChunkedSpec extends SparkSpec {
     }
   }
 
+  test("property: chunked == plain on random fixtures (ties, tiny chunks, any k)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    // deliberately nasty: duplicate timestamps (ties decided by id),
+    // minChunkRows small enough that chunk merges and warm-ups matter,
+    // series lengths straddling k
+    val gen = for {
+      k        <- Gen.choose(1, 6)
+      nSeries  <- Gen.choose(1, 3)
+      sizes    <- Gen.listOfN(nSeries, Gen.choose(0, 120))
+      tsSteps  <- Gen.listOfN(sizes.sum, Gen.choose(0L, 3L)) // 0 ⇒ tie
+      minRows  <- Gen.oneOf(4L, 16L, 64L)
+      nBounds  <- Gen.oneOf(4, 8)
+    } yield (k, sizes, tsSteps, minRows, nBounds)
+    val prop = forAll(gen) { case (k, sizes, tsSteps, minRows, nBounds) =>
+      var id = 0L
+      var t = 1700000000000L
+      val steps = tsSteps.iterator
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (0 until n).map { _ =>
+          id += 1
+          t += (if (steps.hasNext) steps.next() * 1000L else 1000L)
+          (id, s"s$si", new java.sql.Timestamp(t), (id % 17).toDouble)
+        }
+      }
+      rows.isEmpty || {
+        val df = rows.toDF("event_id", "event_type", "ts", "value")
+        val plainW = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+        val plain = df.select(col("event_id"),
+            count(lit(1)).over(plainW).as("c"),
+            collect_list(col("value")).over(plainW).as("w"))
+          .filter(col("c") === k)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toList).toMap
+        val chunked = Chunked.frames(df, "event_type", "ts", "event_id", k,
+            minChunkRows = minRows, nBoundaries = nBounds) { w =>
+            Seq(collect_list(col("value")).over(w).as("w"))
+          }
+          .select(col("event_id"), col("w"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+        chunked == plain
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("boundary cache is frame-agnostic: two frame families over one corpus stay correct") {
     // the boundary-set cache key deliberately OMITS the caller's frame
     // columns (the set depends only on corpus/series/time/id/k); this

@@ -169,19 +169,30 @@ object TextOps {
   /** Bigram NOVELTY — the fraction of a document's distinct bigrams
     * that occur in NO other document: a corpus-level
     * diversity/boilerplate signal (template-heavy docs score ≈0, novel
-    * prose ≈1). Two aggregates and one equi-join, all on bigram/doc
-    * keys: explode distinct bigrams → document-frequency per bigram
-    * (partial-aggregating count) → join back → per-doc ratio. The only
-    * floating-point op is one final division of exact counts, so the
-    * oracle is value-exact with no decimal routing. */
+    * prose ≈1). The only floating-point op is one final division of
+    * exact counts, so the oracle is value-exact with no decimal routing.
+    *
+    * Skew-proof by construction: NO join ever runs on the bigram key.
+    * Bigrams are distinct per document, so a df==1 bigram has exactly
+    * one occurrence row — its owning doc_id rides the same partial-
+    * aggregating groupBy that computes df (min(doc_id) over a single
+    * row IS that row). A stop-bigram like "of the" (present in nearly
+    * every document at 100 TB) contributes one row per map partition to
+    * the shuffle (map-side combine), then dies at the df==1 filter.
+    * The denominator `n_bigrams` is a plain per-doc count of the
+    * exploded bigrams; the final assembly is a left join on doc_id —
+    * unique on both sides, skew-free. */
   def bigramNovelty(s: SparkSession, d: String): DataFrame = {
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), explode(bigramUdf(tokens(col("text")))).as("bigram"))
-    val docFreq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
-    bg.join(docFreq, Seq("bigram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+    val uniquePerDoc = bg.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1L)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .withColumn("novelty",
         col("n_unique").cast(org.apache.spark.sql.types.DoubleType) / col("n_bigrams"))
       .orderBy(col("doc_id"))

@@ -76,6 +76,38 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bigram novelty: no join on the bigram key, and parity with the naive join plan") {
+    val df = SparkEntry.queries("q_text_novelty")(spark, sf)
+    // scale guard: the only join in the plan assembles per-doc counts on
+    // doc_id (unique both sides). A join keyed on raw bigrams would
+    // funnel every occurrence of a stop-bigram through one task at
+    // 100 TB — assert no physical join references the bigram column.
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val keyed = j.condition.toSeq.flatMap(_.references)
+      assert(!keyed.exists(_.name == "bigram"),
+        s"join keyed on bigram found in plan: $j")
+    }
+    // output parity with the straightforward (skew-prone) formulation
+    val bg = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(org.apache.spark.sql.functions.udf {
+        (toks: Seq[String]) =>
+          if (toks.length < 2) Seq.empty[String]
+          else toks.sliding(2).map(_.mkString(" ")).toVector.distinct
+      }.apply(split(lower(trim(col("text"))), "\\s+"))).as("bigram"))
+    val naive = bg.join(bg.groupBy("bigram").agg(count(lit(1)).as("df")), Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getAs[Long]("n_bigrams"),
+      r.getAs[Long]("n_unique"))).toSet
+    assert(got == naive)
+  }
+
   test("multimodal oracle precondition: fixture text is pure ASCII") {
     // the q_multimodal_features oracle folds DuckDB CHARACTERS while the
     // Spark side folds UTF-8 BYTES; the two agree only while every

@@ -77,26 +77,35 @@ object Chunked {
     out.toMap
   }
 
-  /** Chunk plans are cached per (input plan, series, time, minRows,
-    * nBoundaries) for the life of the JVM — the quantile pass and the
-    * per-(series, chunk) counts are PROPERTIES OF THE DATA, not of the
-    * query, so the whole stride-1 family (sliding stats, batched
+  /** Chunk plans are cached per (corpus identity, columns, series, time,
+    * minRows, nBoundaries) for the life of the JVM — the quantile pass
+    * and the per-(series, chunk) counts are PROPERTIES OF THE DATA, not
+    * of the query, so the whole stride-1 family (sliding stats, batched
     * predict, GRU, shape search) over the same corpus shares one plan
     * instead of each query paying the two planning jobs again (the same
-    * train-once lifecycle as [[Similarity.trainedCentroids]]). */
+    * train-once lifecycle as [[Similarity.trainedCentroids]]).
+    *
+    * The corpus key is the caller-supplied identity STRING (the staged
+    * corpus path, like every other cache in the repo — Dedup.pairsCache,
+    * Similarity.centroidCache), never a plan hash: a 32-bit
+    * semanticHash collision between two corpora would silently serve
+    * the wrong chunk mapping (inner join → dropped rows) with no error.
+    * The input's column list rides along as belt-and-braces so two
+    * different projections under one corpus string can never share a
+    * boundary set. */
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Long, Int), (Column, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String, Long, Int), (Column, DataFrame)]()
 
-  /** Checkpointed boundary rows per (corpus, series, time, id, k, …) —
-    * see the cache note inside [[frames]]. Bounded: ≤ 2(k−1) rows per
-    * chunk, independent of the frame columns requested. */
+  /** Checkpointed boundary rows per (corpus, columns, series, time, id,
+    * k, …) — see the cache note inside [[frames]]. Bounded: ≤ 2(k−1)
+    * rows per chunk, independent of the frame columns requested. */
   private val boundaryCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String, Int, Long, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String, String, Int, Long, Int), DataFrame]()
 
-  private[graft] def chunkPlanCached(df: DataFrame, series: String, time: String,
-      minRows: Long, nBoundaries: Int): (Column, DataFrame) =
+  private[graft] def chunkPlanCached(df: DataFrame, corpus: String, series: String,
+      time: String, minRows: Long, nBoundaries: Int): (Column, DataFrame) =
     planCache.computeIfAbsent(
-      (df.queryExecution.logical.semanticHash(), series, time, minRows, nBoundaries),
+      (corpus, df.columns.mkString(","), series, time, minRows, nBoundaries),
       _ => chunkPlan(df, series, time, minRows, nBoundaries))
 
   /** The (series, candidateChunk) → finalChunk assignment as a tiny
@@ -141,6 +150,12 @@ object Chunked {
     * `w_cnt === k` filter), so callers get exactly the plain window's
     * qualifying rows plus their frame columns.
     *
+    * `corpus` is the cache-identity contract: a string that uniquely
+    * names the input ROWS (the staged corpus path for production
+    * callers; a per-fixture tag in tests). Two calls with the same
+    * (corpus, columns, series, time, id, k, sizing) are assumed to read
+    * identical data and share the cached chunk plan + boundary set.
+    *
     * Cost shape (the r2 version shuffled the corpus twice and sorted it
     * three times; this one matches the PLAIN window's data motion): one
     * exchange + sort of the corpus, with ONE WindowExec computing the
@@ -156,12 +171,12 @@ object Chunked {
     * the warm copies. The checkpoint bounds lineage AND stops the big
     * subtree re-executing for each tiny branch; its size is boundary
     * rows, never the corpus. */
-  def frames(df: DataFrame, series: String, time: String, id: String, k: Int,
-      minChunkRows: Long = 8192, nBoundaries: Int = 32)
+  def frames(df: DataFrame, corpus: String, series: String, time: String, id: String,
+      k: Int, minChunkRows: Long = 8192, nBoundaries: Int = 32)
       (frameCols: WindowSpec => Seq[Column]): DataFrame = {
     require(k >= 1, "window length must be >= 1")
     val minRows = math.max((k - 1).toLong, minChunkRows)
-    val (ccExpr, mapping) = chunkPlanCached(df, series, time, minRows, nBoundaries)
+    val (ccExpr, mapping) = chunkPlanCached(df, corpus, series, time, minRows, nBoundaries)
     val based = df.withColumn("_cc", ccExpr)
       .join(broadcast(mapping), Seq(series, "_cc"))
     val wp = Window.partitionBy(col(series), col("_fc"))
@@ -185,7 +200,7 @@ object Chunked {
     // frame columns out of its WindowExec (only _n/_nf are referenced),
     // so even the first computation skips the collect_list work.
     val boundary = boundaryCache.computeIfAbsent(
-      (df.queryExecution.logical.semanticHash(), series, time, id, k, minRows, nBoundaries),
+      (corpus, df.columns.mkString(","), series, time, id, k, minRows, nBoundaries),
       _ => windowed
         .filter(col("_n") < k || col("_nf") < k)
         .select((df.columns.map(col) :+ col("_fc") :+ col("_n") :+ col("_nf")): _*)

@@ -185,7 +185,7 @@ object Predict {
     val windows = Chunked.frames(
         Tables.events(s, d).select(col("event_id"), col("event_type"),
           col("ts"), col("value")),
-        "event_type", "ts", "event_id", k) { w =>
+        d, "event_type", "ts", "event_id", k) { w =>
         Seq(collect_list(col("value")).over(w).as("w"))
       }
       .select(col("event_id"), col("event_type"), col("w"))

@@ -32,7 +32,7 @@ object TimeSeries {
     Chunked.frames(
         Tables.events(s, d).select(col("event_id"), col("event_type"),
           col("ts"), col("value")),
-        "event_type", "ts", "event_id", w) { fr =>
+        d, "event_type", "ts", "event_id", w) { fr =>
         Seq(collect_list(col("value")).over(fr).as("win"))
       }
       .select(col("event_id"), col("event_type"), col("win"))

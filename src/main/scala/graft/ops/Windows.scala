@@ -80,7 +80,7 @@ object Windows {
   def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame =
     Chunked.frames(Tables.events(s, d).select(col("event_id"), col("event_type"),
         col("ts"), col("value")),
-      "event_type", "ts", "event_id", k) { w =>
+      d, "event_type", "ts", "event_id", k) { w =>
       Seq(
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .over(w).cast(DoubleType).as("w_sum"),

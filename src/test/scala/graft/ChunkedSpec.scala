@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * while actually splitting a hot series into >1 bounded chunk. */
 class ChunkedSpec extends SparkSpec {
 
+  /** Each generated property fixture gets a fresh corpus-identity tag —
+    * the caches key on the tag, so reusing one across fixtures would
+    * serve a stale chunk plan (exactly the collision the string key is
+    * designed to make impossible for real corpus paths). */
+  private val propFixtureId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   test("mergeChunks: every non-final chunk reaches minRows, order preserved") {
     val counts = Seq(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L, 4 -> 10L)
     val m = Chunked.mergeChunks(counts, minRows = 25L)
@@ -56,8 +62,8 @@ class ChunkedSpec extends SparkSpec {
       .filter(col("c") === k).drop("c")
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(1), r.getSeq[Double](2).toList)).toMap
-    val chunked = Chunked.frames(df, "event_type", "ts", "event_id", k,
-        minChunkRows = 100, nBoundaries = 16) { w =>
+    val chunked = Chunked.frames(df, "fixture:skew-3000x40", "event_type", "ts",
+        "event_id", k, minChunkRows = 100, nBoundaries = 16) { w =>
         Seq(sum(col("value")).over(w).as("s"),
           collect_list(col("value")).over(w).as("w"))
       }
@@ -122,7 +128,8 @@ class ChunkedSpec extends SparkSpec {
             collect_list(col("value")).over(plainW).as("w"))
           .filter(col("c") === k)
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toList).toMap
-        val chunked = Chunked.frames(df, "event_type", "ts", "event_id", k,
+        val chunked = Chunked.frames(df, s"fixture:prop-${propFixtureId.incrementAndGet()}",
+            "event_type", "ts", "event_id", k,
             minChunkRows = minRows, nBoundaries = nBounds) { w =>
             Seq(collect_list(col("value")).over(w).as("w"))
           }
@@ -150,7 +157,7 @@ class ChunkedSpec extends SparkSpec {
           cols.map { case (n, c) => c.as(n) }): _*)
         .filter(col("c") === k).drop("c")
     def chunked(cols: (org.apache.spark.sql.expressions.WindowSpec => Seq[org.apache.spark.sql.Column])) =
-      Chunked.frames(df, "event_type", "ts", "event_id", k,
+      Chunked.frames(df, "fixture:skew-2000x60", "event_type", "ts", "event_id", k,
         minChunkRows = 100, nBoundaries = 16)(cols)
     // family 1: sum
     val s1 = chunked(w => Seq(sum(col("value")).over(w).as("s")))

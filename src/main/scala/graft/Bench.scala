@@ -2,11 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query seconds at the SF dir in
-  * SPARK_GRAFT_SF_DIR. Two full iterations, reporting the per-query MIN:
-  * the first pass absorbs codegen/JIT/state-store warm-up and machine
-  * noise (observed 2-3x swings on loaded hosts), the min is the
-  * reproducible cost of the plan itself. Failures are never swallowed:
-  * a failing query reports -1 and its error lands in the "errors" map. */
+  * SPARK_GRAFT_SF_DIR. Two full iterations; "queries" carries the
+  * per-query MIN (warm): the first pass absorbs codegen/JIT/state-store
+  * warm-up and machine noise (observed 2-3x swings on loaded hosts), the
+  * min is the reproducible cost of the plan itself.
+  *
+  * "cold" carries each query's FIRST-iteration time so one-time index
+  * builds are attributed, not hidden: the dedup pair index, the k-means
+  * centroids, and the chunk plans + boundary sets are built once per
+  * JVM and shared (the production build-once lifecycle), which means
+  * the warm number for e.g. q_dedup_minhash is the cost of reading a
+  * checkpoint, not of minhashing the corpus. cold − warm for the first
+  * family member IS the build cost; both totals are printed. Failures
+  * are never swallowed: a failing query reports -1 and its error lands
+  * in the "errors" map. */
 object Bench {
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -46,13 +55,15 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best   = scala.collection.mutable.Map[String, Double]()
+    val cold   = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
-    for (_ <- 1 to iters; name <- names) {
+    for (it <- 1 to iters; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        if (it == 1) cold(name) = sec
         if (!best.contains(name) || sec < best(name)) best(name) = sec
       } catch {
         case e: Throwable =>
@@ -63,11 +74,14 @@ object Bench {
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val colds = names.map(n => "\"" + n + "\":" + cold.getOrElse(n, -1.0))
+      .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val coldTotal = names.flatMap(cold.get).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

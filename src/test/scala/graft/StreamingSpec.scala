@@ -116,6 +116,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tick generator: chunked cumulative walk is bit-identical at any chunk size") {
+    // decimal accumulation makes the log-walk sum exact, hence
+    // associative: regrouping the prefix sums across chunk boundaries
+    // cannot move a bit. chunkRows=64 forces 500/64 ≈ 8 chunks per
+    // symbol (the bounded-task path); chunkRows=1<<20 degenerates to
+    // one chunk (the plain single-window sum). Equality must be EXACT
+    // on every column, not within-epsilon.
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getTimestamp(1).getTime)
+    val chunked = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500, chunkRows = 64)
+      .collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val single = Ticks.generate(spark, Seq("AAPL", "MSFT"), 500, chunkRows = 1L << 20)
+      .collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(chunked.size == 1000)
+    assert(chunked == single)
+  }
+
   test("generator json wire format round-trips through from_json") {
     import org.apache.spark.sql.types._
     val wire = Ticks.asJson(Ticks.generate(spark, Seq("AAPL"), 50))

@@ -128,11 +128,29 @@ object SparkEntry {
       Multimodal.frameSample(s, d).drop("frame")),
     // §2.1 generator + streaming
     "q_gen_ticks"        -> ((s, d) => graft.gen.Ticks.generate(s, Seq("AAPL", "MSFT", "GOOG"), 2000L)),
+    // the walk itself is xxhash64-seeded (not DuckDB-expressible), but
+    // its CONTRACT is: per-symbol cardinality, the 100 ms timestamp
+    // arithmetic as a projection of i, and the reference's price/volume
+    // domains all hash-check against first-principles values
+    "q_gen_ticks_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.gen.Ticks.generate(s, Seq("AAPL", "MSFT", "GOOG"), 2000L)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("timestamp")).as("n_ts"),
+          date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSS").as("ts_first"),
+          date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSS").as("ts_last"),
+          (min(col("price")) > 0.0).as("price_positive"),
+          (min(col("volume")) >= 100000L && max(col("volume")) <= 500000L)
+            .as("volume_in_domain"))
+        .orderBy(col("symbol"))
+    }),
     "q_stream_pipeline"  -> ((s, d) => graft.streaming.Pipeline.streamPipeline(s, d)),
     "q_event_window"     -> ((s, d) => graft.streaming.Pipeline.eventTimeWindow(s, d)),
     "q_stream_dedup"     -> ((s, d) => graft.streaming.Pipeline.streamDedup(s, d)),
     "q_stream_dedup_wm"  -> ((s, d) => graft.streaming.Pipeline.streamDedupBounded(s, d)),
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
+    "q_stateful_final"   -> ((s, d) => graft.streaming.Pipeline.statefulFinal(s, d)),
     "q_stream_metrics"   -> ((s, d) => graft.streaming.Pipeline.streamWithMetrics(s, d)),
     "q_stream_join"      -> ((s, d) => graft.streaming.Pipeline.streamStreamJoin(s, d)),
   )
@@ -621,6 +639,34 @@ object SparkEntry {
          SELECT doc_id, CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
              THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS simhash
          FROM sig ORDER BY doc_id""",
+    // the generator's hash-seeded walk isn't DuckDB-expressible, but its
+    // contract is: DuckDB re-derives per-symbol cardinality, the 100 ms
+    // timestamp arithmetic (epoch + i*100ms for i in [0, 2000)), and the
+    // reference's price/volume domain checks from FIRST PRINCIPLES — a
+    // generator bug (wrong cadence, off-by-one count, domain escape,
+    // duplicate timestamps) flips this hash
+    "q_gen_ticks_invariants" ->
+      """SELECT symbol, CAST(2000 AS BIGINT) AS n, CAST(2000 AS BIGINT) AS n_ts,
+         strftime(TIMESTAMP '2024-01-01 00:00:00', '%Y-%m-%d %H:%M:%S.%g') AS ts_first,
+         strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 100 MILLISECOND * 1999,
+           '%Y-%m-%d %H:%M:%S.%g') AS ts_last,
+         TRUE AS price_positive, TRUE AS volume_in_domain
+         FROM (VALUES ('AAPL'), ('GOOG'), ('MSFT')) AS t(symbol) ORDER BY symbol""",
+    // the stateful drain's final emission per series is computed from the
+    // arrival-order-robust last-5 state, so it equals the batch last-5
+    // prediction — the q_predict_next oracle verbatim (stream == batch
+    // parity as a HASH row)
+    "q_stateful_final" ->
+      """WITH r AS (SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events),
+         lk AS (SELECT event_type,
+           max(CASE WHEN rn = 1 THEN value END) AS last_v,
+           max(CASE WHEN rn = 5 THEN value END) AS first_v,
+           count(*) AS n
+           FROM r WHERE rn <= 5 GROUP BY event_type)
+         SELECT event_type, last_v + (last_v - first_v) / 4.0 AS predicted
+         FROM lk WHERE n = 5 ORDER BY event_type""",
     // the stream pipeline's final output IS the last-5 linear prediction
     // per series over the full event stream (stream == batch parity,
     // also asserted in StreamingSpec), so the batch oracle applies

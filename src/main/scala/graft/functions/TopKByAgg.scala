@@ -36,6 +36,13 @@ final class TopKBuf(val k: Int) extends Serializable {
   def sortedValuesDesc: Array[Double] =
     (0 until n).sortWith((a, b) => less(o1(b), o2(b), o1(a), o2(a)))
       .map(v).toArray
+
+  /** Full (ord1, ord2, value) entries, same descending order — for
+    * callers that must RE-MERGE buffers later (e.g. stateful streaming
+    * state carrying its ordering keys across micro-batches). */
+  def sortedEntriesDesc: IndexedSeq[(Long, Long, Double)] =
+    (0 until n).sortWith((a, b) => less(o1(b), o2(b), o1(a), o2(a)))
+      .map(i => (o1(i), o2(i), v(i)))
 }
 
 /** Last-k / top-k as ONE custom aggregate (SURVEY §7.3 preference (b)):

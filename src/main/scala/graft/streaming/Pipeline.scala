@@ -326,27 +326,40 @@ object Pipeline {
   }
 
   /** Stateful streaming (T5 extension, explicitly beyond parity — the
-    * reference is stateless per batch): carry the last k-1 prices per
+    * reference is stateless per batch): carry the last-k prices per
     * series across micro-batches with flatMapGroupsWithState so every
-    * batch emits a prediction even when it holds fewer than k rows. */
+    * batch emits a prediction even when it holds fewer than k rows.
+    *
+    * State is ARRIVAL-ORDER-ROBUST: it keeps the k rows with the
+    * largest (event time, event_id) keys seen so far, and each batch
+    * MERGES into that by key rather than appending. The staged replay
+    * is hash-split, so a later micro-batch can deliver events OLDER
+    * than anything in state; an append-and-truncate state (values
+    * only) would let those stale rows evict genuinely newer ones. With
+    * the keyed merge, the state after the final batch is exactly the
+    * global event-time last-k — so the last emission per series equals
+    * the batch last-k prediction, which is what gives
+    * [[statefulFinal]] its DuckDB oracle. */
   def statefulPredictions(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sinkDir = tmp("graft_stsink_")
     val src = eventsStream(s, d)
       .select($"event_type", $"ts", $"event_id", $"value").as[E]
-    val fn = (key: String, rows: Iterator[E], state: GroupState[Seq[Double]]) => {
-      // only the k newest rows of the batch can matter for a last-k
-      // state, so reduce the iterator through a bounded top-k buffer
-      // (O(n·k), no batch materialization — a micro-batch group can be
+    val fn = (key: String, rows: Iterator[E],
+        state: GroupState[Seq[(Long, Long, Double)]]) => {
+      // only the k newest rows of state ∪ batch can matter for a last-k
+      // state, so reduce both through one bounded top-k buffer (O(n·k),
+      // no batch materialization — a micro-batch group can be
       // arbitrarily large) instead of sorting the whole group
       val buf = new graft.functions.TopKBuf(k)
+      state.getOption.getOrElse(Seq.empty)
+        .foreach { case (t, id, v) => buf.insert(t, id, v) }
       rows.foreach(e => buf.insert(e.ts.getTime, e.event_id, e.value))
-      val newestAsc = buf.sortedValuesDesc.reverse.toSeq
-      val hist = (state.getOption.getOrElse(Seq.empty) ++ newestAsc).takeRight(k)
-      state.update(hist)
+      val hist = buf.sortedEntriesDesc.reverse   // ascending event time
+      state.update(hist.toSeq)
       if (hist.nonEmpty)
-        Iterator((key, Predict.LinearPredictor.predict(hist), hist.size))
+        Iterator((key, Predict.LinearPredictor.predict(hist.map(_._3)), hist.size))
       else Iterator.empty
     }
     withStreamShuffle(s) {
@@ -356,14 +369,35 @@ object Pipeline {
         .writeStream.outputMode("append")
         .option("checkpointLocation", tmp("graft_ckpt_"))
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // executor-side sink, same pattern as every other drain here
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // executor-side sink, same pattern as every other drain here;
+          // the batch id rides along so the FINAL emission per series
+          // is identifiable from the sink (statefulFinal)
+          graft.sources.Sinks.parquetAppend(
+            batch.withColumn("batch_id", lit(bid)), sinkDir)
           ()
         }
         .start()
       q.awaitTermination()
     }
-    s.read.parquet(sinkDir).orderBy(col("event_type"), col("n_obs"))
+    s.read.parquet(sinkDir)
+      .orderBy(col("event_type"), col("batch_id"))
+  }
+
+  /** The stateful drain's FINAL prediction per series: the emission from
+    * the last micro-batch each series appeared in. Because the state
+    * merges by (event time, event_id), that emission is computed from
+    * the global last-k rows regardless of the replay's arrival order —
+    * so for series with ≥k observations it equals the BATCH last-k
+    * prediction exactly, and the whole stateful path gets a DuckDB
+    * oracle (stream==batch parity as a hash row, not just a spec). */
+  def statefulFinal(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = statefulPredictions(s, d, k)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("batch_id").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("n_obs") === k)
+      .select(col("event_type"), col("predicted"))
+      .orderBy(col("event_type"))
   }
 }

@@ -59,6 +59,18 @@ class StreamingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Int]("n_obs") == 5))
   }
 
+  test("stateful final emission equals the batch last-5 prediction per series") {
+    // the keyed state merge makes the final state the global event-time
+    // last-5 regardless of the hash-split replay's arrival order, so the
+    // last emission per series must equal the batch-side prediction
+    // bit-for-bit (also pinned by the q_stateful_final DuckDB oracle)
+    val streamed = q("q_stateful_final").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = q("q_predict_next").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("predicted")).toMap
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch join across micro-batches") {
     val streamed = q("q_stream_join").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -49,6 +49,42 @@ class PredictSpec extends SparkSpec {
     assert(batches <= prepares * (n / 200 + 1))
   }
 
+  test("prepare() fires exactly once per task at the bench partition count (32)") {
+    // the 8-partition assertion above can't catch a regression that
+    // surfaces only at the production parallelism (e.g. a per-row
+    // prepare hidden behind few tasks); this one runs the operator at
+    // the Bench shuffle-partition count and demands EXACT equality
+    // with the task count. AQE is disabled inside the scope so the
+    // post-shuffle partition count is deterministic and identical
+    // between the probe pipeline and the operator run.
+    import org.apache.spark.sql.functions._
+    PredictSpec.prepares.set(0)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Tuning.withShufflePartitions(spark, 32) {
+      // identical frame pipeline to the operator's internals — shares
+      // the corpus-keyed chunk-plan/boundary caches, so both sides see
+      // the same physical partitioning
+      val expectedParts = graft.ops.Chunked.frames(
+          Tables.events(spark, sf).select(col("event_id"), col("event_type"),
+            col("ts"), col("value")),
+          sf, "event_type", "ts", "event_id", 60) { w =>
+          Seq(collect_list(col("value")).over(w).as("w"))
+        }
+        .select(col("event_id"), col("event_type"), col("w"))
+        .rdd.getNumPartitions
+      val n = Predict
+        .predictAllWindowsBatched(spark, sf, 60, new CountingPredictor)
+        .count()
+      assert(n > 0)
+      assert(expectedParts >= 32,
+        s"chunked windows should carry >= the 32 shuffle partitions, got $expectedParts")
+      assert(PredictSpec.prepares.get() == expectedParts,
+        s"prepare() must fire exactly once per partition task: " +
+          s"${PredictSpec.prepares.get()} calls vs $expectedParts partitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
+
   test("GRU forward pass: deterministic, finite, batch == row-at-a-time") {
     val gru = new Predict.GruPredictor()
     val w1 = Array.tabulate(60)(i => 100.0 + i * 0.5)

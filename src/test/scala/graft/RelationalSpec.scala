@@ -188,6 +188,54 @@ class RelationalSpec extends SparkSpec {
     assert(hotSalts > 1, s"hot key landed in $hotSalts salt buckets")
   }
 
+  test("AQE skew-join split fires on a skewed sort-merge join") {
+    // the adaptive half of the hot-key join story (the manual half is
+    // the salted join above): with skewJoin enabled, AQE re-plans a
+    // skewed SMJ partition into multiple splits at runtime. Thresholds
+    // are lowered to make the toy fixture's hot partition register as
+    // skewed; production keeps the defaults and the same plan shape
+    // appears once a partition crosses 256 MB.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_)))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 97% of fact rows carry one key; padding inflates the hot shuffle
+      // partition past the lowered skew threshold
+      val fact = spark.range(120000).select(col("id"),
+        when(pmod(col("id"), lit(100)) < 97, lit("hot"))
+          .otherwise(concat(lit("cold"), pmod(col("id"), lit(100)))).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val dim = Seq.tabulate(100)(i => if (i < 97) "hot" else s"cold$i")
+        .distinct.zipWithIndex.toDF("k", "w")
+      val joined = fact.join(dim, Seq("k"))
+      // run THIS df's own plan (count() would plan a separate query and
+      // leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ partition (skew=true):\n${plan.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val df = q("q_sql_correlated")
     val optimized = df.queryExecution.optimizedPlan

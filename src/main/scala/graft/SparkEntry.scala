@@ -47,6 +47,13 @@ object SparkEntry {
     "q_approx_pctl"     -> ((s, d) => Aggregates.approxPercentiles(s, d)),
     "q_sketch_rollup"   -> ((s, d) => Aggregates.sketchRollup(s, d)),
     "q_approx_topk"     -> ((s, d) => Aggregates.approxTopTokens(s, d)),
+    // invariant COMPANIONS (ops.Checks): the sketch state above is not
+    // SQL-expressible, but each sketch's CONTRACT is — re-stated here as
+    // hash-comparable rows (exact columns value-for-value, guaranteed
+    // bands as booleans the oracle pins TRUE)
+    "q_approx_distinct_check" -> ((s, d) => Checks.approxDistinctCheck(s, d)),
+    "q_approx_pctl_check"     -> ((s, d) => Checks.approxPctlCheck(s, d)),
+    "q_sketch_rollup_check"   -> ((s, d) => Checks.sketchRollupCheck(s, d)),
     "q_agg_pivot"       -> ((s, d) => Aggregates.pivotEventValues(s, d)),
     "q_agg_monthly"     -> ((s, d) => Aggregates.monthlyRevenue(s, d)),
     "q_agg_unpivot"     -> ((s, d) => Aggregates.unpivotEventValues(s, d)),
@@ -119,6 +126,8 @@ object SparkEntry {
     "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
+    "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape).
     // The registered query emits SCALAR feature columns (declarative,
     // oracle-hashable); the array-returning batched-decode path
@@ -152,6 +161,7 @@ object SparkEntry {
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
     "q_stateful_final"   -> ((s, d) => graft.streaming.Pipeline.statefulFinal(s, d)),
     "q_stream_metrics"   -> ((s, d) => graft.streaming.Pipeline.streamWithMetrics(s, d)),
+    "q_stream_metrics_conservation" -> ((s, d) => Checks.streamMetricsConservation(s, d)),
     "q_stream_join"      -> ((s, d) => graft.streaming.Pipeline.streamStreamJoin(s, d)),
   )
 
@@ -728,6 +738,46 @@ object SparkEntry {
            FROM documents) t
          WHERE length(token) > 0
          GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    // the sketch is exact while the stream's distinct count stays under
+    // its tracking capacity (10000 ≫ |vocab| here) and the item set is
+    // exactly the top k when the k/k+1 count boundary is untied — both
+    // preconditions spec-asserted on this corpus (AggregateSpec)
+    "q_approx_topk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+           token, freq AS est_freq FROM (
+           SELECT token, count(*) AS freq FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             FROM documents) t
+           WHERE length(token) > 0
+           GROUP BY token ORDER BY freq DESC, token LIMIT 20)
+         ORDER BY rnk""",
+    "q_approx_distinct_check" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, TRUE AS within_band
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_approx_pctl_check" ->
+      """SELECT event_type, count(*) AS n, TRUE AS med_rank_ok, TRUE AS p90_rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_rollup_check" ->
+      """SELECT event_type,
+           count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')) AS n_days,
+           TRUE AS merged_in_band, TRUE AS direct_in_band
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_ann_recall" ->
+      "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    // n_true_pairs is recomputed INDEPENDENTLY by the oracle over all
+    // pairs — agreeing to the last pair also cross-checks the two
+    // engines' cosine folds at the threshold
+    "q_dedup_embed_ivf_check" ->
+      """SELECT count(*) AS n_true_pairs, TRUE AS all_found_true, TRUE AS coverage_ok
+         FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+           FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) p
+         WHERE cos >= 0.4""",
+    "q_stream_metrics_conservation" ->
+      "SELECT count(*) AS total_rows, TRUE AS has_batches FROM events",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",

@@ -68,16 +68,29 @@ object Aggregates {
     * sketches combine associatively, so only sketch buffers shuffle —
     * never the token stream). The scale path for "top terms over 100 TB
     * of text" when the exact vocab aggregate (q_top_tokens) gets too
-    * wide; approximate by construction → rows-only, spec pins it to the
-    * exact counts. */
-  def approxTopTokens(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    * wide.
+    *
+    * Oracle-exact ON THIS CORPUS, with the precondition spec-asserted
+    * (AggregateSpec): the sketch tracks maxItemsTracked (default 10000)
+    * items exactly and only approximates once the stream's distinct
+    * count exceeds that, so with |vocab| ≪ capacity every estimate IS
+    * the exact count; and with no tie at the k-th/k+1-th boundary the
+    * returned item set is exactly the top k. The final rank is
+    * recomputed as row_number over (count DESC, token) — the sketch's
+    * internal order for equal counts is not part of its contract. */
+  def approxTopTokens(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_freq").desc, col("token"))
     Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .select(expr(s"approx_top_k(token, $k)").as("topk"))
       .select(posexplode(col("topk")).as(Seq("pos", "tc")))
-      .select((col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("rnk"),
-        col("tc.item").as("token"), col("tc.count").as("est_freq"))
+      .select(col("tc.item").as("token"), col("tc.count").cast(LongType).as("est_freq"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("rnk"), col("token"), col("est_freq"))
+      .orderBy(col("rnk"))
+  }
 
   /** Calendar-bucket rollup via date_trunc — the time-dimension cousin
     * of the key-grouped aggregates: one partial/final aggregate on the

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Invariant COMPANION queries for the approximate/sketch operators.
+  *
+  * The sketch values themselves (HLL registers, GK summaries, LSH
+  * signatures, k-means centroids) are not SQL-expressible, so the
+  * operators are rows-only in the oracle gate. But each operator's
+  * CONTRACT is expressible: an error band the algorithm guarantees for
+  * any merge order, a conservation law, or agreement with an exact
+  * computation both engines can run. Each companion here re-states one
+  * of those contracts as a DataFrame whose every row hash-compares
+  * against a DuckDB oracle computed without knowledge of the sketch —
+  * exact columns (group keys, exact counts) check value-for-value, and
+  * guaranteed-by-construction bands surface as booleans the oracle pins
+  * to TRUE. A violated band then fails the same rows+schema+hash gate
+  * as any exact query, instead of hiding in a spec.
+  *
+  * These run the underlying operators at their registered parameters, so
+  * a regression in the operator (not just in the companion) trips them.
+  */
+object Checks {
+
+  /** approx_count_distinct (HLL++, rsd=0.01) vs exact distinct, per
+    * supplier. HLL++ at rsd 0.01 holds per-group cardinalities of this
+    * order in its exact sparse mode, and even the dense estimate is
+    * guaranteed within a few rsd; the 5%-or-±1 band is loose against
+    * both, and the register-max merge is order-independent, so the
+    * boolean is deterministic. `n_parts` (exact) hash-checks
+    * value-for-value. */
+  def approxDistinctCheck(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+      .select(col("l_suppkey"), col("n_parts"),
+        (abs(col("approx") - col("n_parts")) <=
+          greatest(lit(1.0), col("n_parts") * lit(0.05))).as("within_band"))
+      .orderBy(col("l_suppkey"))
+
+  /** approx_percentile rank-error band per group. The GK sketch at
+    * accuracy a guarantees the returned value is an ELEMENT whose rank
+    * is within n/a of the target rank, for any partition/merge order.
+    * With duplicates the element occupies a rank interval
+    * [count(<v)+1, count(<=v)]; the guarantee holds iff that interval
+    * intersects [p*n - n/a, p*n + n/a] (±1 slack for the rank-origin
+    * convention). Both counts are computed exactly from the data, so
+    * the booleans are deterministically TRUE whenever the sketch meets
+    * its published contract. */
+  def approxPctlCheck(s: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables.events(s, d)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("am"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("ap"))
+    def rankOk(v: String, p: Double) = {
+      val eps = col("n") / lit(accuracy.toDouble) + lit(1.0)
+      val target = lit(p) * col("n")
+      (col(s"lt_$v") + 1 <= target + eps) && (col(s"le_$v") >= target - eps)
+    }
+    ev.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("value") < col("am")).cast(LongType)).as("lt_am"),
+        sum((col("value") <= col("am")).cast(LongType)).as("le_am"),
+        sum((col("value") < col("ap")).cast(LongType)).as("lt_ap"),
+        sum((col("value") <= col("ap")).cast(LongType)).as("le_ap"))
+      .select(col("event_type"), col("n"),
+        rankOk("am", 0.5).as("med_rank_ok"),
+        rankOk("ap", 0.9).as("p90_rank_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mergeable-sketch rollup accuracy: the estimate from UNIONING the
+    * per-day HLL sketches, and the estimate of one sketch built
+    * directly over the raw rows, must each land within the 5% band of
+    * the EXACT distinct count (the sketch's rsd at the default lgK=12
+    * is ~1.6%, so 5% is a ≳3σ band, and the estimate is a pure
+    * function of the data — hash-derived, no RNG — so the booleans are
+    * deterministic). Note the two estimates are NOT asserted equal:
+    * past the sparse regime DataSketches' union path and direct build
+    * produce slightly different estimates (observed 1488 vs 1494 on
+    * 1500 true at sf0.1) — both honest, neither bit-equal. `n_days`
+    * (exact) hash-checks value-for-value. */
+  def sketchRollupCheck(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val merged = ev
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct"),
+        count_distinct(col("user_id")).as("exact"))
+    def inBand(c: String) =
+      abs(col(c) - col("exact")) <= greatest(lit(1.0), col("exact") * lit(0.05))
+    merged.join(direct, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        inBand("merged").as("merged_in_band"),
+        inBand("direct").as("direct_in_band"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ANN recall floor: LSH and IVF top-k against the exact brute-force
+    * top-k, one row. `n_true` (query count × k) hash-checks exactly;
+    * the recall floors are the operators' tuning contract on this
+    * corpus profile (documented at their definitions — unclustered
+    * uniform vectors are the WORST case for both). Everything in the
+    * pipeline is seeded/deterministic, so the booleans are stable. */
+  def annRecallCheck(s: SparkSession, d: String,
+      floorLsh: Double = 0.3, floorIvf: Double = 0.3): DataFrame = {
+    val truth = Similarity.bruteForceTopK(s, d).select(col("q_id"), col("n_id"))
+    val lsh = Similarity.lshTopK(s, d).select(col("q_id"), col("n_id"))
+    val ivf = Similarity.ivfTopK(s, d).select(col("q_id"), col("n_id"))
+    val nTrue = truth.count()
+    val hitL = truth.intersect(lsh).count()
+    val hitI = truth.intersect(ivf).count()
+    import s.implicits._
+    Seq((nTrue, hitL.toDouble / nTrue >= floorLsh, hitI.toDouble / nTrue >= floorIvf))
+      .toDF("n_true", "lsh_recall_ok", "ivf_recall_ok")
+  }
+
+  /** IVF-blocked near-dup dedup vs the all-pairs truth. `n_true_pairs`
+    * is the EXACT count of pairs at or above the threshold — Spark
+    * computes it brute-force here, DuckDB recomputes it independently
+    * from the same parquet, and the two must agree to the last pair
+    * (this doubles as a cross-engine check of the cosine fold near the
+    * threshold). `all_found_true`: every emitted pair must clear the
+    * threshold under exact cosine (blocking may lose pairs, it must
+    * never invent them). `coverage_ok`: cell-blocking keeps at least
+    * the floor fraction of the truth on this corpus profile. */
+  def embedIvfDedupCheck(s: SparkSession, d: String,
+      threshold: Double = 0.4, coverageFloor: Double = 0.25): DataFrame = {
+    graft.functions.Native.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), Similarity.l2norm(col("embedding")).as("nrm"))
+    val truth = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))))
+      .filter(col("id_b") > col("id_a"))
+      .filter(Similarity.cosineFromNorms(col("ea"), col("eb"),
+        col("na"), col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = Similarity.embedNearDupIvf(s, d, threshold)
+      .select(col("id_a"), col("id_b"))
+    val nTrue = truth.count()
+    val nFound = found.count()
+    val nFoundTrue = found.intersect(truth).count()
+    import s.implicits._
+    Seq((nTrue, nFoundTrue == nFound, nFound.toDouble / nTrue >= coverageFloor))
+      .toDF("n_true_pairs", "all_found_true", "coverage_ok")
+  }
+
+  /** Streaming-metrics conservation law: the listener's per-batch
+    * input_rows, summed over the drain, must equal the row count of the
+    * staged source table — a dropped or double-counted micro-batch
+    * breaks the equality. DuckDB knows the right-hand side (a plain
+    * count over the same parquet), so the listener path gets an exact
+    * hash row without the oracle ever seeing a batch boundary. */
+  def streamMetricsConservation(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Pipeline.streamWithMetrics(s, d)
+      .agg(
+        sum(col("input_rows")).as("total_rows"),
+        (count(lit(1)) >= 1).as("has_batches"))
+}

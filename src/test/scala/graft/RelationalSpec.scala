@@ -123,6 +123,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_top_k oracle preconditions hold on the oracle-gate corpus") {
+    // the q_approx_topk DuckDB oracle states EXACT top-20 counts, which
+    // the sketch guarantees only while (a) the stream's distinct count
+    // stays under its tracking capacity and (b) the k/k+1 boundary is
+    // untied — assert both on sf0.01, where the hash compare runs, so a
+    // fixture change fails loudly here instead of as a silent hash drift
+    val gateSf = "/root/testdata/sf0.01"
+    val counts = Tables.documents(spark, gateSf)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).count()
+      .orderBy(col("count").desc, col("token"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(counts.length < 10000, s"vocab ${counts.length} exceeds sketch capacity")
+    assert(counts.length > 20 && counts(19)._2 > counts(20)._2,
+      s"tie at the top-20 boundary: ${counts.slice(18, 22).mkString(", ")}")
+  }
+
   test("semi + anti partition customers") {
     val total = Tables.customer(spark, sf).count()
     assert(q("q_join_semi").count() + q("q_join_anti").count() == total)

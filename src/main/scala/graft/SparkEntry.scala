@@ -109,6 +109,8 @@ object SparkEntry {
     "q_text_editdist"    -> ((s, d) => TextOps.editDistanceConsecutive(s, d)),
     "q_text_scrub"       -> ((s, d) => TextOps.scrub(s, d)),
     "q_text_novelty"     -> ((s, d) => TextOps.bigramNovelty(s, d)),
+    "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
+    "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
@@ -373,6 +375,33 @@ object SparkEntry {
            CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
          FROM bg JOIN df USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "q_text_repetition" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         tokstats AS (SELECT doc_id, len(arr) AS n_tokens,
+                      len(list_distinct(arr)) AS n_distinct FROM arrs),
+         bg AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 1))) t(i)),
+         rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS top_count
+                 FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram) g
+                 GROUP BY doc_id)
+         SELECT t.doc_id, t.n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS ttr,
+           coalesce(r.n_bigrams, 0) AS n_bigrams,
+           coalesce(r.top_count, 0) AS top_count,
+           CASE WHEN r.n_bigrams IS NULL THEN 0.0
+                ELSE CAST(r.top_count AS DOUBLE) / r.n_bigrams END AS rep_frac
+         FROM tokstats t LEFT JOIN rep r USING (doc_id) ORDER BY t.doc_id""",
+    "q_text_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                      FROM documents),
+         tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
+         vocab AS (SELECT token, count(*) AS tf FROM tok2 GROUP BY token)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(tf) AS DOUBLE) / count(*) AS mean_tf,
+           CAST(min(tf) AS BIGINT) AS min_tf
+         FROM tok2 JOIN vocab USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all default; the patterns themselves are RE2-safe
     "q_text_scrub" ->

@@ -198,6 +198,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ALL bigrams of the token array, repeats included — [[bigramUdf]]'s
+    * multiset cousin for repetition measurement (same UDF justification:
+    * the sliding window over a split-once array; an interpreted-HOF
+    * formulation would re-inline the split per use). */
+  private val bigramAllUdf = org.apache.spark.sql.functions.udf { (toks: Seq[String]) =>
+    if (toks.length < 2) Seq.empty[String]
+    else toks.sliding(2).map(_.mkString(" ")).toVector
+  }
+
+  /** Intra-document REPETITION scoring (Gopher-style quality signals):
+    * the fraction of a document's bigram occurrences taken by its
+    * single most-repeated bigram (`rep_frac` — boilerplate and
+    * keyword-stuffed docs score high), plus the distinct-token ratio
+    * (`ttr`, type-token ratio — degenerate repetition scores low).
+    * Every number is a ratio of exact integer counts, so the oracle is
+    * value-exact with no decimal routing.
+    *
+    * Scale shape: the only shuffles key on (doc_id, bigram) and doc_id
+    * — the document id is always in the key, so a corpus-wide hot
+    * bigram never funnels one reducer (unlike a raw-bigram key); task
+    * width is bounded by document length. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val perTok = t.select(col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"))
+    val bg = t.select(col("doc_id"), explode(bigramAllUdf(col("toks"))).as("bigram"))
+    val rep = bg.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
+    perTok.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("ttr"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("top_count").cast(DoubleType) / col("n_bigrams"))
+          .as("rep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-frequency RARITY scoring: annotate each document with the
+    * mean and minimum CORPUS frequency of its tokens — the
+    * frequency-based filter of a curation pipeline (docs dominated by
+    * near-unique garbage tokens sit at low min/mean; pure-boilerplate
+    * docs at high mean). Two passes: the corpus vocabulary aggregate
+    * (map-side combined), then a BROADCAST join of the vocab onto the
+    * exploded tokens — broadcast is the skew story: a hot token like
+    * "the" joins map-side everywhere, no token-keyed shuffle exists.
+    * At 100 TB a full vocab can exceed broadcast budgets; the
+    * production variant broadcasts the top-K head and coalesces the
+    * long tail to a default count — same plan shape. Sums and counts
+    * are exact integers; the one division is oracle-exact. */
+  def tokenRarity(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tok.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_tf").cast(DoubleType) / col("n_tokens")).as("mean_tf"),
+        col("min_tf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text scrubbing: mask emails then digit runs — the privacy/cleaning
     * pass of a corpus pipeline. Pure per-row regexp_replace (codegen'd,
     * zero shuffle); patterns are RE2-safe so the identical regexes run

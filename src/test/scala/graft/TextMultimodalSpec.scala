@@ -76,6 +76,44 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("repetition: hand-computed doc agrees, ratios bounded, repeated doc maxes out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab ba ab ba ab -> top 'a b' 3/5; ttr 2/6
+      (2L, "w x y z"),            // all distinct: top 1/3, ttr 1
+      (3L, "t t t t"))            // degenerate: top 3/3, ttr 1/4
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.TextOps.repetition(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("ttr") == 2.0 / 6 && r(1L).getAs[Double]("rep_frac") == 3.0 / 5)
+    assert(r(2L).getAs[Double]("ttr") == 1.0 && r(2L).getAs[Double]("rep_frac") == 1.0 / 3)
+    assert(r(3L).getAs[Double]("ttr") == 0.25 && r(3L).getAs[Double]("rep_frac") == 1.0)
+    q("q_text_repetition").collect().foreach { row =>
+      assert(row.getAs[Double]("ttr") > 0.0 && row.getAs[Double]("ttr") <= 1.0)
+      assert(row.getAs[Double]("rep_frac") >= 0.0 && row.getAs[Double]("rep_frac") <= 1.0)
+    }
+  }
+
+  test("token rarity: min <= mean, and a planted rare token drags min_tf to 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common zzquux"), // zzquux unique -> min_tf 1
+      (2L, "common common"))               // min = mean = tf(common) = 5
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rar_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.TextOps.tokenRarity(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("min_tf") == 1L)
+    assert(r(1L).getAs[Double]("mean_tf") == (5.0 + 5.0 + 5.0 + 1.0) / 4)
+    assert(r(2L).getAs[Double]("mean_tf") == 5.0 && r(2L).getAs[Long]("min_tf") == 5L)
+    q("q_text_rarity").collect().foreach { row =>
+      assert(row.getAs[Long]("min_tf").toDouble <= row.getAs[Double]("mean_tf"))
+    }
+  }
+
   test("bigram novelty: no join on the bigram key, and parity with the naive join plan") {
     val df = SparkEntry.queries("q_text_novelty")(spark, sf)
     // scale guard: the only join in the plan assembles per-doc counts on

@@ -118,9 +118,15 @@ object Checks {
     * pipeline is seeded/deterministic, so the booleans are stable. */
   def annRecallCheck(s: SparkSession, d: String,
       floorLsh: Double = 0.3, floorIvf: Double = 0.3): DataFrame = {
+    // each result is a tiny (queries × k) id set consumed by several
+    // counting actions — localCheckpoint materializes each underlying
+    // scan/rerank exactly once instead of once per action
     val truth = Similarity.bruteForceTopK(s, d).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
     val lsh = Similarity.lshTopK(s, d).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
     val ivf = Similarity.ivfTopK(s, d).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
     val nTrue = truth.count()
     val hitL = truth.intersect(lsh).count()
     val hitI = truth.intersect(ivf).count()
@@ -151,8 +157,12 @@ object Checks {
       .filter(Similarity.cosineFromNorms(col("ea"), col("eb"),
         col("na"), col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
+      // the surviving pair set is tiny; checkpointing it runs the
+      // all-pairs cosine pass ONCE instead of once per counting action
+      .localCheckpoint(true)
     val found = Similarity.embedNearDupIvf(s, d, threshold)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     val nTrue = truth.count()
     val nFound = found.count()
     val nFoundTrue = found.intersect(truth).count()

@@ -96,6 +96,42 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("repetition and rarity agree with a plain-Scala recomputation on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 60L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_").toString
+    docs.toDF("doc_id", "text").repartition(7)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val toks = docs.map { case (i, t) => i -> t.split("\\s+").toSeq }.toMap
+    val rep = graft.ops.TextOps.repetition(spark, dir).collect()
+    assert(rep.length == docs.size)
+    rep.foreach { r =>
+      val ts = toks(r.getLong(0))
+      val bgs = if (ts.length < 2) Seq.empty else ts.sliding(2).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_tokens") == ts.length)
+      assert(r.getAs[Double]("ttr") == ts.distinct.length.toDouble / ts.length)
+      assert(r.getAs[Long]("n_bigrams") == bgs.length)
+      val expTop = if (bgs.isEmpty) 0L else bgs.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getAs[Long]("top_count") == expTop)
+      val expFrac = if (bgs.isEmpty) 0.0 else expTop.toDouble / bgs.length
+      assert(r.getAs[Double]("rep_frac") == expFrac)
+    }
+
+    val tf = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    graft.ops.TextOps.tokenRarity(spark, dir).collect().foreach { r =>
+      val ts = toks(r.getLong(0))
+      assert(r.getAs[Long]("n_tokens") == ts.length)
+      assert(r.getAs[Double]("mean_tf") == ts.map(tf).sum.toDouble / ts.length)
+      assert(r.getAs[Long]("min_tf") == ts.map(tf).min)
+    }
+  }
+
   test("token rarity: min <= mean, and a planted rare token drags min_tf to 1") {
     import spark.implicits._
     val docs = Seq(

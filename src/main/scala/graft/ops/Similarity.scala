@@ -354,10 +354,15 @@ object Similarity {
     * verify on candidates only. Centroids aren't SQL-expressible →
     * rows-only; SimilaritySpec checks result ⊆ all-pairs truth and the
     * candidate-count bound. */
+  /** `nCells` is the tuning contract at scale: candidate pairs grow as
+    * Σ|cell|² ≈ n²/nCells for balanced cells, so the cell count must
+    * grow WITH the corpus (k ∝ n keeps expected cell size — and so
+    * per-cell pair work — constant). The registered query keeps the
+    * default; SCALING.md measures a retuned run at 100× fixture scale. */
   def embedNearDupIvf(s: SparkSession, d: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, nCells: Int = NumCentroids): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = trainedCentroids(s, d, NumCentroids)
+    val centroids = trainedCentroids(s, d, nCells)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val assigned = assignToCentroids(e, centroids)
     assigned.select(col("c_id"), col("vec_id").as("id_a"),

@@ -165,7 +165,8 @@ object Drive {
           "q_dedup_embed", "q_predict_windows", "q_top_tokens",
           "q_scan_partitioned", "q_ts_search", "q_join_skew_salted",
           "q_sql_correlated", "q_sample_stratified", "q_sessionize",
-          "q_session_window").foreach { name =>
+          "q_session_window", "q_text_novelty", "q_text_repetition",
+          "q_text_rarity").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

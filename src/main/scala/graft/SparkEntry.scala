@@ -84,6 +84,8 @@ object SparkEntry {
     "q_sessionize"     -> ((s, d) => Windows.sessionize(s, d)),
     "q_session_window" -> ((s, d) => Windows.sessionWindowNative(s, d)),
     "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
+    "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
+    "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
@@ -557,6 +559,37 @@ object SparkEntry {
     "q_minmax_frozen" ->
       """SELECT event_id, (value - 10.0) / (200.0 - 10.0) AS scaled
          FROM events ORDER BY event_id""",
+    // moments accumulate in DECIMAL (order-independent, lossless in a
+    // double at these magnitudes); the mean/var/z algebra is then the
+    // IDENTICAL double expression both engines — bit-exact, no stddev()
+    "q_zscore_group" ->
+      """WITH st AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type,
+           (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+         FROM events e JOIN st USING (event_type) ORDER BY e.event_id""",
+    "q_corr_daily" ->
+      """WITH daily AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+           FROM events GROUP BY day, event_type),
+         m AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_days,
+             CAST(sum(a.v) AS DOUBLE) AS sx, CAST(sum(b.v) AS DOUBLE) AS sy,
+             CAST(sum(a.v * a.v) AS DOUBLE) AS sxx,
+             CAST(sum(b.v * b.v) AS DOUBLE) AS syy,
+             CAST(sum(a.v * b.v) AS DOUBLE) AS sxy
+           FROM daily a JOIN daily b USING (day)
+           WHERE b.event_type >= a.event_type
+           GROUP BY type_a, type_b)
+         SELECT type_a, type_b, n_days,
+           (n_days * sxy - sx * sy) /
+             (sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy)) AS corr
+         FROM m ORDER BY type_a, type_b""",
     "q_predict_next" ->
       """WITH r AS (SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn

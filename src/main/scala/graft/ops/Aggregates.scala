@@ -229,6 +229,41 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Pairwise PEARSON CORRELATION between the per-type daily-revenue
+    * series — the reference domain's "which symbols move together"
+    * analytics as one distributed plan: daily partial/final aggregate
+    * (30 rows per type), a day-keyed self-join of that TINY table (the
+    * corpus is never self-joined), then one aggregate per type pair.
+    *
+    * Oracle-exact correlation without a tolerance, same technique as
+    * the z-score scaler: every moment (Σx, Σy, Σx², Σy², Σxy)
+    * accumulates in DECIMAL — order-independent, a double fits it
+    * losslessly at these magnitudes — and the final corr algebra is
+    * the identical double expression on both engines. The diagonal
+    * (a,a) rides along as a built-in sanity row (≈1 up to the shared
+    * sqrt rounding, identical bits both engines). */
+  def corrDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("v"))
+    val a = daily.select(col("day"), col("event_type").as("type_a"), col("v").as("va"))
+    val b = daily.select(col("day"), col("event_type").as("type_b"), col("v").as("vb"))
+    a.join(b, Seq("day")).filter(col("type_b") >= col("type_a"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("va")).cast(DoubleType).as("sx"),
+        sum(col("vb")).cast(DoubleType).as("sy"),
+        sum(col("va") * col("va")).cast(DoubleType).as("sxx"),
+        sum(col("vb") * col("vb")).cast(DoubleType).as("syy"),
+        sum(col("va") * col("vb")).cast(DoubleType).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_days") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n_days") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB
     * cardinality path: fixed-size sketch per group instead of a distinct
     * shuffle. No exact oracle by design; rows-only check. */

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Window-function operators — the heart of the reference (SURVEY.md §2.5).
   *
@@ -197,6 +197,36 @@ object Windows {
     e.crossJoin(broadcast(stats))
       .select(col("event_id"),
         ((col("value") - col("mn")) / (col("mx") - col("mn"))).as("scaled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** GROUP-WISE Z-SCORE normalization — the other standard feature
+    * scaler next to [[minMaxScale]], per group. The per-group stats are
+    * a partial/final aggregate broadcast back onto the fact rows
+    * (never a per-group window over the corpus).
+    *
+    * Oracle-exact variance without a tolerance: a float `stddev` is
+    * summation-order-dependent across engines, so the moments are
+    * accumulated as DECIMALS — Σx over DECIMAL(18,2) and Σx² over its
+    * exact 4-decimal square — which are order-independent, fit a
+    * double losslessly at these magnitudes (≪2⁵³), and cast back
+    * exactly. The final mean/var/z algebra is then the IDENTICAL
+    * double expression on both engines: bit-exact, like every other
+    * compared float here. */
+  def zscoreScale(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val vd = col("value").cast(DecimalType(18, 2))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(vd).cast(DoubleType).as("sx"),
+        sum(vd * vd).cast(DoubleType).as("sxx"))
+      .select(col("event_type"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("sd"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("mean")) / col("sd")).as("z"))
       .orderBy(col("event_id"))
   }
 

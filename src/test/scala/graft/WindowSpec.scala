@@ -180,4 +180,27 @@ class WindowSpec extends SparkSpec {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(firsts == users)
   }
+
+  test("z-scored groups have mean ~0 and sample sd ~1") {
+    val byGroup = q("q_zscore_group").groupBy(col("event_type"))
+      .agg(avg(col("z")).as("m"),
+        stddev_samp(col("z")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-9, s"mean ${r.getAs[Double]("m")}")
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9, s"sd ${r.getAs[Double]("s")}")
+    }
+  }
+
+  test("daily correlation: diagonal ~1, everything in [-1,1], upper triangle only") {
+    val rows = q("q_corr_daily").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getString(0), r.getString(1), r.getAs[Double]("corr"))
+      assert(a <= b, s"$a > $b")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"corr $c")
+      if (a == b) assert(math.abs(c - 1.0) < 1e-12, s"diag corr $c")
+    }
+  }
 }

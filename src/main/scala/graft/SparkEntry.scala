@@ -85,6 +85,7 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Windows.sessionWindowNative(s, d)),
     "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
     "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
+    "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
     "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
@@ -571,6 +572,14 @@ object SparkEntry {
          SELECT e.event_id, e.event_type,
            (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN st USING (event_type) ORDER BY e.event_id""",
+    "q_winsorize" ->
+      """WITH qx AS (
+           SELECT event_type, quantile_cont(value, 0.05) AS plo,
+             quantile_cont(value, 0.95) AS phi
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type,
+           greatest(least(value, phi), plo) AS clipped
+         FROM events e JOIN qx USING (event_type) ORDER BY event_id""",
     "q_corr_daily" ->
       """WITH daily AS (
            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,

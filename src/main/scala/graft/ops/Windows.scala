@@ -230,6 +230,26 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Percentile WINSORIZATION per group — the outlier-clipping
+    * feature-prep step: values clamp into the group's [lo, hi]
+    * percentile band. The two cut points per group come from the exact
+    * interpolated percentile (bitwise equal to DuckDB's quantile_cont,
+    * proven by q_agg_percentile) and broadcast onto the fact rows;
+    * greatest/least are exact — so the whole operator hash-compares
+    * with no tolerance. At 100 TB swap the cut computation for
+    * approx_percentile and freeze the cuts like the min-max scaler. */
+  def winsorize(s: SparkSession, d: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val e = Tables.events(s, d)
+    val cuts = e.groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, $lo)").as("plo"),
+        expr(s"percentile(value, $hi)").as("phi"))
+    e.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        greatest(least(col("value"), col("phi")), col("plo")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** W3 frozen-constants overload — the reference's ACTUAL scaler
     * semantics: `scaler.pkl` is a min/max frozen at training time
     * (`stream_consumer.py:44-45,51,54`), so serving-time values outside

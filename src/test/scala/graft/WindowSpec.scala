@@ -193,6 +193,27 @@ class WindowSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clamps into the group band and leaves the interior untouched") {
+    val e = Tables.events(spark, sf)
+    val joined = q("q_winsorize")
+      .join(e.select(col("event_id"), col("value")), Seq("event_id"))
+      .collect()
+    assert(joined.length == e.count())
+    val byType = joined.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val clipped = rows.map(_.getAs[Double]("clipped"))
+      val (lo, hi) = (clipped.min, clipped.max)
+      rows.foreach { r =>
+        val (c, v) = (r.getAs[Double]("clipped"), r.getAs[Double]("value"))
+        assert(c >= lo && c <= hi)
+        // interior values pass through bit-identical
+        if (v > lo && v < hi) assert(c == v)
+      }
+      // something actually clips at the 5%/95% cuts on 2000 rows/group
+      assert(rows.exists(r => r.getAs[Double]("clipped") != r.getAs[Double]("value")))
+    }
+  }
+
   test("daily correlation: diagonal ~1, everything in [-1,1], upper triangle only") {
     val rows = q("q_corr_daily").collect()
     assert(rows.nonEmpty)

@@ -87,6 +87,13 @@ object SparkEntry {
     "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
     "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
+    // market-bar analytics over the tick stream (the reference's domain)
+    "q_market_ohlc"    -> ((s, d) => Market.ohlcBars(s, d)),
+    "q_market_vwap"    -> ((s, d) => Market.vwap(s, d)),
+    "q_market_drawdown" -> ((s, d) => Market.drawdown(s, d)),
+    "q_market_bollinger" -> ((s, d) => Market.bollinger(s, d)),
+    "q_market_returns" -> ((s, d) => Market.returnsQuery(s, d)),
+    "q_market_rsi"     -> ((s, d) => Market.rsi(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
@@ -599,6 +606,79 @@ object SparkEntry {
            (n_days * sxy - sx * sy) /
              (sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy)) AS corr
          FROM m ORDER BY type_a, type_b""",
+    // market bars: open/close via arg_min/arg_max on the (unique) event
+    // time; size parsed from props with the q_parse_json regex
+    "q_market_ohlc" ->
+      """SELECT event_type AS symbol,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS n_trades,
+           CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS size_sum
+         FROM events GROUP BY symbol, day ORDER BY symbol, day""",
+    "q_market_vwap" ->
+      """SELECT event_type AS symbol,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS size_sum,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                    CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS DOUBLE) AS vwap
+         FROM events GROUP BY symbol, day ORDER BY symbol, day""",
+    // running max is exact over doubles; the chunked prefix-combine on
+    // the Spark side is bit-identical to this plain window by construction
+    "q_market_drawdown" ->
+      """SELECT event_id, run_max, value / run_max - 1.0 AS drawdown
+         FROM (SELECT event_id, value,
+                 max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_max
+               FROM events)
+         ORDER BY event_id""",
+    // decimal frame moments -> identical double band algebra (zscore trick)
+    "q_market_bollinger" ->
+      """WITH f AS (
+           SELECT event_id, count(*) OVER win AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               OVER win AS DOUBLE) AS sxx
+           FROM events
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT event_id, sx / 20 AS bb_mid,
+           sx / 20 + 2.0 * sqrt((sxx - sx * sx / 20) / 19) AS bb_up,
+           sx / 20 - 2.0 * sqrt((sxx - sx * sx / 20) / 19) AS bb_dn
+         FROM f WHERE n = 20 ORDER BY event_id""",
+    // complete 2-row frames == rows whose lag exists
+    "q_market_returns" ->
+      """SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)) AS DOUBLE) AS diff,
+           value / prev - 1.0 AS ret
+         FROM (SELECT event_id, event_type, ts, value,
+                 lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+               FROM events)
+         WHERE prev IS NOT NULL ORDER BY event_id""",
+    "q_market_rsi" ->
+      """WITH r AS (
+           SELECT event_id, event_type, ts,
+             CAST(value AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)) AS diff
+           FROM (SELECT event_id, event_type, ts, value,
+                   lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+                 FROM events)
+           WHERE prev IS NOT NULL),
+         f AS (
+           -- CASE, not greatest(): DuckDB's greatest() promotes DECIMAL
+           -- to DOUBLE, which would make the sums order-dependent
+           SELECT event_id, count(*) OVER win AS n,
+             CAST(sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER win AS DOUBLE) AS g,
+             CAST(sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER win AS DOUBLE) AS l
+           FROM r
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_id,
+           CASE WHEN l = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + g / l) END AS rsi
+         FROM f WHERE n = 14 ORDER BY event_id""",
     "q_predict_next" ->
       """WITH r AS (SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn

@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
+
+import graft.Tables
+
+/** Market-bar analytics over the tick stream — the reference's own
+  * domain (a stock-price pipeline: random-walk ticks with price and
+  * volume, `producer.py:16-26`; per-symbol price series consumed by
+  * `batch_processor.py:89-97`). The reference stops at raw sliding
+  * windows + model predict; these are the standard exchange-side
+  * aggregations any production deployment of that pipeline runs next
+  * to it: OHLC candlestick bars, VWAP, drawdown from running peak,
+  * per-tick returns, Bollinger bands, and RSI.
+  *
+  * The fixture mapping: `events.event_type` is the symbol (5 hot
+  * values — exactly the low-cardinality skew shape the reference's 5
+  * tickers have), `events.value` the trade price, and `props.k` the
+  * trade size. Every per-symbol sequential computation here routes
+  * through chunked evaluation ([[Chunked.frames]] for fixed lookbacks,
+  * a prefix-combine for the running max) so no symbol ever funnels
+  * through a single task — the same scale discipline as the rest of
+  * the window family.
+  *
+  * Float parity with the DuckDB oracles uses the repo's decimal-moments
+  * technique throughout: sums accumulate in DECIMAL (exact, therefore
+  * order- and chunking-independent), and only the final mean/ratio
+  * algebra runs in doubles — the identical IEEE expression on both
+  * engines. */
+object Market {
+
+  private val vd = col("value").cast(DecimalType(18, 2))
+
+  /** Trade size parsed out of the props JSON — same extraction as
+    * [[Scalars.parseJson]] (P2), reused as a join-free weight column. */
+  private val sizeK: org.apache.spark.sql.Column = {
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    from_json(col("props"), propsSchema).getField("k")
+  }
+
+  private def dayCol = date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day")
+
+  /** OHLC candlestick bars per (symbol, day): open/close are the first/
+    * last trade price by event time (`min_by`/`max_by` — single-pass
+    * partial aggregates, no window sort), high/low the extrema, plus
+    * trade count and summed size. One shuffle on the (symbol, day)
+    * grain; (event_type, ts) is unique in the fixture (spec-asserted),
+    * so the by-time selection is deterministic. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type").as("symbol"), dayCol, col("ts"), col("value"),
+        sizeK.as("k"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_trades"),
+        sum(col("k")).as("size_sum"))
+      .orderBy(col("symbol"), col("day"))
+
+  /** Volume-weighted average price per (symbol, day):
+    * Σ(price·size) / Σ(size). The weighted sum accumulates in DECIMAL
+    * (price at 2 dp × integer size — exact at any grouping), so the
+    * final double division is bit-identical across engines. Same
+    * single-shuffle grain as [[ohlcBars]]. */
+  def vwap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type").as("symbol"), dayCol, vd.as("pd"), sizeK.as("k"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(
+        sum(col("k")).as("size_sum"),
+        (sum(col("pd") * col("k")).cast(DoubleType) /
+          sum(col("k")).cast(DoubleType)).as("vwap"))
+      .orderBy(col("symbol"), col("day"))
+
+  /** Drawdown from the running peak: dd = price / max(price so far) − 1
+    * per symbol in event-time order. The running max is an associative
+    * prefix scan, so it chunk-combines exactly like the tick
+    * generator's cumulative sum ([[graft.gen.Ticks.generate]]): each
+    * chunk computes its local running max (bounded task), the per-chunk
+    * maxima prefix-scan on the tiny (symbol, chunk) table, and the
+    * predecessor offset broadcast-joins back — `greatest` is the
+    * combine instead of `+`, and max over doubles is exact, so chunked
+    * == sequential bit for bit (spec-pinned against the plain window).
+    * Chunk assignment reuses [[Chunked.chunkPlanCached]] (shared with
+    * the whole window family on this corpus). Without this, 5 symbols
+    * = 5 tasks forever, no matter the corpus size. */
+  def drawdown(s: SparkSession, d: String): DataFrame =
+    drawdownOf(Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value")), d)
+
+  private[graft] def drawdownOf(df: DataFrame, corpus: String): DataFrame = {
+    val (ccExpr, mapping) = Chunked.chunkPlanCached(df, corpus, "event_type", "ts",
+      minRows = 8192L, nBoundaries = 32)
+    val based = df.withColumn("_cc", ccExpr)
+      .join(broadcast(mapping), Seq("event_type", "_cc"))
+    val wIn = Window.partitionBy(col("event_type"), col("_fc"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("_fc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = based.groupBy(col("event_type"), col("_fc"))
+      .agg(max(col("value")).as("_cmax"))
+      .select(col("event_type"), col("_fc"),
+        max(col("_cmax")).over(wOff).as("_off"))
+    based
+      .withColumn("_lmax", max(col("value")).over(wIn))
+      .join(broadcast(offsets), Seq("event_type", "_fc"))
+      .withColumn("run_max",
+        when(col("_off").isNull, col("_lmax"))
+          .otherwise(greatest(col("_off"), col("_lmax"))))
+      .select(col("event_id"),
+        col("run_max"),
+        (col("value") / col("run_max") - lit(1.0)).as("drawdown"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bollinger bands: rolling k-trade mean ± nSigma sample standard
+    * deviations per symbol. Runs through [[Chunked.frames]] (bounded
+    * tasks, complete windows only); Σx and Σx² accumulate in DECIMAL
+    * over the frame so the band algebra is the identical double
+    * expression both engines. */
+  def bollinger(s: SparkSession, d: String, k: Int = 20,
+      nSigma: Double = 2.0): DataFrame = {
+    val kd = lit(k.toDouble)
+    Chunked.frames(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("ts"), col("value")),
+      d, "event_type", "ts", "event_id", k) { w =>
+      Seq(
+        sum(vd).over(w).cast(DoubleType).as("_sx"),
+        sum(vd * vd).over(w).cast(DoubleType).as("_sxx"))
+    }
+      .withColumn("bb_mid", col("_sx") / kd)
+      .withColumn("_sd",
+        sqrt((col("_sxx") - col("_sx") * col("_sx") / kd) / (kd - lit(1.0))))
+      .select(col("event_id"), col("bb_mid"),
+        (col("bb_mid") + lit(nSigma) * col("_sd")).as("bb_up"),
+        (col("bb_mid") - lit(nSigma) * col("_sd")).as("bb_dn"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-tick returns: previous price, exact decimal price delta, and
+    * simple return per symbol in event-time order. The 1-row lookback
+    * is [[Chunked.frames]] at k=2 (complete frames only, so the first
+    * trade of each symbol drops — exactly the rows where `lag` is
+    * null). Build-once lifecycle: the table checkpoint-caches per
+    * corpus (like `Dedup.pairsCache`) because downstream indicators
+    * ([[rsi]]) re-consume it; at 100 TB this is the staged returns
+    * table every indicator job reads. */
+  def returns(s: SparkSession, d: String): DataFrame =
+    returnsCache.computeIfAbsent(d, _ =>
+      Chunked.frames(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          col("ts"), col("value")),
+        d, "event_type", "ts", "event_id", 2) { w =>
+        Seq(first(col("value")).over(w).as("prev"))
+      }
+        .select(col("event_id"), col("event_type"), col("ts"),
+          // the delta is computed in DECIMAL (exact) and stored as the
+          // double it fits losslessly — raw decimals don't compare
+          // across engines' client dtypes
+          (vd - col("prev").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("diff"),
+          (col("value") / col("prev") - lit(1.0)).as("ret"))
+        .localCheckpoint(true))
+
+  private val returnsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Ordered output view of [[returns]] for the driver contract (the
+    * raw event-time column stays internal — timestamps never compare
+    * raw against the oracle). */
+  def returnsQuery(s: SparkSession, d: String): DataFrame =
+    returns(s, d).select(col("event_id"), col("event_type"),
+      col("diff"), col("ret")).orderBy(col("event_id"))
+
+  /** RSI (Cutler's simple-moving-average form): 100 − 100/(1 + G/L)
+    * where G and L are the summed gains and losses over the last k
+    * price deltas. Consumes the checkpointed [[returns]] table and
+    * chunk-frames it again at k — two bounded corpus passes total per
+    * corpus, both shared across the family via the caches. Gains and
+    * losses stay DECIMAL until the final ratio; an all-gain window
+    * (L = 0) pins to RSI 100 exactly, both engines. */
+  def rsi(s: SparkSession, d: String, k: Int = 14): DataFrame = {
+    val zero = lit(0).cast(DecimalType(18, 2))
+    // diff is stored as a (losslessly) doubled 2-dp delta; cast back to
+    // DECIMAL so the frame sums below stay exact
+    val dd = col("diff").cast(DecimalType(18, 2))
+    val framed = Chunked.frames(
+      returns(s, d).select(col("event_id"), col("event_type"), col("ts"),
+        greatest(dd, zero).as("gain"),
+        greatest(-dd, zero).as("loss")),
+      d + "#returns", "event_type", "ts", "event_id", k) { w =>
+      Seq(
+        sum(col("gain")).over(w).cast(DoubleType).as("_g"),
+        sum(col("loss")).over(w).cast(DoubleType).as("_l"))
+    }
+    framed
+      .select(col("event_id"),
+        when(col("_l") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("_g") / col("_l")))
+          .as("rsi"))
+      .orderBy(col("event_id"))
+  }
+}

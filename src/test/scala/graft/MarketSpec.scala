@@ -1,0 +1,158 @@
+package graft
+
+import graft.ops.Market
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-bar analytics: hand-computed truths on collected fixtures,
+  * the chunked-prefix drawdown against the plain-window formulation,
+  * and the oracle preconditions the hash parity rests on. */
+class MarketSpec extends SparkSpec {
+
+  test("fixture precondition: (event_type, ts) unique — arg_min/max bars are deterministic") {
+    val e = Tables.events(spark, sf)
+    assert(e.count() == e.select("event_type", "ts").distinct().count())
+  }
+
+  test("OHLC bar matches a hand-computed bar for one (symbol, day)") {
+    val bars = q("q_market_ohlc").collect()
+    assert(bars.nonEmpty)
+    val b = bars.head
+    val sym = b.getString(0)
+    val day = b.getString(1)
+    val trades = Tables.events(spark, sf)
+      .filter(col("event_type") === sym &&
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd") === day)
+      .select(col("ts"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+      .sortBy(_._1)
+    assert(b.getDouble(2) == trades.head._2, "open = first trade by time")
+    assert(b.getDouble(3) == trades.map(_._2).max, "high")
+    assert(b.getDouble(4) == trades.map(_._2).min, "low")
+    assert(b.getDouble(5) == trades.last._2, "close = last trade by time")
+    assert(b.getLong(6) == trades.length, "n_trades")
+  }
+
+  test("VWAP for one (symbol, day) equals the exact BigDecimal recomputation") {
+    val rows = q("q_market_vwap").collect()
+    assert(rows.forall(r => !r.isNullAt(3)))
+    val v = rows.head
+    val trades = Tables.events(spark, sf)
+      .filter(col("event_type") === v.getString(0) &&
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd") === v.getString(1))
+      .select(col("value"), get_json_object(col("props"), "$.k").cast("long"))
+      .collect().map(r => (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP), r.getLong(1)))
+    val num = trades.map { case (p, k) => p * BigDecimal(k) }.sum
+    val den = trades.map(_._2).sum
+    assert(v.getLong(2) == den, "size_sum")
+    assert(v.getDouble(3) == num.toDouble / den.toDouble, "vwap bit-exact")
+  }
+
+  test("chunked drawdown == plain-window running max on a skewed fixture, and the hot series splits") {
+    import spark.implicits._
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, "hot", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        math.sin(i * 0.31) * 40 + 100)
+    } ++ (0 until 50).map { i =>
+      (10000L + i, "cold", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i + 1.0)
+    }
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val plain = df.select(col("event_id"), max(col("value")).over(w).as("rm"),
+        (col("value") / max(col("value")).over(w) - lit(1.0)).as("dd"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val chunked = Market.drawdownOf(df, "fixture:market-skew-3000x50")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(chunked == plain, "chunked prefix-max must be bit-identical to the plain window")
+    // scale claim: the hot series actually crosses chunk boundaries
+    val (_, mapping) = graft.ops.Chunked.chunkPlan(df, "event_type", "ts",
+      minRows = 256L, nBoundaries = 16)
+    assert(mapping.filter(col("event_type") === "hot")
+      .select("_fc").distinct().count() > 1)
+  }
+
+  test("drawdown invariants on real events: dd <= 0, run_max non-decreasing per series") {
+    val dd = q("q_market_drawdown")
+    assert(dd.filter(col("drawdown") > 0).count() == 0)
+    val e = Tables.events(spark, sf).select(col("event_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val nonMono = dd.join(e, "event_id")
+      .withColumn("prev_rm", lag(col("run_max"), 1).over(w))
+      .filter(col("prev_rm").isNotNull && col("run_max") < col("prev_rm"))
+    assert(nonMono.count() == 0)
+  }
+
+  test("bollinger band matches a hand-computed window, bands bracket the mid") {
+    val res = q("q_market_bollinger").collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getDouble(2) >= r.getDouble(1) && r.getDouble(3) <= r.getDouble(1)))
+    // recompute one row's band from the raw trailing-20 window
+    val target = res.maxBy(_.getLong(0))
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value")).collect()
+    val sym = e.find(_.getLong(0) == target.getLong(0)).get.getString(1)
+    val series = e.filter(_.getString(1) == sym)
+      .map(r => (r.getTimestamp(2).getTime, r.getLong(0), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val idx = series.indexWhere(_._2 == target.getLong(0))
+    val win = series.slice(idx - 19, idx + 1).map(_._3)
+      .map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val sx = win.sum.toDouble
+    val sxx = win.map(x => x * x).sum.toDouble
+    val mid = sx / 20.0
+    val sd = math.sqrt((sxx - sx * sx / 20.0) / 19.0)
+    assert(target.getDouble(1) == mid)
+    assert(target.getDouble(2) == mid + 2.0 * sd)
+  }
+
+  test("returns: one row per event with a predecessor; diff/ret hand-check") {
+    val r = q("q_market_returns")
+    val e = Tables.events(spark, sf)
+    val nSeries = e.select("event_type").distinct().count()
+    assert(r.count() == e.count() - nSeries)
+    // hand-check a row: diff and ret against the collected series
+    val sample = r.filter(col("event_type") === "view").orderBy(col("event_id")).head()
+    val series = e.filter(col("event_type") === "view")
+      .select(col("ts"), col("event_id"), col("value"))
+      .collect().map(x => (x.getTimestamp(0).getTime, x.getLong(1), x.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val i = series.indexWhere(_._2 == sample.getLong(0))
+    val (prev, cur) = (series(i - 1)._3, series(i)._3)
+    val d2 = (BigDecimal(cur).setScale(2, BigDecimal.RoundingMode.HALF_UP) -
+      BigDecimal(prev).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toDouble
+    assert(sample.getDouble(2) == d2)
+    assert(sample.getDouble(3) == cur / prev - 1.0)
+  }
+
+  test("RSI stays in [0, 100]; an all-gain synthetic series pins to 100") {
+    val r = q("q_market_rsi")
+    assert(r.filter(col("rsi") < 0 || col("rsi") > 100).count() == 0)
+    // monotone rising prices => every diff a gain => RSI exactly 100
+    import spark.implicits._
+    val rising = (0 until 40).map { i =>
+      (i.toLong, "up", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        100.0 + i)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val diffs = graft.ops.Chunked.frames(rising, "fixture:rsi-rising",
+      "event_type", "ts", "event_id", 2) { w =>
+      Seq(first(col("value")).over(w).as("prev"))
+    }.select(col("event_id"), col("event_type"), col("ts"),
+      (col("value") - col("prev")).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("dd"))
+    val framed = graft.ops.Chunked.frames(
+      diffs.select(col("event_id"), col("event_type"), col("ts"),
+        greatest(col("dd"), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("gain"),
+        greatest(-col("dd"), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("loss")),
+      "fixture:rsi-rising#returns", "event_type", "ts", "event_id", 14) { w =>
+      Seq(sum(col("gain")).over(w).cast("double").as("g"),
+        sum(col("loss")).over(w).cast("double").as("l"))
+    }
+    val rsis = framed.select(
+      when(col("l") === 0.0, lit(100.0))
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("g") / col("l")))
+        .as("rsi")).collect().map(_.getDouble(0))
+    assert(rsis.nonEmpty && rsis.forall(_ == 100.0))
+  }
+}

@@ -94,6 +94,10 @@ object SparkEntry {
     "q_market_bollinger" -> ((s, d) => Market.bollinger(s, d)),
     "q_market_returns" -> ((s, d) => Market.returnsQuery(s, d)),
     "q_market_rsi"     -> ((s, d) => Market.rsi(s, d)),
+    "q_market_breakout" -> ((s, d) => Market.breakouts(s, d)),
+    // data profiling
+    "q_histogram"      -> ((s, d) => Aggregates.histogram(s, d)),
+    "q_profile"        -> ((s, d) => Aggregates.profile(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_ts_search"      -> ((s, d) => TimeSeries.searchByShape(s, d)),
     // §2.10 prediction. q_predict_windows runs the BATCHED inference
@@ -679,6 +683,60 @@ object SparkEntry {
            CASE WHEN l = 0 THEN 100.0
                 ELSE 100.0 - 100.0 / (1.0 + g / l) END AS rsi
          FROM f WHERE n = 14 ORDER BY event_id""",
+    "q_market_breakout" ->
+      """WITH f AS (
+           SELECT event_id, value, count(*) OVER win AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               OVER win AS DOUBLE) AS sxx
+           FROM events
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         b AS (
+           SELECT event_id, value,
+             sx / 20 + 2.0 * sqrt((sxx - sx * sx / 20) / 19) AS bb_up,
+             sx / 20 - 2.0 * sqrt((sxx - sx * sx / 20) / 19) AS bb_dn
+           FROM f WHERE n = 20)
+         SELECT event_id, value AS px, bb_up, bb_dn,
+           CASE WHEN value > bb_up THEN 'up' ELSE 'dn' END AS side
+         FROM b WHERE value > bb_up OR value < bb_dn
+         ORDER BY event_id""",
+    "q_histogram" ->
+      """WITH st AS (
+           SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                  max(CAST(l_extendedprice AS DOUBLE)) AS mx
+           FROM lineitem)
+         SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                  / ((mx - mn) / 20.0)), 19) AS BIGINT) AS bin,
+           count(*) AS n_items,
+           min(CAST(l_extendedprice AS DOUBLE)) AS bin_min,
+           max(CAST(l_extendedprice AS DOUBLE)) AS bin_max
+         FROM lineitem, st GROUP BY bin ORDER BY bin""",
+    "q_profile" ->
+      """WITH p AS (
+           SELECT 'l_discount' AS col_name, count(*) AS n_rows,
+             count(*) - count(l_discount) AS n_null,
+             count(DISTINCT l_discount) AS n_distinct,
+             CAST(min(l_discount) AS DOUBLE) AS min_v,
+             CAST(max(l_discount) AS DOUBLE) AS max_v
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+             count(DISTINCT l_quantity),
+             CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', count(*), count(*) - count(l_tax),
+             count(DISTINCT l_tax),
+             CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+           FROM lineitem)
+         SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v
+         FROM p ORDER BY col_name""",
     "q_predict_next" ->
       """WITH r AS (SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn

@@ -274,4 +274,54 @@ object Aggregates {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         count(lit(1)).as("n_items"))
       .orderBy(col("l_suppkey"))
+
+  /** Equal-width histogram — the data-profiling distribution sketch.
+    * Two passes: a min/max aggregate (one row, broadcast back as a cross
+    * join) fixes the 20 bins; the main pass is a codegen'd
+    * floor((x−mn)/w) groupBy — one shuffle of 20 partial rows per task,
+    * independent of corpus size. All bin arithmetic runs in doubles
+    * (prices at 2 dp are double-exact), the identical IEEE expression
+    * both engines, so even boundary ties bucket identically. */
+  def histogram(s: SparkSession, d: String, nBins: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").cast(DoubleType).as("x"))
+    val stats = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val nb = lit(nBins.toDouble)
+    li.crossJoin(broadcast(stats))
+      .withColumn("_w", (col("mx") - col("mn")) / nb)
+      .withColumn("bin",
+        least(floor((col("x") - col("mn")) / col("_w")), lit(nBins - 1L)).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("x")).as("bin_min"), max(col("x")).as("bin_max"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-column data profile — the schema-dynamic quality report every
+    * ingest pipeline runs first: row/null/distinct counts and value
+    * range for each requested numeric column, ONE scan. The multi-
+    * distinct agg expands map-side (one Expand branch per column) and
+    * still partial-aggregates before the shuffle; the wide result row
+    * unpivots driver-free via stack(). At 100 TB swap countDistinct for
+    * approx_count_distinct per column — same plan shape without the
+    * distinct expansion. */
+  def profile(s: SparkSession, d: String,
+      cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      : DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast(DoubleType).as(s"${c}_mn"),
+        max(col(c)).cast(DoubleType).as(s"${c}_mx"))
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+    wide.select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_notnull, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_notnull")).as("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -145,6 +145,36 @@ object Market {
       .orderBy(col("event_id"))
   }
 
+  /** Band-breakout detection: ticks whose price closes outside the
+    * Bollinger band of their own trailing k-window — the streaming
+    * anomaly flag of the [[bollinger]] family. Identical frame moments
+    * (and therefore the SAME cached chunk plan + boundary set) as
+    * [[bollinger]]; the flag is a codegen'd filter on top, so the
+    * incremental cost of the second query is one more pass over the
+    * frames, never a new shuffle. */
+  def breakouts(s: SparkSession, d: String, k: Int = 20,
+      nSigma: Double = 2.0): DataFrame = {
+    val kd = lit(k.toDouble)
+    Chunked.frames(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("ts"), col("value")),
+      d, "event_type", "ts", "event_id", k) { w =>
+      Seq(
+        sum(vd).over(w).cast(DoubleType).as("_sx"),
+        sum(vd * vd).over(w).cast(DoubleType).as("_sxx"))
+    }
+      .withColumn("bb_mid", col("_sx") / kd)
+      .withColumn("_sd",
+        sqrt((col("_sxx") - col("_sx") * col("_sx") / kd) / (kd - lit(1.0))))
+      .withColumn("bb_up", col("bb_mid") + lit(nSigma) * col("_sd"))
+      .withColumn("bb_dn", col("bb_mid") - lit(nSigma) * col("_sd"))
+      .filter(col("value") > col("bb_up") || col("value") < col("bb_dn"))
+      .select(col("event_id"), col("value").as("px"),
+        col("bb_up"), col("bb_dn"),
+        when(col("value") > col("bb_up"), lit("up")).otherwise(lit("dn")).as("side"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-tick returns: previous price, exact decimal price delta, and
     * simple return per symbol in event-time order. The 1-row lookback
     * is [[Chunked.frames]] at k=2 (complete frames only, so the first

@@ -127,6 +127,19 @@ class MarketSpec extends SparkSpec {
     assert(sample.getDouble(3) == cur / prev - 1.0)
   }
 
+  test("breakouts are exactly the bollinger rows whose price exits the band") {
+    val bb = q("q_market_bollinger").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val px = Tables.events(spark, sf).select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = bb.collect {
+      case (id, (up, dn)) if px(id) > up || px(id) < dn => id
+    }.toSet
+    val got = q("q_market_breakout").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain at least one band exit")
+  }
+
   test("RSI stays in [0, 100]; an all-gain synthetic series pins to 100") {
     val r = q("q_market_rsi")
     assert(r.filter(col("rsi") < 0 || col("rsi") > 100).count() == 0)

@@ -272,4 +272,33 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() == urgent)
     assert(df.filter(col("n_orders") < 1).count() == 0)
   }
+
+  test("histogram: bins partition all rows, bounds nest inside bin edges") {
+    val h = q("q_histogram").collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(h.map(_.getLong(1)).sum == total, "bin counts partition the table")
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    assert(h.forall(r => r.getDouble(2) <= r.getDouble(3)), "bin_min <= bin_max")
+    // recompute one bin membership by hand
+    val xs = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice").cast("double")).collect().map(_.getDouble(0))
+    val (mn, mx) = (xs.min, xs.max)
+    val w = (mx - mn) / 20.0
+    val hand = xs.map(x => math.min(math.floor((x - mn) / w), 19.0).toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(h.map(r => r.getLong(0) -> r.getLong(1)).toMap == hand)
+  }
+
+  test("profile: one row per column; counts match direct queries") {
+    val p = q("q_profile").collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    p.values.foreach(r => assert(r.getLong(1) == n))
+    val qty = p("l_quantity")
+    assert(qty.getLong(2) == li.filter(col("l_quantity").isNull).count())
+    assert(qty.getLong(3) == li.select("l_quantity").distinct().count())
+    assert(qty.getDouble(4) == li.agg(min(col("l_quantity").cast("double"))).head().getDouble(0))
+    assert(qty.getDouble(5) == li.agg(max(col("l_quantity").cast("double"))).head().getDouble(0))
+  }
 }

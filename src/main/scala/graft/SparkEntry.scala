@@ -95,6 +95,8 @@ object SparkEntry {
     "q_market_returns" -> ((s, d) => Market.returnsQuery(s, d)),
     "q_market_rsi"     -> ((s, d) => Market.rsi(s, d)),
     "q_market_breakout" -> ((s, d) => Market.breakouts(s, d)),
+    "q_market_ewma"    -> ((s, d) => Market.ewma(s, d)),
+    "q_market_atr"     -> ((s, d) => Market.atr(s, d)),
     // data profiling
     "q_histogram"      -> ((s, d) => Aggregates.histogram(s, d)),
     "q_profile"        -> ((s, d) => Aggregates.profile(s, d)),
@@ -633,7 +635,7 @@ object SparkEntry {
     // running max is exact over doubles; the chunked prefix-combine on
     // the Spark side is bit-identical to this plain window by construction
     "q_market_drawdown" ->
-      """SELECT event_id, run_max, value / run_max - 1.0 AS drawdown
+      """SELECT event_id, run_max, value / nullif(run_max, 0) - 1.0 AS drawdown
          FROM (SELECT event_id, value,
                  max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS run_max
@@ -657,7 +659,7 @@ object SparkEntry {
     "q_market_returns" ->
       """SELECT event_id, event_type,
            CAST(CAST(value AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)) AS DOUBLE) AS diff,
-           value / prev - 1.0 AS ret
+           value / nullif(prev, 0) - 1.0 AS ret
          FROM (SELECT event_id, event_type, ts, value,
                  lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
                FROM events)
@@ -701,6 +703,47 @@ object SparkEntry {
            CASE WHEN value > bb_up THEN 'up' ELSE 'dn' END AS side
          FROM b WHERE value > bb_up OR value < bb_dn
          ORDER BY event_id""",
+    // the weight literals come from the SAME driver-side computation the
+    // Spark plan inlines. They are printed in EXPONENT notation on
+    // purpose: DuckDB types a plain decimal-point literal as DECIMAL and
+    // casting that to DOUBLE rounds twice (weights land 1 ulp off); an
+    // e-notation literal parses directly to the nearest double. Both
+    // engines then run the identical left-to-right multiply-add fold
+    // (DotProduct == list_reduce over list_transform).
+    "q_market_ewma" -> {
+      val ws = graft.ops.Market.ewmaWeights(10)
+        .map(w => f"$w%.17e").mkString("[", ", ", "]")
+      s"""WITH f AS (
+           SELECT event_id, count(*) OVER win AS n, list(value) OVER win AS xs
+           FROM events
+           WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT event_id,
+           list_reduce(list_transform(generate_series(1, 10),
+             i -> xs[i] * ($ws::DOUBLE[])[i]), (a, b) -> a + b) AS ewma
+         FROM f WHERE n = 10 ORDER BY event_id"""
+    },
+    "q_market_atr" ->
+      """WITH bars AS (
+           SELECT event_type AS symbol,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+           FROM events GROUP BY symbol, day),
+         t AS (
+           SELECT symbol, day, high, low,
+             lag(close) OVER (PARTITION BY symbol ORDER BY day) AS pc
+           FROM bars),
+         tr AS (
+           SELECT symbol, day,
+             CAST(greatest(high - low, abs(high - pc), abs(low - pc)) AS DECIMAL(18,2)) AS tr
+           FROM t WHERE pc IS NOT NULL),
+         f AS (
+           SELECT symbol, day, count(*) OVER win AS n,
+             CAST(sum(tr) OVER win AS DOUBLE) / 14.0 AS atr
+           FROM tr
+           WINDOW win AS (PARTITION BY symbol ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT symbol, day, atr FROM f WHERE n = 14 ORDER BY symbol, day""",
     "q_histogram" ->
       """WITH st AS (
            SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,

@@ -116,7 +116,10 @@ object Market {
           .otherwise(greatest(col("_off"), col("_lmax"))))
       .select(col("event_id"),
         col("run_max"),
-        (col("value") / col("run_max") - lit(1.0)).as("drawdown"))
+        // all-zero prefix ⇒ run_max 0 ⇒ undefined drawdown: NULL on
+        // both engines (nullif in the oracle)
+        when(col("run_max") =!= 0.0,
+          col("value") / col("run_max") - lit(1.0)).as("drawdown"))
       .orderBy(col("event_id"))
   }
 
@@ -197,7 +200,10 @@ object Market {
           // across engines' client dtypes
           (vd - col("prev").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("diff"),
-          (col("value") / col("prev") - lit(1.0)).as("ret"))
+          // a zero prior price has no defined return: NULL, matching
+          // the oracle's nullif (DuckDB nulls double x/0; ANSI Spark throws)
+          when(col("prev") =!= 0.0, col("value") / col("prev") - lit(1.0))
+            .as("ret"))
         .localCheckpoint(true))
 
   private val returnsCache =
@@ -209,6 +215,66 @@ object Market {
   def returnsQuery(s: SparkSession, d: String): DataFrame =
     returns(s, d).select(col("event_id"), col("event_type"),
       col("diff"), col("ret")).orderBy(col("event_id"))
+
+  /** Truncated exponentially-weighted moving average: the last k prices
+    * fold against fixed decay weights (α = 2/(k+1), normalized in the
+    * driver and inlined as literals). The frame's price list rides
+    * [[Chunked.frames]] in event-time order and the weighted fold is the
+    * codegen'd [[graft.functions.DotProduct]] — one multiply-add per
+    * element, left-to-right, bit-identical to the oracle's
+    * list_transform fold. No interpreted HOF anywhere (the
+    * inlining trap); the weight array is a single literal, never
+    * re-built per row. */
+  def ewma(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    graft.functions.Native.register(s)
+    val weights = ewmaWeights(k)
+    val wLit = array(weights.map(lit): _*)
+    Chunked.frames(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("ts"), col("value")),
+      d, "event_type", "ts", "event_id", k) { w =>
+      Seq(collect_list(col("value")).over(w).as("_xs"))
+    }
+      .select(col("event_id"),
+        graft.functions.Native.dot(col("_xs"), wLit).as("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Normalized oldest→newest decay weights, computed once driver-side.
+    * Shared with the oracle builder so both engines fold the SAME
+    * doubles. */
+  private[graft] def ewmaWeights(k: Int, alpha: Double = -1.0): Seq[Double] = {
+    val a = if (alpha > 0) alpha else 2.0 / (k + 1)
+    val raw = (0 until k).map(j => math.pow(1.0 - a, (k - 1 - j).toDouble))
+    val norm = raw.sum
+    raw.map(_ / norm)
+  }
+
+  /** ATR (average true range) over the daily [[ohlcBars]]: true range =
+    * max(high−low, |high−prevClose|, |low−prevClose|), averaged over the
+    * last k complete bars. Runs on the BAR table — symbols × days rows,
+    * thousands of partitions' worth of ticks already collapsed by the
+    * bar aggregate — so the plain per-symbol window is bounded by the
+    * calendar, not the corpus (documented contract; the tick-level ops
+    * are the ones that chunk). True ranges round to DECIMAL(18,2) (they
+    * are differences of 2-dp prices) so the rolling mean is exact. */
+  def atr(s: SparkSession, d: String, k: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val wk = w.rowsBetween(-(k - 1), 0)
+    ohlcBars(s, d)
+      .select(col("symbol"), col("day"), col("high"), col("low"),
+        lag(col("close"), 1).over(w).as("pc"))
+      .filter(col("pc").isNotNull)
+      .withColumn("_tr",
+        greatest(col("high") - col("low"), abs(col("high") - col("pc")),
+          abs(col("low") - col("pc"))).cast(DecimalType(18, 2)))
+      .select(col("symbol"), col("day"),
+        count(lit(1)).over(wk).as("_n"),
+        (sum(col("_tr")).over(wk).cast(DoubleType) / lit(k.toDouble)).as("atr"))
+      .filter(col("_n") === k)
+      .select(col("symbol"), col("day"), col("atr"))
+      .orderBy(col("symbol"), col("day"))
+  }
 
   /** RSI (Cutler's simple-moving-average form): 100 − 100/(1 + G/L)
     * where G and L are the summed gains and losses over the last k

@@ -140,6 +140,44 @@ class MarketSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one band exit")
   }
 
+  test("EWMA: weights normalize to 1; one row equals the hand fold over its window") {
+    val ws = Market.ewmaWeights(10)
+    assert(math.abs(ws.sum - 1.0) < 1e-12)
+    assert(ws.sliding(2).forall { case Seq(a, b) => a < b }, "newer ticks weigh more")
+    val res = q("q_market_ewma").collect()
+    val target = res.maxBy(_.getLong(0))
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value")).collect()
+    val sym = e.find(_.getLong(0) == target.getLong(0)).get.getString(1)
+    val series = e.filter(_.getString(1) == sym)
+      .map(r => (r.getTimestamp(2).getTime, r.getLong(0), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val idx = series.indexWhere(_._2 == target.getLong(0))
+    val win = series.slice(idx - 9, idx + 1).map(_._3)
+    var acc = 0.0
+    win.zip(ws).foreach { case (x, w) => acc += x * w }
+    assert(target.getDouble(1) == acc, "left-to-right fold, bit-exact")
+  }
+
+  test("ATR: hand recomputation over one symbol's bars") {
+    val atr = q("q_market_atr").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(atr.nonEmpty)
+    val sym = atr.keys.head._1
+    val bars = q("q_market_ohlc").collect().filter(_.getString(0) == sym)
+      .map(r => (r.getString(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1) // (day, high, low, close)
+    val trs = bars.sliding(2).collect { case Array((_, _, _, pc), (day, h, l, _)) =>
+      day -> BigDecimal(math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc))))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.toArray
+    val expected = trs.sliding(14).collect {
+      case w if w.length == 14 => w.last._1 -> (w.map(_._2).sum.toDouble / 14.0)
+    }.toMap
+    val got = atr.collect { case ((s, day), v) if s == sym => day -> v }
+    assert(got == expected)
+  }
+
   test("RSI stays in [0, 100]; an all-gain synthetic series pins to 100") {
     val r = q("q_market_rsi")
     assert(r.filter(col("rsi") < 0 || col("rsi") > 100).count() == 0)

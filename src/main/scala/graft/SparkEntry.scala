@@ -85,6 +85,7 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Windows.sessionWindowNative(s, d)),
     "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
     "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
+    "q_ffill"          -> ((s, d) => Windows.forwardFill(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
     "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
     // market-bar analytics over the tick stream (the reference's domain)
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_market_breakout" -> ((s, d) => Market.breakouts(s, d)),
     "q_market_ewma"    -> ((s, d) => Market.ewma(s, d)),
     "q_market_atr"     -> ((s, d) => Market.atr(s, d)),
+    "q_market_beta"    -> ((s, d) => Market.beta(s, d)),
     // data profiling
     "q_histogram"      -> ((s, d) => Aggregates.histogram(s, d)),
     "q_profile"        -> ((s, d) => Aggregates.profile(s, d)),
@@ -585,6 +587,15 @@ object SparkEntry {
          SELECT e.event_id, e.event_type,
            (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN st USING (event_type) ORDER BY e.event_id""",
+    "q_ffill" ->
+      """SELECT event_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS filled
+         FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 0 THEN value END AS reading
+               FROM events)
+         ORDER BY event_id""",
     "q_winsorize" ->
       """WITH qx AS (
            SELECT event_type, quantile_cont(value, 0.05) AS plo,
@@ -744,6 +755,29 @@ object SparkEntry {
            WINDOW win AS (PARTITION BY symbol ORDER BY day
              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          SELECT symbol, day, atr FROM f WHERE n = 14 ORDER BY symbol, day""",
+    "q_market_beta" ->
+      """WITH bars AS (
+           SELECT event_type AS symbol,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             arg_max(value, ts) AS close
+           FROM events GROUP BY symbol, day),
+         deltas AS (
+           SELECT symbol, day,
+             CAST(close AS DECIMAL(18,2)) -
+               CAST(lag(close) OVER (PARTITION BY symbol ORDER BY day) AS DECIMAL(18,2)) AS dd
+           FROM bars QUALIFY dd IS NOT NULL),
+         market AS (
+           SELECT day, CAST(sum(dd) AS DECIMAL(18,2)) AS dm
+           FROM deltas GROUP BY day),
+         m AS (
+           SELECT symbol, count(*) AS n_days,
+             CAST(sum(dd) AS DOUBLE) AS sd, CAST(sum(dm) AS DOUBLE) AS sm,
+             CAST(sum(dd * dm) AS DOUBLE) AS sdm,
+             CAST(sum(dm * dm) AS DOUBLE) AS smm
+           FROM deltas JOIN market USING (day) GROUP BY symbol)
+         SELECT symbol, n_days,
+           (n_days * sdm - sd * sm) / (n_days * smm - sm * sm) AS beta
+         FROM m ORDER BY symbol""",
     "q_histogram" ->
       """WITH st AS (
            SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,

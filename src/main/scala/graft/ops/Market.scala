@@ -276,6 +276,36 @@ object Market {
       .orderBy(col("symbol"), col("day"))
   }
 
+  /** Per-symbol beta against the aggregate market move: daily close
+    * deltas per symbol (exact 2-dp decimals off the [[ohlcBars]] close),
+    * the market index as their per-day SUM (pure decimal addition —
+    * exact, unlike an averaged float return), then
+    * β = (nΣdm − ΣdΣm) / (nΣmm − (Σm)²) from decimal moments cast to
+    * double at the last step — [[Aggregates.corrDaily]]'s parity
+    * technique. Bar-table sized throughout (symbols × days): one tiny
+    * broadcast join of deltas against the 1-row-per-day index. */
+  def beta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val deltas = ohlcBars(s, d)
+      .select(col("symbol"), col("day"),
+        (col("close").cast(DecimalType(18, 2)) -
+          lag(col("close"), 1).over(w).cast(DecimalType(18, 2))).as("dd"))
+      .filter(col("dd").isNotNull)
+    val market = deltas.groupBy(col("day"))
+      .agg(sum(col("dd")).cast(DecimalType(18, 2)).as("dm"))
+    deltas.join(broadcast(market), Seq("day"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("dd")).cast(DoubleType).as("sd"),
+        sum(col("dm")).cast(DoubleType).as("sm"),
+        sum(col("dd") * col("dm")).cast(DoubleType).as("sdm"),
+        sum(col("dm") * col("dm")).cast(DoubleType).as("smm"))
+      .select(col("symbol"), col("n_days"),
+        ((col("n_days") * col("sdm") - col("sd") * col("sm")) /
+          (col("n_days") * col("smm") - col("sm") * col("sm"))).as("beta"))
+      .orderBy(col("symbol"))
+  }
+
   /** RSI (Cutler's simple-moving-average form): 100 − 100/(1 + G/L)
     * where G and L are the summed gains and losses over the last k
     * price deltas. Consumes the checkpointed [[returns]] table and

@@ -250,6 +250,28 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Forward fill (last-observation-carried-forward) — the standard
+    * missing-data imputation for event streams: each row takes the most
+    * recent non-null observation of its user's series. One shuffle on
+    * `user_id` (high-cardinality — balanced under the plain window; a
+    * hot low-cardinality series key would route through a chunked
+    * prefix-combine instead, carry-forward is associative). The fixture
+    * has no nulls, so sparsity is DERIVED deterministically (every 7th
+    * event keeps its reading) — the same rule in the oracle — giving
+    * the operator real gaps to fill at any scale. */
+  def forwardFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("reading",
+        when(pmod(col("event_id"), lit(7)) === 0, col("value")))
+      .select(col("event_id"),
+        col("reading"),
+        last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("event_id"))
+  }
+
   /** W3 frozen-constants overload — the reference's ACTUAL scaler
     * semantics: `scaler.pkl` is a min/max frozen at training time
     * (`stream_consumer.py:44-45,51,54`), so serving-time values outside

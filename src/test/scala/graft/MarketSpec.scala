@@ -178,6 +178,54 @@ class MarketSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("beta: hand recomputation from the bars; sum of cov terms equals var of market") {
+    val res = q("q_market_beta").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res.nonEmpty)
+    // recompute from collected bars with BigDecimal moments
+    val bars = q("q_market_ohlc").collect()
+      .map(r => (r.getString(0), r.getString(1), BigDecimal(r.getDouble(5))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val bySym = bars.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val deltas = bySym.map { case (sym, rows) =>
+      sym -> rows.sliding(2).collect {
+        case Array((_, _, a), (_, day, b)) => day -> (b - a)
+      }.toMap
+    }
+    val days = deltas.values.flatMap(_.keys).toSet
+    val market = days.map(dy =>
+      dy -> deltas.values.flatMap(_.get(dy)).sum).toMap
+    deltas.foreach { case (sym, dd) =>
+      val n = dd.size
+      val pairs = dd.toSeq.map { case (dy, v) => (v, market(dy)) }
+      val sd = pairs.map(_._1).sum.toDouble
+      val sm = pairs.map(_._2).sum.toDouble
+      val sdm = pairs.map(p => p._1 * p._2).sum.toDouble
+      val smm = pairs.map(p => p._2 * p._2).sum.toDouble
+      val expected = (n * sdm - sd * sm) / (n * smm - sm * sm)
+      assert(res(sym)._1 == n && res(sym)._2 == expected, s"beta($sym)")
+    }
+  }
+
+  test("forward fill carries the last observation; leading gap stays null") {
+    val r = q("q_ffill").collect()
+      .map(x => x.getLong(0) -> (Option(x.get(1)), Option(x.get(2)))).toMap
+    // rebuild expectation per user from raw events
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getTimestamp(1).getTime, x.getLong(2), x.getDouble(3)))
+    e.groupBy(_._1).foreach { case (_, rows) =>
+      var carry: Option[Double] = None
+      rows.sortBy(t => (t._2, t._3)).foreach { case (_, _, id, v) =>
+        val obs = if (id % 7 == 0) Some(v) else None
+        if (obs.isDefined) carry = obs
+        val (gotObs, gotFill) = r(id)
+        assert(gotObs == obs, s"reading at $id")
+        assert(gotFill == carry, s"filled at $id")
+      }
+    }
+  }
+
   test("RSI stays in [0, 100]; an all-gain synthetic series pins to 100") {
     val r = q("q_market_rsi")
     assert(r.filter(col("rsi") < 0 || col("rsi") > 100).count() == 0)

@@ -126,6 +126,8 @@ object SparkEntry {
     "q_text_rollhash"    -> ((s, d) => TextOps.rollingFingerprint(s, d)),
     "q_text_editdist"    -> ((s, d) => TextOps.editDistanceConsecutive(s, d)),
     "q_text_scrub"       -> ((s, d) => TextOps.scrub(s, d)),
+    "q_text_chunks"      -> ((s, d) => TextOps.chunkDocs(s, d)),
+    "q_text_pack"        -> ((s, d) => TextOps.packDocs(s, d)),
     "q_text_novelty"     -> ((s, d) => TextOps.bigramNovelty(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
@@ -381,6 +383,35 @@ object SparkEntry {
          CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
+    "q_text_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(floor((len(toks) - 64 + 47) / 48.0) AS BIGINT) + 1 END AS nc
+           FROM t)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(len(toks[ci*48+1 : ci*48+64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[ci*48+1 : ci*48+64], ' ') AS chunk_text
+         FROM c, unnest(generate_series(0, nc - 1)) AS s(ci)
+         ORDER BY doc_id, chunk_idx""",
+    "q_text_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 32 AS stream,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, stream, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, stream, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+         FROM c ORDER BY doc_id""",
     // exact counts, one final double division — value-exact without
     // decimal routing; docs with <2 tokens have no bigrams and no row
     "q_text_novelty" ->

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -281,6 +282,65 @@ object TextOps {
             "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
           "[0-9]+", "<NUM>").as("scrubbed"))
       .orderBy(col("doc_id"))
+
+  /** RAG-style document chunking: overlapping token windows of `size`
+    * tokens at `stride` (size − stride = overlap), one output row per
+    * chunk. Pure per-document expressions — `sequence` + `posexplode`
+    * generate the chunk indices, `slice`/`array_join` cut each window
+    * (builtin array functions, NOT lambda HOFs — no interpreted
+    * inlining) — so the op is embarrassingly parallel and its output
+    * volume is rows × (1 + overlap fraction), the exact shape a
+    * context-window ingest wants at 100 TB. Whitespace-empty documents
+    * produce no chunks (same filter in the oracle). */
+  def chunkDocs(s: SparkSession, d: String, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride, "need 1 <= stride <= chunkSize")
+    val toks = tokens(col("text"))
+    val n = size0(toks)
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - lit(chunkSize) + lit(stride - 1)) / lit(stride.toDouble))
+        .cast(LongType) + lit(1L))
+    val chunk = slice(col("_toks"),
+      (col("chunk_idx") * stride + 1).cast(IntegerType), lit(chunkSize))
+    Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), toks.as("_toks"), nChunks.as("_nc"))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(sequence(lit(0L), col("_nc") - 1)))
+      .withColumnRenamed("col", "chunk_idx")
+      .select(col("doc_id"), col("chunk_idx"),
+        size(chunk).cast(LongType).as("n_chunk_tokens"),
+        array_join(chunk, " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private def size0(toks: Column): Column = size(toks).cast(LongType)
+
+  /** Concatenation packing: documents pack greedily into fixed token
+    * budgets, GPT-style — per stream, documents concatenate in doc_id
+    * order and context windows cut every `budget` tokens; each document
+    * records the pack its first token lands in and its offset there.
+    * All-integer prefix sums (exact at any grouping). Parallelism is
+    * the `nStreams` parameter itself: each stream packs independently
+    * (one in-partition sort per stream), so at 100 TB nStreams scales
+    * with the cluster — there is no global sequential order to respect,
+    * only within-stream order, which is the packing contract. */
+  def packDocs(s: SparkSession, d: String, budget: Int = 512,
+      nStreams: Int = 32): DataFrame = {
+    val n = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size0(tokens(col("text"))))
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nStreams.toLong)).as("stream"),
+        n.as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("stream"), col("n_tokens"),
+        floor((col("_cum") - col("n_tokens")) / lit(budget.toDouble))
+          .cast(LongType).as("pack_id"),
+        pmod(col("_cum") - col("n_tokens"), lit(budget.toLong)).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Edit-distance between consecutive documents' prefixes — the fuzzy
     * VERIFY stage of a dedup pipeline (levenshtein is O(len²) per pair,

@@ -237,4 +237,37 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeFeatures(Array.empty[Double], 2).sameElements(Array(0.0, 0.0)))
     assert(Multimodal.resizeFeatures(Array(1.0, 2.0), 2).sameElements(Array(1.0, 2.0)))
   }
+
+  test("chunking: stride-prefixes plus the last chunk reconstruct every document") {
+    val chunks = q("q_text_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nonEmpty = docs.filter(_._2.trim.nonEmpty)
+    assert(chunks.keySet == nonEmpty.keySet, "one chunk set per non-empty doc")
+    nonEmpty.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val cs = chunks(id).map(_.split(" ").toSeq)
+      // every chunk except the last is exactly chunkSize tokens
+      cs.init.foreach(c => assert(c.length == 64, s"interior chunk of doc $id"))
+      val rebuilt = (cs.init.flatMap(_.take(48)) ++ cs.last).toList
+      assert(rebuilt == toks.toList, s"doc $id must reconstruct from stride prefixes")
+    }
+  }
+
+  test("packing: offsets stay under budget, packs fill greedily per stream") {
+    val rows = q("q_text_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, off) => assert(off >= 0 && off < 512) }
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, packId, off) =>
+        assert(packId == cum / 512, s"pack id of doc $id")
+        assert(off == cum % 512, s"offset of doc $id")
+        cum += n
+      }
+    }
+  }
 }

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_market_ewma"    -> ((s, d) => Market.ewma(s, d)),
     "q_market_atr"     -> ((s, d) => Market.atr(s, d)),
     "q_market_beta"    -> ((s, d) => Market.beta(s, d)),
+    "q_stream_vwap"    -> ((s, d) => graft.streaming.Pipeline.streamingVwap(s, d)),
     // data profiling
     "q_histogram"      -> ((s, d) => Aggregates.histogram(s, d)),
     "q_profile"        -> ((s, d) => Aggregates.profile(s, d)),
@@ -786,6 +787,17 @@ object SparkEntry {
            WINDOW win AS (PARTITION BY symbol ORDER BY day
              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          SELECT symbol, day, atr FROM f WHERE n = 14 ORDER BY symbol, day""",
+    // the STREAMING VWAP must converge to the batch VWAP table exactly
+    // (same decimal sums, incremental state) — identical oracle modulo
+    // column order of the grain
+    "q_stream_vwap" ->
+      """SELECT event_type AS symbol,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS size_sum,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                    CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS DOUBLE) AS vwap
+         FROM events GROUP BY symbol, day ORDER BY symbol, day""",
     "q_market_beta" ->
       """WITH bars AS (
            SELECT event_type AS symbol,

@@ -186,6 +186,45 @@ object Pipeline {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Streaming VWAP — [[graft.ops.Market.vwap]] as an event-time
+    * windowed streaming aggregate: the same (symbol, day) grain, the
+    * same exact decimal Σ(price·size), maintained incrementally in
+    * update mode and drained through the update-log sink. The oracle is
+    * the BATCH VWAP SQL — streaming and batch must converge to the
+    * identical table (the lambda-architecture unification claim, proved
+    * by hash). Decimal sums make the convergence exact: partial
+    * per-batch state + final merge cannot perturb bits. */
+  def streamingVwap(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_svwap_")
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("symbol"))
+      .agg(
+        sum(col("k")).as("size_sum"),
+        sum(col("value").cast(DecimalType(18, 2)) * col("k")).as("pv"))
+      .select(col("symbol"), date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("size_sum"), col("pv"))
+    withStreamShuffle(s) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.sources.Sinks.readLatest(s, sinkDir, Seq("symbol", "day"))
+      .select(col("symbol"), col("day"), col("size_sum"),
+        (col("pv").cast(DoubleType) / col("size_sum").cast(DoubleType)).as("vwap"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
   /** Streaming deduplication: dropDuplicates over the key columns with
     * state kept across micro-batches — the streaming face of the
     * dedup suite (each key emitted on first sight only). In production

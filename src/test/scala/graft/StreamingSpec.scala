@@ -154,4 +154,12 @@ class StreamingSpec extends SparkSpec {
     assert(parsed.count() == 50)
     assert(parsed.schema == Tables.tickSchema)
   }
+
+  test("streaming VWAP converges to the batch VWAP table bit-for-bit") {
+    val streamed = q("q_stream_vwap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = q("q_market_vwap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch, "incremental decimal state must equal the one-shot aggregate")
+  }
 }

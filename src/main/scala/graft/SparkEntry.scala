@@ -100,6 +100,7 @@ object SparkEntry {
     "q_market_atr"     -> ((s, d) => Market.atr(s, d)),
     "q_market_beta"    -> ((s, d) => Market.beta(s, d)),
     "q_stream_vwap"    -> ((s, d) => graft.streaming.Pipeline.streamingVwap(s, d)),
+    "q_stream_enrich"  -> ((s, d) => graft.streaming.Pipeline.streamEnrich(s, d)),
     // data profiling
     "q_histogram"      -> ((s, d) => Aggregates.histogram(s, d)),
     "q_profile"        -> ((s, d) => Aggregates.profile(s, d)),
@@ -798,6 +799,11 @@ object SparkEntry {
                     CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS DOUBLE)
              / CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS DOUBLE) AS vwap
          FROM events GROUP BY symbol, day ORDER BY symbol, day""",
+    "q_stream_enrich" ->
+      """SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * length(event_type)) AS DOUBLE) AS weighted_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_market_beta" ->
       """WITH bars AS (
            SELECT event_type AS symbol,

@@ -225,6 +225,41 @@ object Pipeline {
       .orderBy(col("symbol"), col("day"))
   }
 
+  /** Stream–static enrichment join: each micro-batch broadcast-joins a
+    * STATIC dimension (here a deterministic per-type weight table —
+    * production: a reference/dimension table reloaded per restart) and
+    * the weighted values aggregate incrementally. The static side never
+    * holds join state — Spark re-plans it as a broadcast per
+    * micro-batch, the canonical cheap enrichment at any scale. Decimal
+    * sums ⇒ the drained table equals the batch equivalent exactly
+    * (oracle = batch SQL). */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_senrich_")
+    val dim = Tables.events(s, d).select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast(LongType))
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)) * col("weight")).as("wsum"))
+    withStreamShuffle(s) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.sources.Sinks.readLatest(s, sinkDir, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("wsum").cast(DoubleType).as("weighted_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming deduplication: dropDuplicates over the key columns with
     * state kept across micro-batches — the streaming face of the
     * dedup suite (each key emitted on first sight only). In production

@@ -162,4 +162,17 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed == batch, "incremental decimal state must equal the one-shot aggregate")
   }
+
+  test("stream-static enrichment equals the batch weighted aggregate") {
+    val streamed = q("q_stream_enrich").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          length(col("event_type")).cast("long"))
+          .cast("double").as("ws"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+  }
 }

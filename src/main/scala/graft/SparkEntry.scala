@@ -88,6 +88,10 @@ object SparkEntry {
     "q_ffill"          -> ((s, d) => Windows.forwardFill(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
     "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
+    // user-behavior analytics over the event log
+    "q_retention"      -> ((s, d) => Behavior.retention(s, d)),
+    "q_funnel"         -> ((s, d) => Behavior.funnel(s, d)),
+    "q_scd2"           -> ((s, d) => Behavior.scd2(s, d)),
     // market-bar analytics over the tick stream (the reference's domain)
     "q_market_ohlc"    -> ((s, d) => Market.ohlcBars(s, d)),
     "q_market_vwap"    -> ((s, d) => Market.vwap(s, d)),
@@ -135,6 +139,8 @@ object SparkEntry {
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
+    "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
+    "q_zorder"           -> ((s, d) => Layout.zorder(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
@@ -187,6 +193,9 @@ object SparkEntry {
     "q_stream_metrics"   -> ((s, d) => graft.streaming.Pipeline.streamWithMetrics(s, d)),
     "q_stream_metrics_conservation" -> ((s, d) => Checks.streamMetricsConservation(s, d)),
     "q_stream_join"      -> ((s, d) => graft.streaming.Pipeline.streamStreamJoin(s, d)),
+    "q_stream_sliding"   -> ((s, d) => graft.streaming.Pipeline.slidingEventWindow(s, d)),
+    "q_stream_session"   -> ((s, d) => graft.streaming.Pipeline.streamSessionWindows(s, d)),
+    "q_stream_outer_join" -> ((s, d) => graft.streaming.Pipeline.streamOuterJoin(s, d)),
   )
 
   /** DECIMAL-exact sum fragment shared by several oracles. */
@@ -333,6 +342,45 @@ object SparkEntry {
            CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
            count(*) AS n_events
          FROM s GROUP BY user_id, sess_idx ORDER BY user_id, start_us""",
+    // cohort retention: first-active-day cohorts × day offsets; the
+    // activity set is distinct per (user, day) so the cell count needs
+    // no COUNT(DISTINCT)
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    // ordered funnel: each stage strictly after the user's FIRST event
+    // of the previous stage (exact microsecond comparisons)
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+         SELECT count(v.t_view) AS n_view, count(c.t_click) AS n_click,
+           count(p.t_purchase) AS n_purchase
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id""",
+    // SCD type-2 from the change log: consecutive-repeat collapse, then
+    // lead() closes each validity interval (NULL = current)
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+         l AS (SELECT user_id, event_type, us, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+           FROM e),
+         ch AS (SELECT user_id, event_type, us, event_id FROM l
+                WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, CAST(us AS BIGINT) AS valid_from_us,
+           CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS valid_to_us,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+         FROM ch ORDER BY user_id, valid_from_us""",
     // mirrors Relational.stratifiedSample: per-stratum keep-threshold
     // floor(0.5 * n_min/n_t * 2^32) against the top 32 bits of the
     // HUGEINT rolling hash of 'strat#'||event_id||'#v1' (same fold as
@@ -1073,6 +1121,39 @@ object SparkEntry {
            FROM documents) t
          WHERE length(token) > 0
          GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    // block-sharded inverted index; postings string is the
+    // (doc_id, pos)-ordered concatenation within each block
+    "q_index_postings" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                    FROM documents),
+         tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                  i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM d),
+         t AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM tk
+               WHERE length(u.tok) > 0)
+         SELECT token, doc_id // 100 AS block_id,
+           count(DISTINCT doc_id) AS df_block, count(*) AS n_postings,
+           string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos) AS postings
+         FROM t GROUP BY 1, 2 ORDER BY token, block_id""",
+    // Morton/z-order clustering key — the identical integer bit-spread
+    // algebra as ops.Layout.zorder, CTE-chained
+    "q_zorder" ->
+      """WITH s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                    min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax FROM events),
+         b AS (SELECT event_id,
+                 ((user_id - umin) * 65536) // (umax - umin + 1) AS xi,
+                 (CAST(datediff('day', dmin, CAST(ts AS DATE)) AS BIGINT) * 65536)
+                   // (CAST(datediff('day', dmin, dmax) AS BIGINT) + 1) AS yi
+               FROM events, s),
+         x1 AS (SELECT event_id, (xi | (xi << 8)) & 16711935 AS x,
+                       (yi | (yi << 8)) & 16711935 AS y FROM b),
+         x2 AS (SELECT event_id, (x | (x << 4)) & 252645135 AS x,
+                       (y | (y << 4)) & 252645135 AS y FROM x1),
+         x3 AS (SELECT event_id, (x | (x << 2)) & 858993459 AS x,
+                       (y | (y << 2)) & 858993459 AS y FROM x2),
+         x4 AS (SELECT event_id, (x | (x << 1)) & 1431655765 AS x,
+                       (y | (y << 1)) & 1431655765 AS y FROM x3)
+         SELECT event_id, x | (y * 2) AS z, (x | (y * 2)) // 67108864 AS zbucket
+         FROM x4 ORDER BY z, event_id""",
     // the sketch is exact while the stream's distinct count stays under
     // its tracking capacity (10000 ≫ |vocab| here) and the item set is
     // exactly the top k when the k/k+1 count boundary is untied — both
@@ -1238,5 +1319,43 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // sliding 1d/12h windows: each event lands in exactly 2 epoch-aligned
+    // windows (width/slide = 2), enumerated by the UNION ALL
+    "q_stream_sliding" ->
+      """WITH w AS (
+           SELECT to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200) AS ws,
+                  event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+           UNION ALL
+           SELECT to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200 - 43200) AS ws,
+                  event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           count(*) AS n, CAST(sum(v) AS DOUBLE) AS total
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // streaming merging session windows == the batch session_window
+    // table (same >=-gap edge and end = last event + gap)
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         l AS (SELECT user_id, event_id, us,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                 OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         s AS (SELECT user_id, us,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+           FROM l)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sess_idx ORDER BY user_id, start_us""",
+    // left-outer interval join: purchases null-extended when no
+    // same-user click precedes within the hour
+    "q_stream_outer_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, c.value AS click_value
+         FROM events p LEFT JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         ORDER BY p_id, c_id""",
   )
 }

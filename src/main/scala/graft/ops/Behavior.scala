@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** User-behavior analytics over the event log — the cohort / funnel /
+  * history-tracking queries every product-analytics warehouse runs
+  * (north-star extensions; the reference's event stream is the natural
+  * input). All outputs are integer counts or exact microsecond
+  * timestamps, so every query here is value-exact against the DuckDB
+  * oracle — no float routing.
+  */
+object Behavior {
+
+  /** Cohort RETENTION matrix: users are cohorted by their first active
+    * day; each cell (cohort_day, day_offset) counts the cohort's users
+    * active that many days later. The product-analytics staple.
+    *
+    * Scale shape: one distinct on (user_id, day) — the dominant
+    * shuffle, keyed by the high-cardinality pair so it balances; the
+    * per-user cohort aggregate reuses the same user_id partitioning
+    * (Catalyst plans the equi-join on user_id without a fresh fact
+    * exchange); the final (cohort, offset) count is map-side combined
+    * to days² tiny rows. Because activity is already distinct per
+    * (user, day), the cell count is a plain count(1) — no
+    * count-distinct state. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Ordered FUNNEL: how many users progress view → click → purchase,
+    * where each later stage must happen strictly AFTER the user's
+    * first event of the previous stage. One row: the three stage
+    * counts. Every stage is a per-user min aggregate plus an equi-join
+    * on user_id — no window, no skew (the funnel key is the user, never
+    * the event type), each stage's input shrinks to the survivors. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+  }
+
+  /** Type-2 SLOWLY-CHANGING-DIMENSION build from a change log: treating
+    * each event as "user's current type changed to event_type",
+    * collapse consecutive repeats and emit one validity interval per
+    * surviving change — valid_from = the change's event time,
+    * valid_to = the next change's (NULL while current). The standard
+    * warehouse history-tracking shape, derived here entirely from lag /
+    * lead over the (user_id, time) order: one exchange on the
+    * high-cardinality user key, both window passes ride the same
+    * partitioning, task width is bounded by one user's history. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("us").as("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+}

@@ -342,6 +342,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Block-sharded INVERTED INDEX build: token → sorted posting list of
+    * (doc_id:position), sharded by document block (doc_id div
+    * blockSize) — the Lucene-segment shape. The shard key is the
+    * 100 TB design: a plain groupBy(token) + collect_list funnels every
+    * occurrence of a stop token like "the" (O(corpus) rows) through ONE
+    * reducer and materializes one giant list — the same hot-key cliff
+    * the dedup/novelty family engineers around. Keying on (token,
+    * block) bounds every task and every posting string by blockSize
+    * documents, shards of one token spread across reducers, and the
+    * global posting list is the block-order concatenation (spec-pinned)
+    * — which is how segmented search indexes actually store it. */
+  def invertedPostings(s: SparkSession, d: String, blockSize: Int = 100): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+      .withColumn("block_id", expr(s"doc_id div $blockSize"))
+      .groupBy(col("token"), col("block_id"))
+      .agg(countDistinct(col("doc_id")).as("df_block"),
+        count(lit(1)).as("n_postings"),
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, pos))), " +
+          "x -> cast(x.doc_id as string) || ':' || cast(x.pos as string)), ' ')")
+          .as("postings"))
+      .orderBy(col("token"), col("block_id"))
+
   /** Edit-distance between consecutive documents' prefixes — the fuzzy
     * VERIFY stage of a dedup pipeline (levenshtein is O(len²) per pair,
     * so at scale it only ever runs on blocked candidates, here the

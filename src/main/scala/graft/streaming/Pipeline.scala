@@ -186,6 +186,202 @@ object Pipeline {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** SLIDING event-time window (1-day width, 12-hour slide): each event
+    * lands in exactly width/slide = 2 overlapping windows, maintained
+    * incrementally with the same update-log sink as [[eventTimeWindow]].
+    * The overlap factor is the published cost model — state and output
+    * scale by width/slide, never by re-reading the source — and decimal
+    * sums keep the drained table equal to the batch equivalent bit for
+    * bit (the oracle enumerates both windows per row in SQL). */
+  def slidingEventWindow(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_slw_")
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+    withStreamShuffle(s) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    graft.sources.Sinks.readLatest(s, sinkDir, Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Time-ORDERED staged replay + watermark heartbeat — the production
+    * arrival shape, staged once per corpus: the events split into 4
+    * contiguous time-range files (so cross-batch disorder is zero and a
+    * minutes-scale watermark delay is honest, unlike the hash-split
+    * replay whose only safe delay is the corpus span), plus two
+    * single-row HEARTBEAT files 90/180 days past the corpus max. The
+    * heartbeat is the standard punctuation pattern for finite replays
+    * and idle sources: it advances the watermark past every real
+    * event, so append-mode operators (merging session windows, outer
+    * join null-side emission) FINALIZE their tail state before the
+    * drain terminates instead of holding it forever. Consumers keep the
+    * heartbeats upstream of the watermark node and filter them before
+    * any aggregate (user_id = -1 marks them). File order is pinned by
+    * explicit modification times (the file source processes oldest
+    * first). */
+  private val orderedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def prestageOrdered(s: SparkSession, d: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orderedCache.computeIfAbsent(d, { dir =>
+      val out = Files.createTempDirectory("graft_osrc_")
+      val raw = s.read.schema(Tables.eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val Array(mn, mx) = raw.agg(min(col("ts")), max(col("ts"))).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      // 4 contiguous time ranges (equal spans — balance is irrelevant,
+      // contiguity is the contract) + the heartbeat row
+      val span = math.max(1L, mx - mn)
+      val bounds = (0 to 4).map(i => mn + span / 4 * i).updated(4, mx + 1)
+      val slices = (0 until 4).map { i =>
+        raw.filter(col("ts") >= bounds(i) && col("ts") < bounds(i + 1))
+      }
+      // TWO heartbeat files, because emission lags the watermark by one
+      // micro-batch: batch N emits with the watermark computed from
+      // batches 1..N-1, and an AvailableNow drain terminates after the
+      // last file with no trailing no-data batch (observed: a single
+      // heartbeat leaves the final session — whose end lies inside the
+      // last delay window — stranded in state). The first heartbeat
+      // advances the watermark past every real event; the second's
+      // batch performs the flush that watermark finalized.
+      val heartbeats = (1 to 2).map { h =>
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            -h.toLong, mx + h * 90L * 86400L * 1000000000L, -1L, "heartbeat",
+            0.0, null.asInstanceOf[String])),
+          Tables.eventsRawSchema)
+      }
+      (slices ++ heartbeats).zipWithIndex.foreach { case (df, i) =>
+        val stage = Files.createTempDirectory("graft_oslice_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val target = out.resolve(f"$i%02d.parquet")
+        Files.move(part, target)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      out.toString
+    })
+  }
+
+  private def orderedEventsStream(s: SparkSession, d: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    val staged = prestageOrdered(s, d)
+    Tables.eventsTsFix(
+      s.readStream.schema(Tables.eventsRawSchema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(staged))
+  }
+
+  /** STREAMING merging session windows (T5 — the native session_window
+    * operator under streaming state), in APPEND mode: a session emits
+    * exactly once, when the watermark proves no future event can merge
+    * into it. Merging state is why this needs the ordered replay: in
+    * append mode nothing would emit until the watermark passes, and
+    * with hash-split arrival the only safe delay is the corpus span —
+    * under which NO session ever finalizes in a finite drain. With
+    * contiguous files + the heartbeat, sessions finalize progressively
+    * and the tail flushes before termination, so the drained table
+    * equals the batch session_window oracle row for row. */
+  def streamSessionWindows(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_ssw_")
+    // NO pre-aggregate heartbeat filter: Catalyst pushes filters BELOW
+    // the EventTimeWatermark node, so a `user_id >= 0` here would kill
+    // the heartbeat before it reaches the watermark collector and the
+    // tail session would never finalize (observed). The heartbeats form
+    // their own user=-1 sessions (90 days clear of any real one) and
+    // are dropped AFTER the drain.
+    val agg = orderedEventsStream(s, d)
+      .withWatermark("ts", "1 minute")          // real disorder bound: 0 across files
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+    withStreamShuffle(s) {
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sinkDir)
+      .filter(col("user_id") >= 0)              // drop the heartbeat sessions
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join: purchases with their
+    * same-user clicks of the preceding hour, null-extended when no
+    * click exists. The null side of an outer stream-stream join can
+    * only emit once the watermark proves no matching click will ever
+    * arrive — exactly the tail-flush problem the heartbeat solves; the
+    * inner variant ([[streamStreamJoin]]) never waits, which is why it
+    * runs fine on the hash-split replay while this one needs the
+    * ordered one. Drained result == the batch LEFT JOIN oracle. */
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = tmp("graft_soj_")
+    withStreamShuffle(s) {
+      // rename FIRST so each branch carries exactly one watermark (on
+      // the join's event-time column). The event-type filters KEEP the
+      // heartbeat rows: Catalyst pushes predicates below the
+      // EventTimeWatermark node, so a filter that killed them would
+      // stop the watermark from ever passing the real tail. Heartbeats
+      // only ever join each other (user -1, 90 days clear of real
+      // data) and are dropped after the drain by p_id. One file per
+      // trigger so the two heartbeats land in SEPARATE batches (the
+      // second's batch flushes the null-extended tail the first
+      // finalized — see prestageOrdered).
+      val clicks = orderedEventsStream(s, d)
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"), col("value").as("click_value"),
+          col("event_type").as("c_type"))
+        .withWatermark("c_ts", "1 minute")
+        .filter(col("c_type").isin("click", "heartbeat")).drop("c_type")
+      val purchases = orderedEventsStream(s, d)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("event_type").as("p_type"))
+        .withWatermark("p_ts", "1 minute")
+        .filter(col("p_type").isin("purchase", "heartbeat")).drop("p_type")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("p_id"), col("c_id"), col("click_value"))
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", tmp("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.Sinks.parquetAppend(batch, sinkDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(sinkDir)
+      .filter(col("p_id") >= 0)                 // drop the heartbeat pairs
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   /** Streaming VWAP — [[graft.ops.Market.vwap]] as an event-time
     * windowed streaming aggregate: the same (symbol, day) grain, the
     * same exact decimal Σ(price·size), maintained incrementally in

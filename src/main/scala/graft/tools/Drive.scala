@@ -167,7 +167,8 @@ object Drive {
           "q_sql_correlated", "q_sample_stratified", "q_sessionize",
           "q_session_window", "q_text_novelty", "q_text_repetition",
           "q_text_rarity", "q_market_ohlc", "q_market_drawdown",
-          "q_market_rsi", "q_histogram", "q_profile").foreach { name =>
+          "q_market_rsi", "q_histogram", "q_profile", "q_retention",
+          "q_funnel", "q_scd2").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics (ops.Behavior): retention / funnel / SCD2.
+  * Each query's oracle is the DuckDB SQL in SparkEntry; these specs pin
+  * the structural invariants a hash can't articulate. */
+class BehaviorSpec extends SparkSpec {
+
+  test("retention: offset-0 cell equals cohort size and dominates every later cell") {
+    val cells = q("q_retention").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val day0 = cells.filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+    // every user is active on their own first day, so each cohort MUST
+    // have an offset-0 cell and it bounds all its later cells
+    val cohorts = cells.map(_._1).distinct
+    assert(cohorts.forall(day0.contains), "cohort missing its offset-0 cell")
+    assert(cells.forall { case (cd, _, n) => n <= day0(cd) })
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0.values.sum == users)
+  }
+
+  test("funnel equals a hand-computed funnel over the collected fixture") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Long): Option[Long] = {
+      val ts = byUser(u).filter(e => e._2 == tpe && e._3 > after).map(_._3)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    var nv = 0L; var nc = 0L; var np = 0L
+    for (u <- byUser.keys) {
+      firstAfter(u, "view", Long.MinValue).foreach { tv =>
+        nv += 1
+        firstAfter(u, "click", tv).foreach { tc =>
+          nc += 1
+          if (firstAfter(u, "purchase", tc).nonEmpty) np += 1
+        }
+      }
+    }
+    val Array(r) = q("q_funnel").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((nv, nc, np)))
+    assert(nv >= nc && nc >= np && nv > 0)
+  }
+
+  test("scd2: per-user intervals are contiguous, alternating, with exactly one current") {
+    val iv = q("q_scd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(iv.nonEmpty)
+    iv.groupBy(_._1).foreach { case (_, rows) =>
+      val hist = rows.sortBy(_._3)
+      // exactly one open (current) interval per user, and it is the last
+      assert(hist.count(_._5) == 1 && hist.last._5)
+      // each interval closes exactly where the next opens; types change
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), "gap or overlap between intervals")
+          assert(a._2 != b._2, "consecutive repeat not collapsed")
+        case _ => ()
+      }
+    }
+    // collapse is real: strictly fewer intervals than events
+    assert(iv.length < Tables.events(spark, sf).count())
+  }
+}

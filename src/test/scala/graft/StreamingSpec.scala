@@ -175,4 +175,56 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(streamed == batch)
   }
+
+  test("sliding windows: every event lands in exactly 2 windows; totals equal batch") {
+    val rows = q("q_stream_sliding").collect()
+    val n = Tables.events(spark, sf).count()
+    // width/slide = 2 → Σ per-window counts double-counts the corpus
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * n)
+    val batch = Tables.events(spark, sf)
+      .select(explode(array(
+        (floor(unix_timestamp(col("ts")) / 43200) * 43200).cast("long"),
+        (floor(unix_timestamp(col("ts")) / 43200) * 43200 - 43200).cast("long")))
+        .as("ws"), col("event_type"), col("value"))
+      .groupBy(from_unixtime(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    val streamed = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming session windows finalize in APPEND mode and equal the batch table") {
+    val streamed = q("q_stream_session").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = q("q_session_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the heartbeat must have flushed EVERY session, including the tail
+    // ones whose end lies within the last watermark delay of the corpus
+    assert(streamed == batch && streamed.nonEmpty)
+    // and no heartbeat session leaked into the sink
+    assert(streamed.forall(_._1 >= 0))
+  }
+
+  test("stream-stream LEFT OUTER join emits null-extended purchases after watermark") {
+    val streamed = q("q_stream_outer_join").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val inner = q("q_stream_join").collect()
+      .map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+    val allPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // outer = inner plus exactly one null row per matchless purchase
+    assert(streamed.filter(_._2.isDefined) == inner)
+    val matchless = streamed.filter(_._2.isEmpty).map(_._1)
+    val matched = inner.map(_._1)
+    assert(matchless.intersect(matched).isEmpty)
+    assert((matchless ++ matched).size == allPurchases,
+      "every purchase appears: matched with clicks or null-extended")
+  }
 }

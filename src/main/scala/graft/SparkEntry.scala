@@ -92,6 +92,9 @@ object SparkEntry {
     "q_retention"      -> ((s, d) => Behavior.retention(s, d)),
     "q_funnel"         -> ((s, d) => Behavior.funnel(s, d)),
     "q_scd2"           -> ((s, d) => Behavior.scd2(s, d)),
+    // table maintenance: merge/upsert + incremental rollup refresh
+    "q_merge_upsert"   -> ((s, d) => Maintain.mergeUpsert(s, d)),
+    "q_incr_rollup"    -> ((s, d) => Maintain.incrementalRollup(s, d)),
     // market-bar analytics over the tick stream (the reference's domain)
     "q_market_ohlc"    -> ((s, d) => Market.ohlcBars(s, d)),
     "q_market_vwap"    -> ((s, d) => Market.vwap(s, d)),
@@ -368,6 +371,36 @@ object SparkEntry {
            count(p.t_purchase) AS n_purchase
          FROM v LEFT JOIN c ON v.user_id = c.user_id
                 LEFT JOIN p ON v.user_id = p.user_id""",
+    // MERGE semantics: latest change per business key full-outer-joined
+    // onto the latest base state; value<3.0 changes are delete markers
+    "q_merge_upsert" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id, value FROM events),
+         b AS (SELECT user_id, event_type, value AS base_value FROM (
+             SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e WHERE ts < TIMESTAMP '2024-01-04') t WHERE rn = 1),
+         c AS (SELECT user_id, event_type, value AS chg_value,
+                      value < 3.0 AS is_delete FROM (
+             SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e WHERE ts >= TIMESTAMP '2024-01-04') t WHERE rn = 1)
+         SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           COALESCE(b.event_type, c.event_type) AS event_type,
+           COALESCE(c.chg_value, b.base_value) AS value,
+           (b.base_value IS NOT NULL AND c.chg_value IS NOT NULL) AS updated,
+           (b.base_value IS NULL) AS inserted
+         FROM b FULL OUTER JOIN c
+           ON b.user_id = c.user_id AND b.event_type = c.event_type
+         WHERE NOT COALESCE(c.is_delete, FALSE)
+         ORDER BY user_id, event_type""",
+    // incremental maintenance correctness: merging the delta partial
+    // aggregate into the base MUST equal this from-scratch recompute
+    "q_incr_rollup" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // SCD type-2 from the change log: consecutive-repeat collapse, then
     // lead() closes each validity interval (NULL = current)
     "q_scd2" ->

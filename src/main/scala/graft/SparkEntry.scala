@@ -86,6 +86,7 @@ object SparkEntry {
     "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
     "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
     "q_ffill"          -> ((s, d) => Windows.forwardFill(s, d)),
+    "q_resample"       -> ((s, d) => Windows.resampleGrid(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
     "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
     // user-behavior analytics over the event log
@@ -710,6 +711,39 @@ object SparkEntry {
                  CASE WHEN event_id % 7 = 0 THEN value END AS reading
                FROM events)
          ORDER BY event_id""",
+    // daily-grid resample with linear interpolation between bracketing
+    // events (edges back/forward-filled); identical double formula on
+    // identical integer-microsecond operands → bit-exact. (user_id, ts)
+    // is unique in the fixture (spec-asserted), so the carry windows
+    // are order-deterministic.
+    "q_resample" ->
+      """WITH sp AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+         g AS (SELECT u.user_id,
+                 unnest(generate_series(CAST(sp.d0 AS TIMESTAMP), CAST(sp.d1 AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS day
+               FROM (SELECT DISTINCT user_id FROM events) u, sp),
+         uni AS (SELECT user_id, epoch_us(ts) AS us, value AS v, 0 AS is_grid FROM events
+                 UNION ALL
+                 SELECT user_id, epoch_us(day) AS us, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM g),
+         w AS (SELECT user_id, us, is_grid,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1,
+                 last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1,
+                 first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v2,
+                 first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t2
+               FROM uni)
+         SELECT user_id, strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+           CASE WHEN v1 IS NULL THEN v2
+                WHEN v2 IS NULL THEN v1
+                WHEN t2 = t1 THEN v1
+                ELSE v1 + (v2 - v1) * (CAST(us - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE)) END
+             AS value_interp
+         FROM w WHERE is_grid = 1 ORDER BY user_id, day""",
     "q_winsorize" ->
       """WITH qx AS (
            SELECT event_type, quantile_cont(value, 0.05) AS plo,

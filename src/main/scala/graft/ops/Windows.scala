@@ -272,6 +272,54 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** RESAMPLE onto a regular grid with linear interpolation — the
+    * imputation step that turns an irregular event series into the
+    * fixed-step feature matrix a model trains on. Per user, one grid
+    * point per day over the corpus span: the interpolated value is
+    * v1 + (v2 − v1)·(g − t1)/(t2 − t1) between the user's bracketing
+    * events, back-/forward-filled at the edges. Implemented by
+    * UNIONING the grid rows (value NULL) into the event stream and
+    * running one IGNORE NULLS carry window in each direction — so the
+    * whole operator is two window passes over ONE exchange on the
+    * high-cardinality user key (no per-grid-point join, no range
+    * join); task width is bounded by one user's history + grid. Both
+    * engines evaluate the identical double formula on identical
+    * integer-microsecond operands, so the oracle is bit-exact. */
+  def resampleGrid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val span = e.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val grid = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .select(col("user_id"), unix_micros(col("day").cast("timestamp")).as("us"),
+        lit(null).cast(DoubleType).as("v"), lit(1).as("is_grid"))
+    val ev = e.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("value").as("v"), lit(0).as("is_grid"))
+    val ord = Seq(col("us"), col("is_grid"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val evUs = when(col("is_grid") === 0, col("us"))
+    ev.unionByName(grid)
+      .withColumn("v1", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("t1", last(evUs, ignoreNulls = true).over(wPrev))
+      .withColumn("v2", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("t2", first(evUs, ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"),
+        date_format(expr("timestamp_micros(us)"), "yyyy-MM-dd").as("day"),
+        when(col("v1").isNull, col("v2"))
+          .when(col("v2").isNull, col("v1"))
+          .when(col("t2") === col("t1"), col("v1"))
+          .otherwise(col("v1") + (col("v2") - col("v1")) *
+            ((col("us") - col("t1")).cast(DoubleType) /
+             (col("t2") - col("t1")).cast(DoubleType)))
+          .as("value_interp"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** W3 frozen-constants overload — the reference's ACTUAL scaler
     * semantics: `scaler.pkl` is a min/max frozen at training time
     * (`stream_consumer.py:44-45,51,54`), so serving-time values outside

@@ -224,4 +224,36 @@ class WindowSpec extends SparkSpec {
       if (a == b) assert(math.abs(c - 1.0) < 1e-12, s"diag corr $c")
     }
   }
+
+  test("resample: grid is complete and equals a hand-computed interpolation") {
+    // precondition the carry windows' determinism rests on
+    val e = Tables.events(spark, sf)
+    assert(e.count() == e.select("user_id", "ts").distinct().count(),
+      "(user_id, ts) must be unique or the bracketing order is ambiguous")
+    val rows = q("q_resample").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val users = e.select("user_id").distinct().count()
+    val days = rows.keys.map(_._2).toSet
+    assert(rows.size == users * days.size, "one row per user per grid day")
+    // hand-recompute for every user from the collected fixture
+    val ev = e.select(col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, g) => u -> g.map(t => (t._2, t._3)).sortBy(_._1) }
+    for (((u, dayStr), got) <- rows) {
+      val g = java.time.LocalDate.parse(dayStr)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+      val series = ev(u)
+      val before = series.filter(_._1 <= g)
+      val after = series.filter(_._1 >= g)
+      val expect =
+        if (before.isEmpty) after.head._2
+        else if (after.isEmpty) before.last._2
+        else {
+          val (t1, v1) = before.last; val (t2, v2) = after.head
+          if (t2 == t1) v1
+          else v1 + (v2 - v1) * ((g - t1).toDouble / (t2 - t1).toDouble)
+        }
+      assert(got == expect, s"user $u day $dayStr: $got != $expect")
+    }
+  }
 }

@@ -168,7 +168,8 @@ object Drive {
           "q_session_window", "q_text_novelty", "q_text_repetition",
           "q_text_rarity", "q_market_ohlc", "q_market_drawdown",
           "q_market_rsi", "q_histogram", "q_profile", "q_retention",
-          "q_funnel", "q_scd2").foreach { name =>
+          "q_funnel", "q_scd2", "q_merge_upsert", "q_incr_rollup",
+          "q_zorder", "q_index_postings", "q_resample").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

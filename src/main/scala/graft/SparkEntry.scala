@@ -26,6 +26,8 @@ object SparkEntry {
     "q_scan_filter"   -> ((s, d) => Relational.scanFilter(s, d)),
     "q_scan_partitioned" -> ((s, d) => Relational.partitionPrunedDaily(s, d)),
     "q_sql_yr_priority"  -> ((s, d) => Relational.sqlRevenueByYearPriority(s, d)),
+    "q_sql_ship_priority" -> ((s, d) => Relational.sqlShippingPriority(s, d)),
+    "q_sql_supplier_volume" -> ((s, d) => Relational.sqlLocalSupplierVolume(s, d)),
     "q_source_jsonl"     -> ((s, d) => Relational.jsonlSourceSummary(s, d)),
     "q_count"         -> ((s, d) => Relational.countAll(s, d)),
     // §2.6 sorts / limits / top-k
@@ -93,6 +95,7 @@ object SparkEntry {
     "q_retention"      -> ((s, d) => Behavior.retention(s, d)),
     "q_funnel"         -> ((s, d) => Behavior.funnel(s, d)),
     "q_scd2"           -> ((s, d) => Behavior.scd2(s, d)),
+    "q_active_users"   -> ((s, d) => Behavior.activeUsers(s, d)),
     // table maintenance: merge/upsert + incremental rollup refresh
     "q_merge_upsert"   -> ((s, d) => Maintain.mergeUpsert(s, d)),
     "q_incr_rollup"    -> ((s, d) => Maintain.incrementalRollup(s, d)),
@@ -222,6 +225,8 @@ object SparkEntry {
           GROUP BY 1 ORDER BY day""",
     // deliberately the IDENTICAL string Spark executes via spark.sql
     "q_sql_yr_priority" -> graft.ops.Relational.RevenueByYearPrioritySql,
+    "q_sql_ship_priority" -> graft.ops.Relational.ShippingPrioritySql,
+    "q_sql_supplier_volume" -> graft.ops.Relational.LocalSupplierVolumeSql,
     "q_source_jsonl" ->
       s"""SELECT event_type, count(*) AS n,
           min(event_id) AS min_id, max(event_id) AS max_id,
@@ -357,6 +362,19 @@ object SparkEntry {
            count(*) AS n_users
          FROM a JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    // growth dashboard: DAU, new users, cumulative — all from the
+    // distinct (user, day) activity set
+    "q_active_users" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         dau AS (SELECT day, count(*) AS n_active FROM a GROUP BY day),
+         fu AS (SELECT user_id, min(day) AS day FROM a GROUP BY user_id),
+         nu AS (SELECT day, count(*) AS n_new FROM fu GROUP BY day)
+         SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.n_active,
+           COALESCE(nu.n_new, 0) AS n_new,
+           CAST(sum(COALESCE(nu.n_new, 0)) OVER (ORDER BY dau.day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM dau LEFT JOIN nu ON dau.day = nu.day
+         ORDER BY day""",
     // ordered funnel: each stage strictly after the user's FIRST event
     // of the previous stage (exact microsecond comparisons)
     "q_funnel" ->

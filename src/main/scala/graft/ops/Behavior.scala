@@ -40,6 +40,31 @@ object Behavior {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Daily ACTIVE/NEW/CUMULATIVE users — the growth dashboard staple.
+    * Everything derives from the distinct (user, day) activity set:
+    * daily active is a count per day, new users count first-activity
+    * days, and the cumulative curve is a running sum over the DAILY
+    * table — a window over O(days) rows, so the single-task global
+    * window is a non-issue at any corpus size (the corpus itself only
+    * ever moves through the distinct + per-user min, both keyed on the
+    * high-cardinality user). */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = a.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val newu = a.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dau.join(newu, Seq("day"), "left")
+      .select(col("day"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
   /** Ordered FUNNEL: how many users progress view → click → purchase,
     * where each later stage must happen strictly AFTER the user's
     * first event of the previous stage. One row: the three stage

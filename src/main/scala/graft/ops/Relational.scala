@@ -105,6 +105,52 @@ object Relational {
     s.sql(RevenueByYearPrioritySql)
   }
 
+  /** Multi-join SQL-text surface, TPC-H Q3 shape (shipping priority):
+    * 3-way join, selective dim filter, grouped decimal revenue, top-10.
+    * The SAME string runs through spark.sql and DuckDB; Catalyst's
+    * value-add is join ordering + broadcast selection + pushing the
+    * date/mktsegment predicates into all three scans. (The fixture has
+    * no o_shippriority column; o_orderpriority stands in.) */
+  val ShippingPrioritySql: String =
+    """SELECT l_orderkey AS orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS STRING) AS orderdate, o_orderpriority AS priority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate < DATE '1997-01-01' AND l_shipdate > DATE '1997-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, orderkey LIMIT 10"""
+
+  /** TPC-H Q5 shape (local-supplier volume): SIX-way join through two
+    * dimension chains that must meet on nationkey, region filter at the
+    * far end. The optimizer stress test of the SQL surface — a bad join
+    * order multiplies the fact table through unfiltered dims. Same text
+    * both engines. */
+  val LocalSupplierVolumeSql: String =
+    """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  private def tpchViews(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+  }
+
+  def sqlShippingPriority(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(ShippingPrioritySql)
+  }
+
+  def sqlLocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(LocalSupplierVolumeSql)
+  }
+
   /** Correlated-subquery surface (same SQL text, both engines): a
     * correlated EXISTS plus two correlated scalar subqueries (COUNT and
     * MAX). Catalyst must DECORRELATE all three — the EXISTS into a left

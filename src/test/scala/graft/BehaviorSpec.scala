@@ -21,6 +21,19 @@ class BehaviorSpec extends SparkSpec {
     assert(day0.values.sum == users)
   }
 
+  test("active users: daily counts partition the user base and the curve is monotone") {
+    val rows = q("q_active_users").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == users, "Σ n_new covers every user exactly once")
+    assert(rows.last._4 == users, "cumulative curve ends at the user count")
+    assert(rows.forall(r => r._2 >= r._3), "new users are active that day")
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._4 == a._4 + b._3   // cum is the running sum
+      case _ => true
+    })
+  }
+
   test("funnel equals a hand-computed funnel over the collected fixture") {
     val rows = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")))

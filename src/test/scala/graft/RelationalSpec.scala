@@ -29,6 +29,20 @@ class RelationalSpec extends SparkSpec {
     assert(q("q_sql_yr_priority").count() > 0)
   }
 
+  test("six-way SQL join plans with broadcast dims and returns the ASIA volumes") {
+    val df = graft.ops.Relational.sqlLocalSupplierVolume(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the dim chains (region→nation→supplier, customer) must ride
+    // broadcast joins; only the fact-fact side may shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("Join".r.findAllIn(plan).size >= 5, "all five join conditions planned")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every revenue positive, sorted descending
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.forall(_ > 0) && revs.sameElements(revs.sortBy(-_)))
+  }
+
   test("count matches direct parquet count") {
     val n = q("q_count").head().getLong(0)
     assert(n == Tables.lineitem(spark, sf).count())

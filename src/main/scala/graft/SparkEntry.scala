@@ -96,9 +96,18 @@ object SparkEntry {
     "q_funnel"         -> ((s, d) => Behavior.funnel(s, d)),
     "q_scd2"           -> ((s, d) => Behavior.scd2(s, d)),
     "q_active_users"   -> ((s, d) => Behavior.activeUsers(s, d)),
-    // table maintenance: merge/upsert + incremental rollup refresh
+    // table maintenance: merge/upsert + incremental rollup refresh +
+    // snapshot-diff CDC + small-file compaction
     "q_merge_upsert"   -> ((s, d) => Maintain.mergeUpsert(s, d)),
     "q_incr_rollup"    -> ((s, d) => Maintain.incrementalRollup(s, d)),
+    "q_snapshot_diff"  -> ((s, d) => Maintain.snapshotDiff(s, d)),
+    "q_compact"        -> ((s, d) => Maintain.compactedEvents(s, d)),
+    // weight-proportional sampling, groupwise skyline, CSV quarantine source
+    "q_sample_weighted" -> ((s, d) => Relational.weightedSample(s, d)),
+    "q_skyline"        -> ((s, d) => Relational.skylineByBrand(s, d)),
+    "q_source_csv"     -> ((s, d) => Relational.csvSourceSummary(s, d)),
+    // co-occurrence graph analytics
+    "q_graph_triangles" -> ((s, d) => Behavior.coPurchaseTriangles(s, d)),
     // market-bar analytics over the tick stream (the reference's domain)
     "q_market_ohlc"    -> ((s, d) => Market.ohlcBars(s, d)),
     "q_market_vwap"    -> ((s, d) => Market.vwap(s, d)),
@@ -142,6 +151,7 @@ object SparkEntry {
     "q_text_chunks"      -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q_text_pack"        -> ((s, d) => TextOps.packDocs(s, d)),
     "q_text_novelty"     -> ((s, d) => TextOps.bigramNovelty(s, d)),
+    "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
@@ -156,6 +166,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
     "q_decontaminate"       -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_simjoin_prefix"      -> ((s, d) => Dedup.prefixSimJoin(s, d)),
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
     "q_dedup_embed"        -> ((s, d) => Similarity.embedNearDupLsh(s, d)),
@@ -375,6 +386,25 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
          FROM dau LEFT JOIN nu ON dau.day = nu.day
          ORDER BY day""",
+    // triangles in the top-3-partner (kNN) co-purchase graph: the naive
+    // id-ordered 3-way join over the same edge derivation IS the
+    // semantics; the Spark plan is the degree-oriented wedge algorithm
+    "q_graph_triangles" ->
+      """WITH pd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                     FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_days
+               FROM pd a JOIN pd b ON a.d = b.d AND a.user_id < b.user_id
+               GROUP BY 1, 2),
+         sym AS (SELECT ua AS u, ub AS v, n_days FROM c
+                 UNION ALL SELECT ub, ua, n_days FROM c),
+         pick AS (SELECT u, v FROM (
+             SELECT u, v, row_number() OVER (PARTITION BY u
+               ORDER BY n_days DESC, v) AS rn FROM sym) t WHERE rn <= 3),
+         e AS (SELECT DISTINCT least(u, v) AS ua, greatest(u, v) AS ub FROM pick)
+         SELECT e1.ua AS u1, e1.ub AS u2, e2.ub AS u3
+         FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+                   JOIN e e3 ON e1.ua = e3.ua AND e2.ub = e3.ub
+         ORDER BY u1, u2, u3""",
     // ordered funnel: each stage strictly after the user's FIRST event
     // of the previous stage (exact microsecond comparisons)
     "q_funnel" ->
@@ -420,6 +450,72 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // snapshot-diff CDC: two trailing-window key states, full outer
+    // joined; the change stream is insert/delete/update (unchanged drops)
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT user_id, event_type, value AS old_value FROM (
+             SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '2024-01-01'
+                           AND ts <  TIMESTAMP '2024-01-11') t WHERE rn = 1),
+         b AS (SELECT user_id, event_type, value AS new_value FROM (
+             SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+                           AND ts <  TIMESTAMP '2024-01-30') t WHERE rn = 1)
+         SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.event_type, b.event_type) AS event_type,
+           a.old_value, b.new_value,
+           CASE WHEN a.old_value IS NULL THEN 'insert'
+                WHEN b.new_value IS NULL THEN 'delete'
+                ELSE 'update' END AS change
+         FROM a FULL OUTER JOIN b
+           ON a.user_id = b.user_id AND a.event_type = b.event_type
+         WHERE a.old_value IS NULL OR b.new_value IS NULL
+            OR a.old_value <> b.new_value
+         ORDER BY user_id, event_type""",
+    // compaction contract: layout may change, content may not — the
+    // oracle is the source table itself, row for row
+    "q_compact" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         FROM events ORDER BY event_id""",
+    // weight-proportional sampler: P(keep) = k/(2·k_max), decided by an
+    // integer-exact compare of the top-32 hash bits (same HUGEINT
+    // mod-2^64 fold as q_text_rollhash) against the per-row weight
+    "q_sample_weighted" ->
+      """WITH ev AS (SELECT event_id, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+         km AS (SELECT max(k) AS k_max FROM ev),
+         h AS (SELECT event_id, event_type, k,
+            list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(generate_series(1, length('wsamp#' || CAST(event_id AS VARCHAR) || '#v1')),
+                i -> ascii(('wsamp#' || CAST(event_id AS VARCHAR) || '#v1')[i]))),
+              (a, b) -> (a * 1000003 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM ev)
+         SELECT h.event_id, h.event_type, h.k FROM h, km
+         WHERE (h.hu >> 32) * CAST(km.k_max AS HUGEINT) * 2
+             < CAST(h.k AS HUGEINT) * 4294967296
+         ORDER BY event_id""",
+    // groupwise skyline: the quadratic dominance NOT EXISTS is the
+    // semantics; the Spark plan is the O(n log n) running-max form
+    "q_skyline" ->
+      """SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+           AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         ORDER BY p.p_brand, p.p_partkey""",
+    // CSV quarantine source: the corrupted slice (event_id % 97 == 0)
+    // lands in _corrupt_record and is excluded; survivors aggregate
+    // bit-identically to the source (doubles round-trip shortest-form)
+    "q_source_csv" ->
+      s"""SELECT event_type, count(*) AS n,
+          min(event_id) AS min_id, max(event_id) AS max_id,
+          ${dsum("value")} AS total
+          FROM events WHERE event_id % 97 <> 0
+          GROUP BY event_type ORDER BY event_type""",
     // SCD type-2 from the change log: consecutive-repeat collapse, then
     // lead() closes each validity interval (NULL = current)
     "q_scd2" ->
@@ -526,6 +622,36 @@ object SparkEntry {
            CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
          FROM bg JOIN df USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    // Good–Turing count-of-counts: N_c per count class c over multiset
+    // bigram counts; c* only where the c+1 class exists (count classes
+    // are gappy). One exact-integer multiply + one division — value-exact
+    "q_lm_counts" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         bg AS (SELECT arr[i] || ' ' || arr[i+1] AS bigram
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 1))) t(i)),
+         cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+         noc AS (SELECT c, count(*) AS n_c FROM cnt GROUP BY c),
+         w AS (SELECT c, n_c, lead(c) OVER (ORDER BY c) AS nc,
+                 lead(n_c) OVER (ORDER BY c) AS nn FROM noc)
+         SELECT c, n_c,
+           CASE WHEN nc = c + 1 THEN CAST(c + 1 AS DOUBLE) * nn / n_c END AS gt_cstar
+         FROM w ORDER BY c""",
+    // exact set-similarity join semantics: ALL same-source pairs with
+    // token-set Jaccard >= 9/10 (integer-threshold compare — no float
+    // boundary); the Spark plan generates candidates by prefix
+    // filtering instead of this all-pairs scan
+    "q_simjoin_prefix" ->
+      """WITH toks AS (SELECT doc_id, source, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+                       FROM documents
+                       WHERE len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) > 0),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_common,
+                 CAST(len(a.tk) AS BIGINT) AS n_a, CAST(len(b.tk) AS BIGINT) AS n_b
+               FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, n_common, (n_a + n_b - n_common) AS n_union,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+         FROM p WHERE n_common * 10 >= (n_a + n_b - n_common) * 9
+         ORDER BY id_a, id_b""",
     "q_text_repetition" ->
       """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
          tokstats AS (SELECT doc_id, len(arr) AS n_tokens,

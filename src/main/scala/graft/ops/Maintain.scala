@@ -80,4 +80,90 @@ object Maintain {
           .cast(DoubleType).as("total"))
       .orderBy(col("event_type"))
   }
+
+  /** SNAPSHOT DIFF (change-data derivation): given two materialized
+    * key→value states — "latest value per (user, event_type) over a
+    * trailing activity window" at two points in time — emit the change
+    * stream that transforms one into the other: inserts (key only in
+    * the new snapshot), deletes (only in the old), updates (value
+    * changed). The inverse of [[mergeUpsert]], and the op a warehouse
+    * runs to publish incremental feeds from full snapshots. One
+    * business-key full outer join (equi-key, single shuffle — or zero
+    * shuffles against bucketed snapshots); the two snapshot builds are
+    * window-dedups keyed the same way, so AQE coalesces them into the
+    * same exchange key. Trailing windows (not cumulative prefixes) so
+    * an append-only log still produces genuine deletes. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def snap(lo: String, hi: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .filter(col("ts") >= lit(lo).cast(TimestampType) &&
+          col("ts") < lit(hi).cast(TimestampType))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+    }
+    val a = snap("2024-01-01", "2024-01-11")
+    val b = snap("2024-01-20", "2024-01-30")
+    a.select(col("user_id"), col("event_type"), col("value").as("old_value"))
+      .join(b.select(col("user_id"), col("event_type"), col("value").as("new_value")),
+        Seq("user_id", "event_type"), "full_outer")
+      .withColumn("change",
+        when(col("old_value").isNull, "insert")
+          .when(col("new_value").isNull, "delete")
+          .when(col("old_value") =!= col("new_value"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** SMALL-FILE COMPACTION: rewrite a directory of many small files
+    * into ceil(bytes / targetFileBytes) right-sized files — the
+    * maintenance op that keeps scan task counts (and NameNode/manifest
+    * pressure) sane under streaming ingest, which lands one small file
+    * per micro-batch per partition. The planner LISTS file metadata
+    * only (what real compactors do — size decisions never read data);
+    * the data moves once through a coalesce write. coalesce(), not
+    * repartition(): compaction must not pay a full shuffle just to
+    * merge files. Content identity (the oracle) is the whole contract:
+    * compaction may change layout, never rows. MaintainSpec pins the
+    * before/after file counts. */
+  private val smallCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val compactCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val SmallFileCount = 48
+
+  def smallFilesDir(s: SparkSession, d: String): String =
+    smallCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_small_").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(SmallFileCount)   // simulate per-micro-batch landing files
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Lists the dir's parquet part-files via the Hadoop FS API. */
+  def partFiles(s: SparkSession, dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq.filter(_.getPath.getName.startsWith("part-"))
+  }
+
+  def compactedDir(s: SparkSession, d: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): String =
+    compactCache.computeIfAbsent(d, { dir =>
+      val in = smallFilesDir(s, dir)
+      val bytes = partFiles(s, in).map(_.getLen).sum
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+      s.read.parquet(in).coalesce(nFiles).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def compactedEvents(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(compactedDir(s, d))
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
 }

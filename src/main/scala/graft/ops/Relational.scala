@@ -269,4 +269,121 @@ object Relational {
       .except(e.filter(col("event_type") === "signup").select(col("user_id")))
       .orderBy(col("user_id"))
   }
+
+  /** WEIGHT-PROPORTIONAL sampling (probability-proportional-to-size):
+    * keep an event with P = ½ · k / k_max, where k is the integer
+    * importance weight the event carries in its props JSON — the data-
+    * mixing primitive of training-corpus assembly (upweight rare, high-
+    * value slices; downweight boilerplate). Same engineering as
+    * [[stratifiedSample]]: the keep test is a pure per-row expression —
+    * top-32 hash bits of rolling_hash('wsamp#'||event_id||'#v1')
+    * against a per-row threshold — so the fact table never shuffles;
+    * only the 1-row k_max aggregate moves, and it broadcasts. The
+    * comparison is INTEGER-exact (hash32·k_max·2 < k·2³², both sides
+    * < 2⁴⁶ — no float boundary can flip a row between engines), which
+    * is what makes a probabilistic sampler rows-exact oracle-able.
+    * Deterministic in the key: retries, reruns, and both engines keep
+    * exactly the same rows. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(org.apache.spark.sql.types.LongType).as("k"))
+    val kMax = ev.agg(max(col("k")).as("k_max"))
+    ev.crossJoin(broadcast(kMax))
+      .filter(shiftrightunsigned(
+        graft.functions.Native.rollingHash(
+          concat(lit("wsamp#"),
+            col("event_id").cast(org.apache.spark.sql.types.StringType),
+            lit("#v1"))), 32) * col("k_max") * lit(2L)
+        < col("k") * lit(4294967296L))
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** GROUPWISE SKYLINE (Pareto frontier): per brand, the parts for which
+    * no same-brand part is both cheaper-or-equal AND larger-or-equal
+    * (with one strict) — the "best trade-off" query of catalog/candidate
+    * pruning. The naive formulation is a quadratic NOT EXISTS theta
+    * self-join; this plan is O(n log n) and shuffle-minimal via the 2-D
+    * monotonicity of dominance:
+    *   1. per (brand, price): the max size at that exact price — a
+    *      map-side-combined aggregate (the only pass over the data);
+    *   2. over the per-price rows (O(distinct prices), tiny), a running
+    *      max ordered by price gives the best size among STRICTLY
+    *      cheaper parts (lag of the running max skips the current
+    *      price group);
+    *   3. a part survives iff no strictly-cheaper part has size ≥ its
+    *      size AND no same-price part has size > its size — one
+    *      broadcast-able equi-join back on (brand, price).
+    * At 100 TB the window runs over per-price aggregates, not rows, and
+    * every join is an equi-join; nothing quadratic anywhere. */
+  def skylineByBrand(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val perPrice = p.groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("m_size"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+    val withPrev = perPrice
+      .withColumn("run_max", max(col("m_size")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_max", lag(col("run_max"), 1).over(w))
+      .select(col("p_brand"), col("p_retailprice"), col("m_size"), col("prev_max"))
+    p.join(withPrev, Seq("p_brand", "p_retailprice"))
+      .filter((col("prev_max").isNull || col("prev_max") < col("p_size")) &&
+        col("m_size") <= col("p_size"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  /** CSV SOURCE with explicit schema + malformed-row QUARANTINE: the
+    * events table staged once as CSV lines with a deterministic slice
+    * (event_id % 97 == 0) corrupted in-place — the landing-zone reality
+    * of file-based ingest. Read back PERMISSIVE with a corrupt-record
+    * column: bad lines surface as quarantine rows instead of failing
+    * the job (DROPMALFORMED would hide them; FAILFAST would lose the
+    * whole 100 TB batch to one bad line). Schema is explicit — an
+    * inference pass is a full extra scan. Doubles round-trip through
+    * their shortest decimal form (Java semantics both ways), so the
+    * surviving rows aggregate bit-identically to the source table. */
+  private val csvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def csvEventsDir(s: SparkSession, d: String): String =
+    csvCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      Tables.events(s, dir)
+        .select(
+          when(col("event_id") % 97 === 0,
+            concat(lit("#corrupt#"), col("event_id").cast(org.apache.spark.sql.types.StringType)))
+            .otherwise(concat_ws(",",
+              col("event_id"), unix_micros(col("ts")), col("user_id"),
+              col("event_type"), col("value").cast(org.apache.spark.sql.types.StringType)))
+            .as("value"))
+        .write.mode("overwrite").text(out)
+      out
+    })
+
+  def csvEventsRaw(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(csvEventsDir(s, d))
+  }
+
+  def csvSourceSummary(s: SparkSession, d: String): DataFrame =
+    csvEventsRaw(s, d)
+      .filter(col("_corrupt_record").isNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        Aggregates.dsum(col("value")).as("total"))
+      .orderBy(col("event_type"))
 }

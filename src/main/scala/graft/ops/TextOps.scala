@@ -381,4 +381,33 @@ object TextOps {
         levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"))
       .orderBy(col("id_a"))
   }
+
+  /** N-GRAM LANGUAGE-MODEL count-of-counts (Good–Turing frequency of
+    * frequencies): N_c = how many distinct corpus bigrams occur exactly
+    * c times, plus the Good–Turing adjusted count
+    * c* = (c+1)·N_{c+1}/N_c wherever the next count class exists — the
+    * smoothing table of count-based LM estimation (the KenLM-shape
+    * corpus pass). Two-level aggregation: bigram→count is map-side
+    * combined, so a corpus-hot bigram contributes one partial row per
+    * map partition (the same no-funnel argument as novelty); count→N_c
+    * runs over O(distinct bigrams) rows keyed by c (tens of thousands
+    * of count classes at most — Zipf collapses the key space). The
+    * final lead() window orders O(count classes) rows — metadata scale,
+    * not data scale. The only double op is one multiply of exact
+    * integers (< 2⁵³) and one division, so the oracle is value-exact. */
+  def bigramCountOfCounts(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(explode(bigramAllUdf(tokens(col("text")))).as("bigram"))
+    val counts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    val noc = counts.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+    val w = Window.orderBy(col("c"))
+    noc
+      .withColumn("next_c", lead(col("c"), 1).over(w))
+      .withColumn("next_n", lead(col("n_c"), 1).over(w))
+      .withColumn("gt_cstar",
+        when(col("next_c") === col("c") + 1,
+          (col("c") + 1).cast(DoubleType) * col("next_n") / col("n_c")))
+      .select(col("c"), col("n_c"), col("gt_cstar"))
+      .orderBy(col("c"))
+  }
 }

@@ -78,4 +78,46 @@ class BehaviorSpec extends SparkSpec {
     // collapse is real: strictly fewer intervals than events
     assert(iv.length < Tables.events(spark, sf).count())
   }
+
+  test("kNN edges equal a plain-Scala top-3 pick over hand-counted pair weights") {
+    val pd = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")))
+      .distinct().collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    val counts = pd.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairW = (for {
+      (a, da) <- counts.toSeq; (b, db) <- counts.toSeq if a < b
+      c = (da & db).size if c > 0
+    } yield ((a, b), c)).toMap
+    val expect = counts.keySet.flatMap { u =>
+      pairW.iterator.collect {
+        case ((a, b), c) if a == u => (b, c)
+        case ((a, b), c) if b == u => (a, c)
+      }.toSeq.sortBy { case (v, c) => (-c, v) }.take(3)
+        .map { case (v, _) => (math.min(u, v), math.max(u, v)) }
+    }
+    val got = ops.Behavior.coPurchaseKnnEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("degree-oriented triangles equal the naive enumeration and close on real edges") {
+    val edges = ops.Behavior.coPurchaseKnnEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty, "fixture yields no co-purchase edges")
+    // naive: for every edge (a,b) with a<b, any c>b adjacent to both
+    val expect = (for {
+      (a, b) <- edges
+      (x, c) <- edges if x == b
+      if edges.contains((a, c))
+    } yield (a, b, c)).toSet
+    assert(expect.nonEmpty, "fixture yields no triangles")
+    val got = q("q_graph_triangles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    got.foreach { case (a, b, c) =>
+      assert(a < b && b < c)
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)))
+    }
+  }
 }

@@ -156,4 +156,29 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("hamming") <= 3)
     }
   }
+
+  test("prefix-filtered simjoin equals brute-force exact Jaccard (completeness + precision)") {
+    // brute force over the collected fixture: all same-source pairs,
+    // exact token-set Jaccard, the same integer threshold 9/10
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), lower(trim(col("text"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split("\\s+").toSet))
+      .filter(_._3.nonEmpty)
+    val expect = (for {
+      (ia, sa, ta) <- docs; (ib, sb, tb) <- docs if ia < ib && sa == sb
+      common = (ta & tb).size; union = ta.size + tb.size - common
+      if common * 10 >= union * 9
+    } yield (ia, ib)).toSet
+    val got = q("q_simjoin_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+    // the prefix filter is a real filter: candidate postings are a
+    // fraction of an all-token join's postings
+    val allTok = docs.iterator.map(_._3.size.toLong).sum
+    val prefTok = docs.iterator.map { case (_, _, t) =>
+      val n = t.size; (n - ((9L * n + 9) / 10) + 1).toLong
+    }.sum
+    assert(prefTok * 4 < allTok, s"prefix carries $prefTok of $allTok postings")
+  }
 }

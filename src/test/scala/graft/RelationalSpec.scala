@@ -315,4 +315,51 @@ class RelationalSpec extends SparkSpec {
     assert(qty.getDouble(4) == li.agg(min(col("l_quantity").cast("double"))).head().getDouble(0))
     assert(qty.getDouble(5) == li.agg(max(col("l_quantity").cast("double"))).head().getDouble(0))
   }
+
+  test("weighted sample keeps exactly the rows under the k-proportional hash threshold") {
+    // plain-Scala recompute of the inclusion rule: top-32 bits of the
+    // mod-2^64 rolling hash vs k·2^32/(2·k_max) — no Spark expressions
+    def rollhash(s: String): Long =
+      s.foldLeft(0L)((a, c) => a * 1000003L + c.toLong)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kMax = ev.map(_._2).max
+    val expect = ev.filter { case (id, k) =>
+      val h32 = rollhash(s"wsamp#$id#v1") >>> 32
+      h32 * kMax * 2 < k * 4294967296L
+    }.map(_._1).toSet
+    val got = q("q_sample_weighted").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty && got.size < ev.length)
+    // weighting is real: kept rows skew toward high k
+    val keptMean = ev.filter(e => expect(e._1)).map(_._2.toDouble).sum / expect.size
+    val allMean = ev.map(_._2.toDouble).sum / ev.length
+    assert(keptMean > allMean, "sample does not skew toward heavy weights")
+  }
+
+  test("skyline equals brute-force dominance per brand") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expect = parts.filter { p =>
+      !parts.exists(o => o._1 == p._1 &&
+        o._3 <= p._3 && o._4 >= p._4 && (o._3 < p._3 || o._4 > p._4))
+    }.map(p => (p._1, p._2)).toSet
+    val got = q("q_skyline").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("csv source quarantines exactly the corrupted slice") {
+    val raw = ops.Relational.csvEventsRaw(spark, sf).cache()
+    try {
+      val total = Tables.events(spark, sf).count()
+      val corrupt = Tables.events(spark, sf).filter(col("event_id") % 97 === 0).count()
+      assert(corrupt > 0, "fixture exercises no corrupt rows")
+      assert(raw.count() == total)
+      assert(raw.filter(col("_corrupt_record").isNotNull).count() == corrupt)
+      // surviving rows parse completely — no silent partial rows
+      assert(raw.filter(col("_corrupt_record").isNull &&
+        (col("event_id").isNull || col("value").isNull)).count() == 0)
+    } finally raw.unpersist()
+  }
 }

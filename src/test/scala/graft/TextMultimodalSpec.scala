@@ -270,4 +270,33 @@ class TextMultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("count-of-counts conserves occurrences and types; Good–Turing only on adjacent classes") {
+    // plain-Scala recompute of the bigram multiset
+    val bigrams = Tables.documents(spark, sf)
+      .select(lower(trim(col("text")))).collect()
+      .flatMap { r =>
+        val t = r.getString(0).split("\\s+")
+        if (t.length < 2) Seq.empty[String] else t.sliding(2).map(_.mkString(" ")).toSeq
+      }
+    val counts = bigrams.groupBy(identity).map(_._2.length.toLong)
+    val rows = q("q_lm_counts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // the table IS the frequency-of-frequencies of the recompute
+    val expectNoc = counts.groupBy(identity).map { case (c, g) => (c, g.size.toLong) }
+    assert(rows.map(r => (r._1, r._2)).toMap == expectNoc)
+    // conservation: sum c*N_c == total occurrences; sum N_c == types
+    assert(rows.map(r => r._1 * r._2).sum == bigrams.length.toLong)
+    assert(rows.map(_._2).sum == counts.size.toLong)
+    // c* present exactly when the c+1 class exists, and equals the formula
+    val byC = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (c, nC, gt) =>
+      byC.get(c + 1) match {
+        case Some(nNext) =>
+          assert(gt.contains((c + 1).toDouble * nNext / nC), s"c* wrong at c=$c")
+        case None => assert(gt.isEmpty, s"c* present without class ${c + 1}")
+      }
+    }
+  }
 }

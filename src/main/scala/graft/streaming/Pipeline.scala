@@ -26,13 +26,15 @@ object Pipeline {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** Streaming drains run at 8 shuffle partitions: each stateful
+  /** Streaming drains run at 4 shuffle partitions: each stateful
     * micro-batch pays per-partition state-store open/commit overhead,
-    * and these AvailableNow drains process bounded data where 8 state
-    * partitions saturate the work (see graft.Tuning). Production streams
+    * and these AvailableNow drains process bounded data where 4 state
+    * partitions saturate the work (measured: 4 beats both 8 and 2 on
+    * the full streaming family — below 4 the lost parallelism costs
+    * more than the saved commits; see graft.Tuning). Production streams
     * with wide key spaces keep the session default. */
   private def withStreamShuffle[A](s: SparkSession)(f: => A): A =
-    graft.Tuning.withShufflePartitions(s, 8)(f)
+    graft.Tuning.withShufflePartitions(s, 4)(f)
 
   /** Streaming source over the events table, arriving in MULTIPLE
     * micro-batches: the single events.parquet is split into four files in
@@ -315,7 +317,7 @@ object Pipeline {
     // tail session would never finalize (observed). The heartbeats form
     // their own user=-1 sessions (90 days clear of any real one) and
     // are dropped AFTER the drain.
-    val agg = orderedEventsStream(s, d, filesPerTrigger = 2)
+    val agg = orderedEventsStream(s, d, filesPerTrigger = 3)
       .withWatermark("ts", "1 minute")          // real disorder bound: 0 across files
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -354,17 +356,20 @@ object Pipeline {
       // EventTimeWatermark node, so a filter that killed them would
       // stop the watermark from ever passing the real tail. Heartbeats
       // only ever join each other (user -1, 90 days clear of real
-      // data) and are dropped after the drain by p_id. Two files per
-      // trigger: the three heartbeats still guarantee a post-watermark
-      // flush batch (see prestageOrdered) at half the per-batch state
-      // machinery.
-      val clicks = orderedEventsStream(s, d, filesPerTrigger = 2)
+      // data) and are dropped after the drain by p_id. Three files per
+      // trigger → batches {0,1,2} {3,hb1} {hb2,hb3}: the real tail
+      // (file 3) is followed by hb1 in the SAME batch, so the NEXT
+      // batch already plans with a watermark past every real event and
+      // performs the flush — the post-watermark-flush guarantee (see
+      // prestageOrdered) holds at a third of the per-batch state
+      // machinery of one-file triggers.
+      val clicks = orderedEventsStream(s, d, filesPerTrigger = 3)
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("c_id"), col("value").as("click_value"),
           col("event_type").as("c_type"))
         .withWatermark("c_ts", "1 minute")
         .filter(col("c_type").isin("click", "heartbeat")).drop("c_type")
-      val purchases = orderedEventsStream(s, d, filesPerTrigger = 2)
+      val purchases = orderedEventsStream(s, d, filesPerTrigger = 3)
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("p_id"), col("event_type").as("p_type"))
         .withWatermark("p_ts", "1 minute")

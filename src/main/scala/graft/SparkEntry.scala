@@ -108,6 +108,11 @@ object SparkEntry {
     "q_source_csv"     -> ((s, d) => Relational.csvSourceSummary(s, d)),
     // co-occurrence graph analytics
     "q_graph_triangles" -> ((s, d) => Behavior.coPurchaseTriangles(s, d)),
+    "q_pagerank"        -> ((s, d) => Behavior.pageRank(s, d)),
+    "q_transitions"     -> ((s, d) => Behavior.transitions(s, d)),
+    // data-quality constraint suite + time-range window breadth
+    "q_dq_checks"       -> ((s, d) => Aggregates.dqChecks(s, d)),
+    "q_window_movavg"   -> ((s, d) => Windows.movingAverage24h(s, d)),
     // market-bar analytics over the tick stream (the reference's domain)
     "q_market_ohlc"    -> ((s, d) => Market.ohlcBars(s, d)),
     "q_market_vwap"    -> ((s, d) => Market.vwap(s, d)),
@@ -218,6 +223,40 @@ object SparkEntry {
 
   /** DECIMAL-exact sum fragment shared by several oracles. */
   private def dsum(col: String) = s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** The fixed-point PageRank oracle, iterations unrolled as chained
+    * CTEs from the SAME integer recurrence as ops.Behavior.pageRank:
+    * contrib = r // deg (truncating — operands positive), then
+    * r' = 150000000000 + (85·Σcontrib) // 100. The edge derivation is
+    * the q_graph_triangles kNN build verbatim. */
+  private def pageRankOracleSql: String = {
+    val base =
+      """WITH pd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_days
+               FROM pd a JOIN pd b ON a.d = b.d AND a.user_id < b.user_id
+               GROUP BY 1, 2),
+         sym AS (SELECT ua AS u, ub AS v, n_days FROM c
+                 UNION ALL SELECT ub, ua, n_days FROM c),
+         pick AS (SELECT u, v FROM (
+             SELECT u, v, row_number() OVER (PARTITION BY u
+               ORDER BY n_days DESC, v) AS rn FROM sym) t WHERE rn <= 3),
+         e AS (SELECT DISTINCT least(u, v) AS ua, greatest(u, v) AS ub FROM pick),
+         adj AS (SELECT ua AS u, ub AS v FROM e UNION ALL SELECT ub, ua FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+         r0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS r FROM deg)"""
+    val iters = (1 to graft.ops.Behavior.PageRankIters).map { i =>
+      s""",
+         r$i AS (SELECT a.v AS u,
+             CAST(150000000000 + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+           FROM adj a JOIN r${i - 1} p ON a.u = p.u JOIN deg d ON a.u = d.u
+           GROUP BY a.v)"""
+    }.mkString
+    base + iters +
+      s"""
+         SELECT u AS user_id, r AS rank_units
+         FROM r${graft.ops.Behavior.PageRankIters} ORDER BY user_id"""
+  }
   private val revenue =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -405,6 +444,49 @@ object SparkEntry {
          FROM e e1 JOIN e e2 ON e1.ub = e2.ua
                    JOIN e e3 ON e1.ua = e3.ua AND e2.ub = e3.ub
          ORDER BY u1, u2, u3""",
+    // fixed-point PageRank: identical integer recurrence, iterations
+    // unrolled as chained CTEs (generated — see pageRankOracleSql)
+    "q_pagerank" -> pageRankOracleSql,
+    // Markov transition counts: user-keyed lead(), matrix count
+    "q_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS to_type
+         FROM events)
+         SELECT event_type AS from_type, to_type, count(*) AS n
+         FROM t WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // data-quality suite: every metric is a ratio of exact counts
+    "q_dq_checks" ->
+      """WITH s AS (SELECT
+             CAST(count(l_quantity) AS DOUBLE) / count(*) AS completeness,
+             CAST(count_if(l_returnflag IN ('A','N','R')) AS DOUBLE) / count(*) AS accepted,
+             CAST(count_if(l_discount >= 0.0 AND l_discount <= 0.5) AS DOUBLE) / count(*) AS rng,
+             CAST(count(*) AS BIGINT) AS n
+           FROM lineitem),
+         u AS (SELECT CAST(count(*) AS DOUBLE) AS n_distinct FROM
+             (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+         o AS (SELECT CAST(count(*) AS DOUBLE) AS n_orphans FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         SELECT check_name, metric, metric >= 1.0 AS passed FROM (
+           SELECT 'accepted_values_l_returnflag' AS check_name, accepted AS metric FROM s
+           UNION ALL SELECT 'completeness_l_quantity', completeness FROM s
+           UNION ALL SELECT 'range_l_discount', rng FROM s
+           UNION ALL SELECT 'referential_orderkey', 1.0 - o.n_orphans / s.n FROM s, o
+           UNION ALL SELECT 'uniqueness_orderkey_linenumber', u.n_distinct / s.n FROM s, u
+         ) t ORDER BY check_name""",
+    // trailing 24h moving average: time-RANGE frame over epoch micros,
+    // decimal sum + one double division
+    "q_window_movavg" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+         SELECT event_id,
+           count(*) OVER w AS n_24h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+             count(*) OVER w AS mav_24h
+         FROM t
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     // ordered funnel: each stage strictly after the user's FIRST event
     // of the previous stage (exact microsecond comparisons)
     "q_funnel" ->

@@ -324,4 +324,47 @@ object Aggregates {
         col("n_distinct"), col("min_v"), col("max_v"))
       .orderBy(col("col_name"))
   }
+
+  /** DATA-QUALITY CONSTRAINT SUITE (the Deequ/dbt-test shape):
+    * completeness, accepted-values, range, composite-key uniqueness,
+    * and referential integrity over lineitem, emitted as one
+    * (check, metric, passed) table — assertions as data, so a
+    * scheduler can gate a pipeline on `passed`. The scalar checks ride
+    * ONE scan as conditional aggregates (violation counting is free at
+    * the pass that was reading the data anyway); uniqueness adds a
+    * distinct on the key pair; referential integrity is a left anti
+    * join (broadcast when the parent's keys fit, shuffle otherwise).
+    * Every metric is a ratio of exact counts — one double division,
+    * value-exact vs the oracle. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val nRows = "CAST(count(*) AS DOUBLE)"
+    val scalar = li.agg(
+      expr(s"count(l_quantity) / $nRows").as("completeness_l_quantity"),
+      expr(s"CAST(count_if(l_returnflag IN ('A','N','R')) AS DOUBLE) / $nRows")
+        .as("accepted_values_l_returnflag"),
+      expr(s"CAST(count_if(l_discount >= 0.0 AND l_discount <= 0.5) AS DOUBLE) / $nRows")
+        .as("range_l_discount"))
+    val uniq = li.agg(count(lit(1)).as("n")).crossJoin(
+      li.select(col("l_orderkey"), col("l_linenumber")).distinct()
+        .agg(count(lit(1)).as("n_distinct")))
+      .select((col("n_distinct").cast(org.apache.spark.sql.types.DoubleType) /
+        col("n")).as("uniqueness_orderkey_linenumber"))
+    val orphan = li.join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans")).crossJoin(li.agg(count(lit(1)).as("n")))
+      .select((lit(1.0) - col("n_orphans").cast(org.apache.spark.sql.types.DoubleType)
+        / col("n")).as("referential_orderkey"))
+    scalar.crossJoin(uniq).crossJoin(orphan)
+      .select(expr(
+        """stack(5,
+           'accepted_values_l_returnflag', accepted_values_l_returnflag,
+           'completeness_l_quantity', completeness_l_quantity,
+           'range_l_discount', range_l_discount,
+           'referential_orderkey', referential_orderkey,
+           'uniqueness_orderkey_linenumber', uniqueness_orderkey_linenumber)
+           AS (check_name, metric)"""))
+      .select(col("check_name"), col("metric"), (col("metric") >= 1.0).as("passed"))
+      .orderBy(col("check_name"))
+  }
 }

@@ -203,4 +203,58 @@ object Behavior {
         col("t").getItem(2).as("u3"))
       .orderBy(col("u1"), col("u2"), col("u3"))
   }
+
+  /** FIXED-POINT PageRank over the kNN co-purchase graph: damping 0.85,
+    * [[PageRankIters]] unrolled iterations, ranks carried as BIGINT
+    * micro-units (10¹² per node of initial mass) with truncating
+    * integer division — so the result is BIT-IDENTICAL on any engine
+    * and any partitioning. Float PageRank is order-sensitive (parallel
+    * sums re-associate; ranks drift in the last ulps and top-k orders
+    * flip near ties); fixed-point arithmetic removes the float entirely:
+    *   contrib(u)  = rank(u) div deg(u)
+    *   rank'(v)    = (15·10¹²) div 100  +  (85 · Σ contrib(u→v)) div 100
+    * Each iteration is the classic distributed shape — ranks ⋈ degrees
+    * (same key, one partitioning), contribution fan-out along the
+    * out-edges, map-side-combined sum keyed by destination. The
+    * adjacency is symmetric (undirected graph), so every node has
+    * in-edges and no dangling-mass term is needed. Overflow headroom:
+    * 85 · total mass = 85n·10¹² stays under 2⁶³ for n < 10⁸ nodes; at
+    * larger n drop one decimal of fixed-point scale. */
+  val PageRankIters = 5
+  val PageRankUnit = 1000000000000L
+
+  def pageRank(s: SparkSession, d: String, k: Int = 3,
+      iters: Int = PageRankIters): DataFrame = {
+    val edges = coPurchaseKnnEdges(s, d, k)
+    val adj = edges.select(col("ua").as("u"), col("ub").as("v"))
+      .union(edges.select(col("ub").as("u"), col("ua").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("u"), lit(PageRankUnit).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.join(deg, Seq("u")), Seq("u"))
+        .select(col("v"), expr("r div deg").as("c"))
+      ranks = contrib.groupBy(col("v")).agg(sum(col("c")).as("sc"))
+        .select(col("v").as("u"),
+          (lit(150000000000L) + expr("(85 * sc) div 100")).as("r"))
+    }
+    ranks.select(col("u").as("user_id"), col("r").as("rank_units"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Markov TRANSITION counts: for each user's event sequence (ordered
+    * by time, event_id tiebreak), count (from_type → to_type) steps —
+    * the path-analysis / next-action model build. One user-keyed window
+    * (lead), then a map-side-combined count over the 5×5 type matrix —
+    * the shuffle after the window moves ≤ |types|² rows per partition. */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -338,4 +338,27 @@ object Windows {
     * scale∘inverse ≈ identity. */
   def minMaxInverse(scaled: DataFrame, mn: Double, mx: Double): DataFrame =
     scaled.withColumn("restored", col("scaled") * (mx - mn) + mn)
+
+  /** Trailing 24-hour MOVING AVERAGE via a time-RANGE window frame —
+    * the frame is bounded by event-time distance (epoch micros), not
+    * row count, so sparse and bursty series both get the same temporal
+    * semantics (a ROWS frame would mean "last N events", a different
+    * query). One user-keyed exchange+sort; the range frame is evaluated
+    * in a single pass with a sliding aggregate buffer. The mean is
+    * decimal-sum / count with ONE double division at the end — bit-exact
+    * against the oracle (a running double sum would re-associate). */
+  def movingAverage24h(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), us.as("us"), col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w))
+      .select(col("event_id"), col("n_24h"),
+        (col("sum_24h").cast(org.apache.spark.sql.types.DoubleType) / col("n_24h"))
+          .as("mav_24h"))
+      .orderBy(col("event_id"))
+  }
 }

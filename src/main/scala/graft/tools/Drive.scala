@@ -169,7 +169,10 @@ object Drive {
           "q_text_rarity", "q_market_ohlc", "q_market_drawdown",
           "q_market_rsi", "q_histogram", "q_profile", "q_retention",
           "q_funnel", "q_scd2", "q_merge_upsert", "q_incr_rollup",
-          "q_zorder", "q_index_postings", "q_resample").foreach { name =>
+          "q_zorder", "q_index_postings", "q_resample",
+          "q_sample_weighted", "q_skyline", "q_simjoin_prefix",
+          "q_graph_triangles", "q_pagerank", "q_lm_counts",
+          "q_snapshot_diff", "q_window_movavg", "q_dq_checks").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

@@ -120,4 +120,42 @@ class BehaviorSpec extends SparkSpec {
       assert(edges((a, b)) && edges((b, c)) && edges((a, c)))
     }
   }
+
+  test("fixed-point pagerank equals a plain-Scala integer recurrence exactly") {
+    val edges = ops.Behavior.coPurchaseKnnEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var ranks: Map[Long, Long] = deg.map { case (u, _) => u -> 1000000000000L }
+    for (_ <- 1 to ops.Behavior.PageRankIters) {
+      val in = adj.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      ranks = ranks.keys.map { v =>
+        val s = in(v).map(u => ranks(u) / deg(u)).sum
+        v -> (150000000000L + (85L * s) / 100L)
+      }.toMap
+    }
+    val got = q("q_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ranks && got.nonEmpty)
+    // mass sanity: total rank stays within damping loss of the start
+    val total = got.values.sum
+    val start = got.size.toLong * 1000000000000L
+    assert(total <= start && total > start / 2)
+  }
+
+  test("transition counts conserve steps and match a hand recompute") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(r => (r._2, r._3)).map(_._4).sliding(2)
+        .filter(_.length == 2).map(w => (w(0), w(1)))
+    }.toSeq.groupBy(w => w).map { case (k, v) => k -> v.length.toLong }
+    val got = q("q_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // conservation: total transitions == total events - users
+    val users = rows.map(_._1).distinct.length
+    assert(got.values.sum == rows.length - users)
+  }
 }

@@ -349,6 +349,29 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("dq checks: metrics match direct recomputes; the fixture's real uniqueness defect is caught") {
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count().toDouble
+    val rows = q("q_dq_checks").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(rows.keySet == Set("accepted_values_l_returnflag",
+      "completeness_l_quantity", "range_l_discount",
+      "referential_orderkey", "uniqueness_orderkey_linenumber"))
+    assert(rows("completeness_l_quantity")._1 ==
+      li.filter(col("l_quantity").isNotNull).count() / n)
+    assert(rows("uniqueness_orderkey_linenumber")._1 ==
+      li.select(col("l_orderkey"), col("l_linenumber")).distinct().count() / n)
+    // passed is exactly metric >= 1.0
+    rows.values.foreach { case (m, p) => assert(p == (m >= 1.0)) }
+    // the suite catches a REAL defect: the synthetic fixture duplicates
+    // ~23% of (orderkey, linenumber) pairs, so uniqueness must FAIL
+    // while the four other checks pass — a quality gate that can only
+    // say "pass" tests nothing
+    assert(!rows("uniqueness_orderkey_linenumber")._2)
+    assert(rows.removed("uniqueness_orderkey_linenumber").values.forall(_._2),
+      s"failing checks: ${rows.filterNot(_._2._2).keys}")
+  }
+
   test("csv source quarantines exactly the corrupted slice") {
     val raw = ops.Relational.csvEventsRaw(spark, sf).cache()
     try {

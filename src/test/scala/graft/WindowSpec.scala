@@ -256,4 +256,23 @@ class WindowSpec extends SparkSpec {
       assert(got == expect, s"user $u day $dayStr: $got != $expect")
     }
   }
+
+  test("24h moving average: time-RANGE frame equals a brute-force trailing window") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = rows.groupBy(_._2)
+    val got = q("q_window_movavg").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == rows.length)
+    rows.foreach { case (id, u, us, _) =>
+      val frame = byUser(u).filter(r => r._3 >= us - 86400000000L && r._3 <= us)
+      val sumCents = frame.map(r => BigDecimal(r._4).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      val (n, mav) = got(id)
+      assert(n == frame.length, s"count at event $id")
+      assert(mav == (sumCents.toDouble / frame.length), s"mean at event $id")
+    }
+  }
 }

@@ -22,13 +22,24 @@ object Tuning {
     * serializing them is cheaper than cloning sessions per scope. */
   private val scopeLock = new java.util.concurrent.locks.ReentrantLock()
 
-  def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
+  def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A =
+    withConf(s, "spark.sql.shuffle.partitions", n.toString)(f)
+
+  /** Run `f` with one session conf key overridden, restoring (or
+    * unsetting) the previous value after, under the same scope lock.
+    * The query consuming the override must EXECUTE inside the scope
+    * (eager actions like localCheckpoint), not merely be planned there:
+    * execution-time confs (e.g. the ObjectHashAggregate fallback
+    * threshold) are read when the stage runs. */
+  def withConf[A](s: SparkSession, key: String, value: String)(f: => A): A = {
     scopeLock.lock()
     try {
-      val prev = s.conf.get(key)
-      s.conf.set(key, n.toString)
-      try f finally s.conf.set(key, prev)
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, value)
+      try f finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     } finally scopeLock.unlock()
   }
 }

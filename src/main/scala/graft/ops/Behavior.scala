@@ -153,14 +153,17 @@ object Behavior {
     * pairs share ≥1 purchase day) that join re-enumerates every pair
     * once per common day (~6× amplification) and then aggregates the
     * flood — measured 10+ MINUTES at the 1M-event scale point. Instead:
-    *   1. per-user DAY BITMAP — day index from the corpus min (one
-    *      metadata action, Chunked-style), W=⌈span/64⌉ longs built as W
-    *      agg columns in one pass (each (user, day) bit is distinct, so
-    *      SUM of single-bit words IS bitwise OR);
-    *   2. pair weights by broadcast all-pairs: n_days =
-    *      Σ_w bit_count(a_w & b_w) — one codegen'd expression per pair,
-    *      no aggregation state, no shuffle (the |users|-row bitmap
-    *      table broadcasts);
+    *   1. per-user sorted DAY-INDEX ARRAY (day index from the corpus
+    *      min — one metadata action, Chunked-style; then
+    *      sort_array(collect_set(di)) per user) — |active days| longs
+    *      per user, NOT a dense span-wide bitmap: at per-user
+    *      densities below span/32 the sorted array is both smaller
+    *      and faster to intersect (469 popcount words vs ~66 array
+    *      slots on the 82-year fixture, measured ~4×);
+    *   2. pair weights by broadcast all-pairs: n_days = the codegen'd
+    *      [[graft.functions.SortedIntersectCount]] two-pointer walk —
+    *      O(|Da|+|Db|) per pair, no aggregation state, no shuffle
+    *      (the |users|-row day-set table broadcasts);
     *   3. per-user top-k via the bounded [[graft.functions.TopKByAgg]]
     *      partial aggregate over the pair stream exploded both
     *      directions — per-partition state is |users seen| × a k-slot
@@ -179,8 +182,11 @@ object Behavior {
     * (enumeration ≈ output) as here; under SPARSE co-activity the
     * day-keyed join ([[coPurchasePairCounts]], output-sensitive) wins,
     * and both produce identical counts, so swapping is a pure planner
-    * choice. Checkpointed per (corpus, k) — the kNN edge set IS the
-    * graph index; Bench's cold column attributes the build. */
+    * choice. A corpus with per-user active days approaching the span
+    * (dense sets) would flip step 2 to span/64-word bitmaps with an
+    * AND+popcount scorer. Checkpointed per (corpus, k) — the kNN edge
+    * set IS the graph index; Bench's cold column attributes the
+    * build. */
   private val knnEdgesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
 
@@ -191,64 +197,52 @@ object Behavior {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .distinct()
-      val (minDay, maxDay) = {
-        val r = pd.agg(min(col("day")), max(col("day"))).head()
-        (r.getTimestamp(0), r.getTimestamp(1))
-      }
-      val spanDays = ((maxDay.getTime - minDay.getTime) / 86400000L).toInt + 1
-      val nWords = (spanDays + 63) / 64
-      val idx = datediff(col("day"), lit(new java.sql.Date(minDay.getTime)))
-      val wordCols = (0 until nWords).map { w =>
-        // integer day-index arithmetic via SQL div/% (Column `/` is
-        // double division); SUM == bitwise OR because each (user, day)
-        // contributes its bit exactly once (pd is distinct)
-        sum(expr(s"IF(di DIV 64 = $w, SHIFTLEFT(CAST(1 AS BIGINT), " +
-          s"CAST(di % 64 AS INT)), CAST(0 AS BIGINT))")).as(s"b$w")
-      }
-      val bitmaps = pd.withColumn("di", idx)
-        .groupBy(col("user_id")).agg(wordCols.head, wordCols.tail: _*)
-        .localCheckpoint(true)
-      // BLOCK-PAIR all-pairs enumeration: a raw theta self-join would
-      // plan as BroadcastNestedLoopJoin — interpreted, row-at-a-time,
-      // ~0.5M pairs/s. Decomposing into B(B+1)/2 block combos turns it
-      // into two BROADCAST HASH equi-joins that whole-stage-codegen
-      // fuses with the bitcount scoring (measured ~20x faster). Each
-      // unordered user pair lands in exactly one (i ≤ j) block combo;
-      // same-block combos additionally order by id to kill self/dup
-      // pairs. The i-side fan-out is ≤ B rows per user — bounded,
-      // even, and independent of any hub structure.
-      val B = 32
-      import s.implicits._
-      val bp = (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("i", "j")
-      val a = bitmaps.select(col("user_id").as("u_a") +:
-        (0 until nWords).map(w => col(s"b$w").as(s"a$w")): _*)
-        .withColumn("i", pmod(col("u_a"), lit(B.toLong)).cast(
-          org.apache.spark.sql.types.IntegerType))
-      val b = bitmaps.select(col("user_id").as("u_b") +:
-        (0 until nWords).map(w => col(s"b$w").as(s"bb$w")): _*)
-        .withColumn("j", pmod(col("u_b"), lit(B.toLong)).cast(
-          org.apache.spark.sql.types.IntegerType))
-      val common = (0 until nWords)
-        .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"bb$w"))).cast(
-          org.apache.spark.sql.types.LongType))
-        .reduce(_ + _)
-      val pairs = a.join(broadcast(bp), Seq("i"))
-        .join(broadcast(b), Seq("j"))
-        .filter(col("i") < col("j") || col("u_a") < col("u_b"))
-        .select(least(col("u_a"), col("u_b")).as("u_a"),
-          greatest(col("u_a"), col("u_b")).as("u_b"), common.as("n_days"))
-        .filter(col("n_days") >= 1L)
-      val sym = pairs.select(explode(array(
-          struct(col("u_a").as("u"), col("u_b").as("v"), col("n_days")),
-          struct(col("u_b").as("u"), col("u_a").as("v"), col("n_days"))))
-          .as("p"))
-        .select(col("p.u"), col("p.v"), col("p.n_days"))
-      // bounded top-k aggregate; fallback threshold scoped up so the
-      // ObjectHashAggregate stays HASH-based (see scaladoc step 3) —
-      // ids are nonnegative, so the -v tiebreak column cannot overflow
-      val topk = graft.Tuning.withConf(s,
+      // day-index base: one tiny metadata action (Chunked-style)
+      val minDay = pd.agg(min(col("day"))).head().getTimestamp(0)
+      val di = datediff(col("day"), lit(new java.sql.Date(minDay.getTime)))
+        .cast(LongType)
+      // fallback threshold scoped up so BOTH object aggregates here
+      // (collect_set day sets, TopKByAgg) stay HASH-based — their
+      // per-key state is bounded, only the default 128-key cutoff
+      // would push them into a sort of the full input
+      graft.Tuning.withConf(s,
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString) {
+        val daySets = pd
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_set(di)).as("ds"))
+          .localCheckpoint(true)
+        // BLOCK-PAIR all-pairs enumeration: a raw theta self-join would
+        // plan as BroadcastNestedLoopJoin — interpreted, row-at-a-time,
+        // ~0.5M pairs/s. Decomposing into B(B+1)/2 block combos turns it
+        // into two BROADCAST HASH equi-joins that whole-stage-codegen
+        // fuses with the intersection scoring (measured ~20x faster).
+        // Each unordered user pair lands in exactly one (i ≤ j) block
+        // combo; same-block combos additionally order by id to kill
+        // self/dup pairs. The i-side fan-out is ≤ B rows per user —
+        // bounded, even, and independent of any hub structure.
+        val B = 32
+        import s.implicits._
+        val bp = (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("i", "j")
+        val a = daySets.select(col("user_id").as("u_a"), col("ds").as("dsa"))
+          .withColumn("i", pmod(col("u_a"), lit(B.toLong)).cast(IntegerType))
+        val b = daySets.select(col("user_id").as("u_b"), col("ds").as("dsb"))
+          .withColumn("j", pmod(col("u_b"), lit(B.toLong)).cast(IntegerType))
+        val common =
+          graft.functions.Native.sortedIntersectCount(col("dsa"), col("dsb"))
+        val pairs = a.join(broadcast(bp), Seq("i"))
+          .join(broadcast(b), Seq("j"))
+          .filter(col("i") < col("j") || col("u_a") < col("u_b"))
+          .select(least(col("u_a"), col("u_b")).as("u_a"),
+            greatest(col("u_a"), col("u_b")).as("u_b"), common.as("n_days"))
+          .filter(col("n_days") >= 1L)
+        val sym = pairs.select(explode(array(
+            struct(col("u_a").as("u"), col("u_b").as("v"), col("n_days")),
+            struct(col("u_b").as("u"), col("u_a").as("v"), col("n_days"))))
+            .as("p"))
+          .select(col("p.u"), col("p.v"), col("p.n_days"))
+        // bounded top-k aggregate (see scaladoc step 3) — ids are
+        // nonnegative, so the -v tiebreak column cannot overflow
         sym.groupBy(col("u"))
           .agg(graft.functions.Native.topKBy(col("n_days"), -col("v"),
             col("v").cast(DoubleType), k).as("picks"))
@@ -258,7 +252,6 @@ object Behavior {
           .distinct()
           .localCheckpoint(true)
       }
-      topk
     })
 
   /** TRIANGLE enumeration over the co-purchase kNN graph,

@@ -49,6 +49,33 @@ class NativeSpec extends SparkSpec {
     assert(got(2).getLong(0) == 0L) // empty payload
   }
 
+  test("sorted-intersect count property: equals Set intersection size") {
+    Native.register(spark)
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(xs: Set[Long]) =
+      Literal.create(xs.toSeq.sorted, ArrayType(LongType))
+    val sets = Gen.containerOf[Set, Long](Gen.choose(-50L, 50L))
+    // interpreted eval path, arbitrary sets
+    val prop = forAll(sets, sets) { (xs: Set[Long], ys: Set[Long]) =>
+      graft.functions.SortedIntersectCount(lit(xs), lit(ys))
+        .eval(null) == (xs & ys).size.toLong
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+    // codegen'd path through a real plan agrees (one batch, many rows)
+    val rows = (0 until 64).map { i =>
+      val xs = (0L to 50L).filter(v => ((v + i) % 3) == 0)
+      val ys = (0L to 50L).filter(v => ((v * i) % 4) == 1)
+      (xs, ys, xs.toSet.intersect(ys.toSet).size.toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("a", "b", "expect")
+    assert(df.filter(
+      Native.sortedIntersectCount(col("a"), col("b")) =!= col("expect"))
+      .count() == 0)
+  }
+
   test("TopKBuf property: equals sort-desc-take-k for arbitrary inputs") {
     import org.scalacheck.Prop.forAll
     import org.scalacheck.{Gen, Test => SCTest}

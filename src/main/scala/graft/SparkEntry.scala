@@ -110,6 +110,8 @@ object SparkEntry {
     "q_graph_triangles" -> ((s, d) => Behavior.coPurchaseTriangles(s, d)),
     "q_pagerank"        -> ((s, d) => Behavior.pageRank(s, d)),
     "q_transitions"     -> ((s, d) => Behavior.transitions(s, d)),
+    "q_copurchase_pairs" -> ((s, d) =>
+      Behavior.coPurchasePairCounts(s, d).orderBy("ua", "ub")),
     // data-quality constraint suite + time-range window breadth
     "q_dq_checks"       -> ((s, d) => Aggregates.dqChecks(s, d)),
     "q_window_movavg"   -> ((s, d) => Windows.movingAverage24h(s, d)),
@@ -455,6 +457,15 @@ object SparkEntry {
          FROM events)
          SELECT event_type AS from_type, to_type, count(*) AS n
          FROM t WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // co-purchase pair weights: the output-sensitive day-keyed join
+    // (the sparse-regime sibling of the kNN build's all-pairs scorer;
+    // both derivations must agree on every weight)
+    "q_copurchase_pairs" ->
+      """WITH pd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                     FROM events WHERE event_type = 'purchase')
+         SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_days
+         FROM pd a JOIN pd b ON a.d = b.d AND a.user_id < b.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // data-quality suite: every metric is a ratio of exact counts
     "q_dq_checks" ->

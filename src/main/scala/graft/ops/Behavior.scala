@@ -305,11 +305,19 @@ object Behavior {
     * (same key, one partitioning), contribution fan-out along the
     * out-edges, map-side-combined sum keyed by destination. The
     * adjacency is symmetric (undirected graph), so every node has
-    * in-edges and no dangling-mass term is needed. Overflow headroom:
-    * 85 · total mass = 85n·10¹² stays under 2⁶³ for n < 10⁸ nodes; at
-    * larger n drop one decimal of fixed-point scale. */
+    * in-edges and no dangling-mass term is needed. Overflow headroom —
+    * sized to the WORST case, a hub that receives the entire mass: the
+    * multiply `85 · sc` with sc ≤ n·unit must stay under 2⁶³, so
+    * n ≤ 2⁶³/(85·unit) ≈ 1.08·10⁵ nodes at unit = 10¹²; each dropped
+    * decimal of fixed-point scale buys one more decade of nodes
+    * (n ≈ 1.08·10⁶ at 10¹¹, …). The guard below enforces the bound at
+    * runtime instead of trusting the caller — past it, rerun with a
+    * smaller unit (and regenerate the oracle with the same constants)
+    * or switch the accumulator to Decimal. */
   val PageRankIters = 5
   val PageRankUnit = 1000000000000L
+  /** Max node count before `85 · (total mass)` can exceed Long range. */
+  def pageRankMaxNodes(unit: Long): Long = Long.MaxValue / 85L / unit
 
   def pageRank(s: SparkSession, d: String, k: Int = 3,
       iters: Int = PageRankIters): DataFrame = {
@@ -317,6 +325,14 @@ object Behavior {
     val adj = edges.select(col("ua").as("u"), col("ub").as("v"))
       .union(edges.select(col("ub").as("u"), col("ua").as("v")))
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // one tiny metadata action over the O(nodes) degree table — the
+    // hub-worst-case overflow guard for the fixed-point accumulation
+    val n = deg.count()
+    require(n <= pageRankMaxNodes(PageRankUnit),
+      s"pageRank fixed-point unit $PageRankUnit overflows Long past " +
+        s"${pageRankMaxNodes(PageRankUnit)} nodes (got $n); drop a decimal " +
+        "of scale (and regenerate the oracle) or accumulate in Decimal")
     var ranks = deg.select(col("u"), lit(PageRankUnit).as("r"))
     for (_ <- 1 to iters) {
       val contrib = adj

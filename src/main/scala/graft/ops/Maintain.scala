@@ -129,7 +129,10 @@ object Maintain {
     * compaction may change layout, never rows. MaintainSpec pins the
     * before/after file counts. */
   private val smallCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val compactCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed by (corpus dir, target file size) — a second caller with a
+  // different compaction target must NOT get the layout built for the
+  // first (same discipline as knnEdgesCache / truthPairsCache)
+  private val compactCache = new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
   val SmallFileCount = 48
 
   def smallFilesDir(s: SparkSession, d: String): String =
@@ -152,7 +155,7 @@ object Maintain {
 
   def compactedDir(s: SparkSession, d: String,
       targetFileBytes: Long = 128L * 1024 * 1024): String =
-    compactCache.computeIfAbsent(d, { dir =>
+    compactCache.computeIfAbsent((d, targetFileBytes), { case (dir, _) =>
       val in = smallFilesDir(s, dir)
       val bytes = partFiles(s, in).map(_.getLen).sum
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -278,24 +278,33 @@ object Relational {
     * [[stratifiedSample]]: the keep test is a pure per-row expression —
     * top-32 hash bits of rolling_hash('wsamp#'||event_id||'#v1')
     * against a per-row threshold — so the fact table never shuffles;
-    * only the 1-row k_max aggregate moves, and it broadcasts. The
-    * comparison is INTEGER-exact (hash32·k_max·2 < k·2³², both sides
-    * < 2⁴⁶ — no float boundary can flip a row between engines), which
-    * is what makes a probabilistic sampler rows-exact oracle-able.
-    * Deterministic in the key: retries, reruns, and both engines keep
-    * exactly the same rows. */
+    * only the 1-row k_max aggregate moves (a driver-side action, same
+    * single scan the broadcast variant would run, and the value folds
+    * into codegen as a literal). The comparison is INTEGER-exact
+    * (hash32·k_max·2 < k·2³² with hash32 < 2³², so the left side stays
+    * in Long iff k_max < 2³⁰ — no float boundary can flip a row between
+    * engines), which is what makes a probabilistic sampler rows-exact
+    * oracle-able. The k_max bound is ENFORCED, not assumed: the DuckDB
+    * oracle computes the same test in HUGEINT, so a silently wrapping
+    * Long here would diverge without an error — past the guard, widen
+    * the Spark side to Decimal to match the oracle's unbounded
+    * arithmetic. Deterministic in the key: retries, reruns, and both
+    * engines keep exactly the same rows. */
   def weightedSample(s: SparkSession, d: String): DataFrame = {
     graft.functions.Native.register(s)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast(org.apache.spark.sql.types.LongType).as("k"))
-    val kMax = ev.agg(max(col("k")).as("k_max"))
-    ev.crossJoin(broadcast(kMax))
-      .filter(shiftrightunsigned(
+    val kMax = ev.agg(max(col("k"))).head().getLong(0)
+    require(kMax < (1L << 30),
+      s"weightedSample keep-test runs in Long: hash32·k_max·2 wraps once " +
+        s"k_max ≥ 2^30 (got $kMax) while the oracle computes in HUGEINT; " +
+        "widen the comparison to Decimal before raising the weight range")
+    ev.filter(shiftrightunsigned(
         graft.functions.Native.rollingHash(
           concat(lit("wsamp#"),
             col("event_id").cast(org.apache.spark.sql.types.StringType),
-            lit("#v1"))), 32) * col("k_max") * lit(2L)
+            lit("#v1"))), 32) * lit(kMax) * lit(2L)
         < col("k") * lit(4294967296L))
       .select(col("event_id"), col("event_type"), col("k"))
       .orderBy(col("event_id"))
@@ -346,19 +355,25 @@ object Relational {
     * whole 100 TB batch to one bad line). Schema is explicit — an
     * inference pass is a full extra scan. Doubles round-trip through
     * their shortest decimal form (Java semantics both ways), so the
-    * surviving rows aggregate bit-identically to the source table. */
+    * surviving rows aggregate bit-identically to the source table.
+    * Null fields serialize as explicit EMPTY positions (each column is
+    * coalesced to '' before concat_ws) — concat_ws alone SKIPS nulls,
+    * which would shift later fields left and parse a null-bearing row
+    * as a different, valid-looking row instead of quarantining it. */
   private val csvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def csvEventsDir(s: SparkSession, d: String): String =
     csvCache.computeIfAbsent(d, { dir =>
       val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val S = org.apache.spark.sql.types.StringType
+      def f(c: org.apache.spark.sql.Column) = coalesce(c.cast(S), lit(""))
       Tables.events(s, dir)
         .select(
           when(col("event_id") % 97 === 0,
-            concat(lit("#corrupt#"), col("event_id").cast(org.apache.spark.sql.types.StringType)))
+            concat(lit("#corrupt#"), col("event_id").cast(S)))
             .otherwise(concat_ws(",",
-              col("event_id"), unix_micros(col("ts")), col("user_id"),
-              col("event_type"), col("value").cast(org.apache.spark.sql.types.StringType)))
+              f(col("event_id")), f(unix_micros(col("ts"))), f(col("user_id")),
+              f(col("event_type")), f(col("value"))))
             .as("value"))
         .write.mode("overwrite").text(out)
       out

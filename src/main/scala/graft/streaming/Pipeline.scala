@@ -5,7 +5,7 @@ import graft.ops.{Aggregates, Predict}
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming pipelines (SURVEY §2.1 S1/S4, §2.9 T1-T8).
@@ -92,138 +92,6 @@ object Pipeline {
     })
   }
 
-  /** The reference's full stream pipeline (S1→P1-P3→S4: source → JSON
-    * envelope round-trip → foreachBatch {append sink + last-5 predict}).
-    * Runs to completion with AvailableNow and returns the prediction rows
-    * collected across micro-batches. The JSON serialize→parse round trip
-    * mirrors producer `json.dumps` → consumer `from_json`
-    * (`producer.py:9` / `stream_consumer.py:96-98`). */
-  def streamPipeline(s: SparkSession, d: String): DataFrame = {
-    val sinkDir = tmp("graft_sink_")
-    val ckpt    = tmp("graft_ckpt_")
-    val envelopeSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("event_type", StringType), StructField("value", DoubleType)))
-    val parsed = eventsStream(s, d)
-      .select(to_json(struct(col("event_id"), col("ts"), col("event_type"),
-        col("value"))).as("value"))                       // wire format
-      .select(from_json(col("value").cast(StringType), envelopeSchema).as("data"))
-      .select(col("data.*"))                              // struct flatten
-    withStreamShuffle(s) {
-      val q = parsed.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // S2 parity: append the raw micro-batch to the tick table. No
-          // isEmpty pre-check (P4): an AvailableNow file source never
-          // delivers an empty batch, and the guard itself costs one extra
-          // Spark job per micro-batch; an empty batch would just append
-          // zero rows, which is already correct.
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
-    // M1 parity on the persisted table: last-5 lookback prediction per
-    // series, computed as one distributed plan (no driver collect) via
-    // the bounded top-k aggregate (two-phase, partial-aggregating — see
-    // Windows.lastKStats)
-    graft.functions.Native.register(s)
-    val predictUdf = udf((xs: Seq[Double]) => Predict.LinearPredictor.predict(xs))
-    s.read.parquet(sinkDir)
-      .groupBy(col("event_type"))
-      .agg(graft.functions.Native.topKBy(col("ts"), col("event_id"),
-        col("value"), 5).as("vals"))
-      .filter(size(col("vals")) === 5)
-      .select(col("event_type"), predictUdf(reverse(col("vals"))).as("predicted"))
-      .orderBy(col("event_type"))
-  }
-
-  /** Generalized event-time windowed aggregation (T3/T4 — absent in the
-    * reference, standard Spark streaming surface): tumbling daily
-    * count+sum per event_type with a watermark. Oracle-equivalent to a
-    * date_trunc GROUP BY over the same data.
-    *
-    * Sink shape (scale-critical): update-mode foreachBatch appending the
-    * changed windows of each micro-batch to parquet with the batch id,
-    * compacted latest-wins on read. A complete/memory sink would
-    * materialize the FULL aggregate on the driver every batch — a
-    * driver-side cliff once days×series stops being tiny; the update log
-    * only ever moves the windows a batch actually touched, written by
-    * executors. */
-  def eventTimeWindow(s: SparkSession, d: String): DataFrame = {
-    val sinkDir = tmp("graft_evw_")
-    // watermark delay must cover the source's arrival DISORDER: the
-    // staged files are hash-partitioned, so a micro-batch can carry
-    // events older than any previous batch's max. In update mode a
-    // window whose state was watermark-evicted silently drops late
-    // rows, so the delay derives from the corpus's actual span
-    // (watermarkDelay); with a time-ordered production source this
-    // would be minutes.
-    val agg = eventsStream(s, d)
-      .withWatermark("ts", watermarkDelay(s, d))
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"), col("total"))
-    withStreamShuffle(s) {
-      val q = agg.writeStream.outputMode("update")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
-    // latest-wins compaction: the final value of each window key is its
-    // last emitted update (the streaming-upsert read path for an
-    // append-only sink — see Sinks.upsertAppend/readLatest)
-    graft.sources.Sinks.readLatest(s, sinkDir, Seq("day", "event_type"))
-      .select(col("day"), col("event_type"), col("n"), col("total"))
-      .orderBy(col("day"), col("event_type"))
-  }
-
-  /** SLIDING event-time window (1-day width, 12-hour slide): each event
-    * lands in exactly width/slide = 2 overlapping windows, maintained
-    * incrementally with the same update-log sink as [[eventTimeWindow]].
-    * The overlap factor is the published cost model — state and output
-    * scale by width/slide, never by re-reading the source — and decimal
-    * sums keep the drained table equal to the batch equivalent bit for
-    * bit (the oracle enumerates both windows per row in SQL). */
-  def slidingEventWindow(s: SparkSession, d: String): DataFrame = {
-    val sinkDir = tmp("graft_slw_")
-    // 2-file triggers: still a genuine cross-batch incremental update
-    // (the second batch rewrites windows the first opened) at half the
-    // per-batch state-store machinery — q_event_window keeps the
-    // 4-batch drain as the canonical multi-batch update-mode demo
-    val agg = eventsStream(s, d, filesPerTrigger = 2)
-      .withWatermark("ts", watermarkDelay(s, d))
-      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-        col("event_type"), col("n"), col("total"))
-    withStreamShuffle(s) {
-      val q = agg.writeStream.outputMode("update")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
-    graft.sources.Sinks.readLatest(s, sinkDir, Seq("win_start", "event_type"))
-      .select(col("win_start"), col("event_type"), col("n"), col("total"))
-      .orderBy(col("win_start"), col("event_type"))
-  }
-
   /** Time-ORDERED staged replay + watermark heartbeat — the production
     * arrival shape, staged once per corpus: the events split into 4
     * contiguous time-range files (so cross-batch disorder is zero and a
@@ -299,6 +167,256 @@ object Pipeline {
         .parquet(staged))
   }
 
+  // ————————————————— consolidated drain group ——————————————————————
+  //
+  // Every bounded drain below launches CONCURRENTLY as one group per
+  // corpus: each streaming query keeps its own source checkpoint, sink,
+  // trigger pacing, and state — concurrency changes WHEN micro-batches
+  // run, never what they compute, so every drained table (and its
+  // oracle hash) is identical to the one a solo drain produces. What
+  // changes is the wall clock: a bounded AvailableNow drain's cost is
+  // dominated by the per-micro-batch floor (trigger scheduling +
+  // state-store open/commit), ~2 s/drain on this host, and those floors
+  // are almost pure waiting — run one after another, 13 drains cost
+  // ~13 × the floor; run together they cost ~max(drain) because the
+  // micro-batch machinery of one query overlaps the idle floor of the
+  // others. This is also the production shape: one Spark app runs its
+  // streaming queries side by side off the shared source, not as a
+  // serial chain of separate drains.
+  //
+  // The group result (drain name → sink dir) is cached per corpus: the
+  // drained sinks are consumed by multiple queries (e.g. the stateful
+  // emission log feeds both q_stateful_predict and q_stateful_final),
+  // exactly like the dedup pair index. Bench RESETS the cache each
+  // iteration (resetDrains), so every bench pass — warm included —
+  // re-pays one full concurrent group drain: the warm number measures
+  // the real consolidated drain, not a parquet read of a stale sink.
+  //
+  // A shared GraftQueryListener rides the group, so the per-drain
+  // micro-batch counts are observable ([[groupBatchCounts]]); the spec
+  // asserts every drain in the group stays genuinely multi-batch
+  // (≥ 2 micro-batches) — consolidation must not quietly degenerate a
+  // cross-batch test into a one-batch one.
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  private val groupRunIds =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  private val groupMetricRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[BatchMetric]]()
+
+  /** Forget all drained sinks (and the stateful drain cache) so the next
+    * streaming query re-runs the full concurrent group — called by Bench
+    * at the top of each iteration to keep warm timings honest. */
+  def resetDrains(): Unit = {
+    groupCache.clear()
+    groupRunIds.clear()
+    groupMetricRows.clear()
+    statefulCache.clear()
+  }
+
+  private val drainLaunchers: Seq[(String, (SparkSession, String) => (String, StreamingQuery))] = Seq(
+    "pipeline"     -> (launchPipeline(_, _)),
+    "event_window" -> (launchEventWindow(_, _)),
+    "sliding"      -> (launchSliding(_, _)),
+    "vwap"         -> (launchVwap(_, _)),
+    "enrich"       -> (launchEnrich(_, _)),
+    "dedup"        -> (launchDedup(_, _)),
+    "dedup_wm"     -> (launchDedupBounded(_, _)),
+    "ss_join"      -> (launchStreamStreamJoin(_, _)),
+    "session"      -> (launchSessionWindows(_, _)),
+    "outer_join"   -> (launchOuterJoin(_, _)),
+    "metrics"      -> (launchMetricsAppend(_, _)),
+    "stateful"     -> (launchStateful(_, _, DefaultLastK)))
+
+  def drainGroup(s: SparkSession, d: String): Map[String, String] =
+    groupCache.computeIfAbsent(d, _ => runDrainGroup(s, d))
+
+  private def runDrainGroup(s: SparkSession, d: String): Map[String, String] = {
+    // both staged replays exist before any query starts (cached; Bench
+    // additionally pre-stages them in its untimed warm-up)
+    prestage(s, d)
+    prestageOrdered(s, d)
+    val lst = new GraftQueryListener()
+    s.streams.addListener(lst)
+    try {
+      withStreamShuffle(s) {
+        val started = scala.collection.mutable.ArrayBuffer[(String, String, StreamingQuery)]()
+        try {
+          drainLaunchers.foreach { case (name, launch) =>
+            val (sink, q) = launch(s, d)
+            started += ((name, sink, q))
+          }
+          started.foreach(_._3.awaitTermination())
+        } catch {
+          case e: Throwable =>
+            // stop the survivors so a failed group never leaks running
+            // queries into the next attempt
+            started.foreach(t => try t._3.stop() catch { case _: Throwable => () })
+            throw e
+        }
+        // listener events are async relative to awaitTermination — wait
+        // for every drain's terminated event so the metrics snapshot is
+        // complete before it is cached
+        started.foreach { case (name, _, q) =>
+          require(lst.awaitTerminated(q.runId.toString),
+            s"listener terminated event for drain '$name' not received in time")
+        }
+        groupRunIds.put(d, started.map(t => t._1 -> t._3.runId.toString).toMap)
+        groupMetricRows.put(d, lst.collected)
+        started.map(t => t._1 -> t._2).toMap
+      }
+    } finally s.streams.removeListener(lst)
+  }
+
+  /** Micro-batches each group drain actually ran (from the shared
+    * listener) — the spec's ≥2-batch consolidation guard. */
+  def groupBatchCounts(s: SparkSession, d: String): Map[String, Long] = {
+    drainGroup(s, d)
+    val runs = groupRunIds.get(d)
+    val rows = groupMetricRows.get(d)
+    runs.map { case (n, rid) => n -> rows.count(_.run_id == rid).toLong }
+  }
+
+  // ————————————————— the drains ————————————————————————————————————
+
+  /** The reference's full stream pipeline (S1→P1-P3→S4: source → JSON
+    * envelope round-trip → foreachBatch {append sink + last-5 predict}).
+    * Drained via the group; returns the prediction rows computed over
+    * the persisted tick table. The JSON serialize→parse round trip
+    * mirrors producer `json.dumps` → consumer `from_json`
+    * (`producer.py:9` / `stream_consumer.py:96-98`). */
+  private def launchPipeline(s: SparkSession, d: String): (String, StreamingQuery) = {
+    val sinkDir = tmp("graft_sink_")
+    val envelopeSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val parsed = eventsStream(s, d)
+      .select(to_json(struct(col("event_id"), col("ts"), col("event_type"),
+        col("value"))).as("value"))                       // wire format
+      .select(from_json(col("value").cast(StringType), envelopeSchema).as("data"))
+      .select(col("data.*"))                              // struct flatten
+    val q = parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // S2 parity: append the raw micro-batch to the tick table. No
+        // isEmpty pre-check (P4): an AvailableNow file source never
+        // delivers an empty batch, and the guard itself costs one extra
+        // Spark job per micro-batch; an empty batch would just append
+        // zero rows, which is already correct.
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamPipeline(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("pipeline")
+    // M1 parity on the persisted table: last-5 lookback prediction per
+    // series, computed as one distributed plan (no driver collect) via
+    // the bounded top-k aggregate (two-phase, partial-aggregating — see
+    // Windows.lastKStats)
+    graft.functions.Native.register(s)
+    val predictUdf = udf((xs: Seq[Double]) => Predict.LinearPredictor.predict(xs))
+    s.read.parquet(sinkDir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Native.topKBy(col("ts"), col("event_id"),
+        col("value"), 5).as("vals"))
+      .filter(size(col("vals")) === 5)
+      .select(col("event_type"), predictUdf(reverse(col("vals"))).as("predicted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Generalized event-time windowed aggregation (T3/T4 — absent in the
+    * reference, standard Spark streaming surface): tumbling daily
+    * count+sum per event_type with a watermark. Oracle-equivalent to a
+    * date_trunc GROUP BY over the same data.
+    *
+    * Sink shape (scale-critical): update-mode foreachBatch appending the
+    * changed windows of each micro-batch to parquet with the batch id,
+    * compacted latest-wins on read. A complete/memory sink would
+    * materialize the FULL aggregate on the driver every batch — a
+    * driver-side cliff once days×series stops being tiny; the update log
+    * only ever moves the windows a batch actually touched, written by
+    * executors. */
+  private def launchEventWindow(s: SparkSession, d: String): (String, StreamingQuery) = {
+    val sinkDir = tmp("graft_evw_")
+    // watermark delay must cover the source's arrival DISORDER: the
+    // staged files are hash-partitioned, so a micro-batch can carry
+    // events older than any previous batch's max. In update mode a
+    // window whose state was watermark-evicted silently drops late
+    // rows, so the delay derives from the corpus's actual span
+    // (watermarkDelay); with a time-ordered production source this
+    // would be minutes. Kept at 1-file triggers — the canonical 4-batch
+    // multi-batch update-mode demo.
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def eventTimeWindow(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("event_window")
+    // latest-wins compaction: the final value of each window key is its
+    // last emitted update (the streaming-upsert read path for an
+    // append-only sink — see Sinks.upsertAppend/readLatest)
+    graft.sources.Sinks.readLatest(s, sinkDir, Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** SLIDING event-time window (1-day width, 12-hour slide): each event
+    * lands in exactly width/slide = 2 overlapping windows, maintained
+    * incrementally with the same update-log sink as [[eventTimeWindow]].
+    * The overlap factor is the published cost model — state and output
+    * scale by width/slide, never by re-reading the source — and decimal
+    * sums keep the drained table equal to the batch equivalent bit for
+    * bit (the oracle enumerates both windows per row in SQL). */
+  private def launchSliding(s: SparkSession, d: String): (String, StreamingQuery) = {
+    val sinkDir = tmp("graft_slw_")
+    // 2-file triggers: still a genuine cross-batch incremental update
+    // (the second batch rewrites windows the first opened) at half the
+    // per-batch state-store machinery — q_event_window keeps the
+    // 4-batch drain as the canonical multi-batch update-mode demo
+    val agg = eventsStream(s, d, filesPerTrigger = 2)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def slidingEventWindow(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("sliding")
+    graft.sources.Sinks.readLatest(s, sinkDir, Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** STREAMING merging session windows (T5 — the native session_window
     * operator under streaming state), in APPEND mode: a session emits
     * exactly once, when the watermark proves no future event can merge
@@ -309,7 +427,7 @@ object Pipeline {
     * contiguous files + the heartbeat, sessions finalize progressively
     * and the tail flushes before termination, so the drained table
     * equals the batch session_window oracle row for row. */
-  def streamSessionWindows(s: SparkSession, d: String): DataFrame = {
+  private def launchSessionWindows(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_ssw_")
     // NO pre-aggregate heartbeat filter: Catalyst pushes filters BELOW
     // the EventTimeWatermark node, so a `user_id >= 0` here would kill
@@ -323,17 +441,19 @@ object Pipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"), col("n_events"))
-    withStreamShuffle(s) {
-      val q = agg.writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamSessionWindows(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("session")
     s.read.parquet(sinkDir)
       .filter(col("user_id") >= 0)              // drop the heartbeat sessions
       .orderBy(col("user_id"), col("start_us"))
@@ -347,49 +467,51 @@ object Pipeline {
     * inner variant ([[streamStreamJoin]]) never waits, which is why it
     * runs fine on the hash-split replay while this one needs the
     * ordered one. Drained result == the batch LEFT JOIN oracle. */
-  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+  private def launchOuterJoin(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_soj_")
-    withStreamShuffle(s) {
-      // rename FIRST so each branch carries exactly one watermark (on
-      // the join's event-time column). The event-type filters KEEP the
-      // heartbeat rows: Catalyst pushes predicates below the
-      // EventTimeWatermark node, so a filter that killed them would
-      // stop the watermark from ever passing the real tail. Heartbeats
-      // only ever join each other (user -1, 90 days clear of real
-      // data) and are dropped after the drain by p_id. Three files per
-      // trigger → batches {0,1,2} {3,hb1} {hb2,hb3}: the real tail
-      // (file 3) is followed by hb1 in the SAME batch, so the NEXT
-      // batch already plans with a watermark past every real event and
-      // performs the flush — the post-watermark-flush guarantee (see
-      // prestageOrdered) holds at a third of the per-batch state
-      // machinery of one-file triggers.
-      val clicks = orderedEventsStream(s, d, filesPerTrigger = 3)
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          col("event_id").as("c_id"), col("value").as("click_value"),
-          col("event_type").as("c_type"))
-        .withWatermark("c_ts", "1 minute")
-        .filter(col("c_type").isin("click", "heartbeat")).drop("c_type")
-      val purchases = orderedEventsStream(s, d, filesPerTrigger = 3)
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("p_id"), col("event_type").as("p_type"))
-        .withWatermark("p_ts", "1 minute")
-        .filter(col("p_type").isin("purchase", "heartbeat")).drop("p_type")
-      val joined = purchases.join(clicks,
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"),
-        "left_outer")
-        .select(col("p_id"), col("c_id"), col("click_value"))
-      val q = joined.writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    // rename FIRST so each branch carries exactly one watermark (on
+    // the join's event-time column). The event-type filters KEEP the
+    // heartbeat rows: Catalyst pushes predicates below the
+    // EventTimeWatermark node, so a filter that killed them would
+    // stop the watermark from ever passing the real tail. Heartbeats
+    // only ever join each other (user -1, 90 days clear of real
+    // data) and are dropped after the drain by p_id. Three files per
+    // trigger → batches {0,1,2} {3,hb1} {hb2,hb3}: the real tail
+    // (file 3) is followed by hb1 in the SAME batch, so the NEXT
+    // batch already plans with a watermark past every real event and
+    // performs the flush — the post-watermark-flush guarantee (see
+    // prestageOrdered) holds at a third of the per-batch state
+    // machinery of one-file triggers.
+    val clicks = orderedEventsStream(s, d, filesPerTrigger = 3)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"), col("value").as("click_value"),
+        col("event_type").as("c_type"))
+      .withWatermark("c_ts", "1 minute")
+      .filter(col("c_type").isin("click", "heartbeat")).drop("c_type")
+    val purchases = orderedEventsStream(s, d, filesPerTrigger = 3)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("event_type").as("p_type"))
+      .withWatermark("p_ts", "1 minute")
+      .filter(col("p_type").isin("purchase", "heartbeat")).drop("p_type")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"), col("click_value"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("outer_join")
     s.read.parquet(sinkDir)
       .filter(col("p_id") >= 0)                 // drop the heartbeat pairs
       .orderBy(col("p_id"), col("c_id"))
@@ -403,7 +525,7 @@ object Pipeline {
     * identical table (the lambda-architecture unification claim, proved
     * by hash). Decimal sums make the convergence exact: partial
     * per-batch state + final merge cannot perturb bits. */
-  def streamingVwap(s: SparkSession, d: String): DataFrame = {
+  private def launchVwap(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_svwap_")
     val propsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
@@ -417,17 +539,19 @@ object Pipeline {
         sum(col("value").cast(DecimalType(18, 2)) * col("k")).as("pv"))
       .select(col("symbol"), date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("size_sum"), col("pv"))
-    withStreamShuffle(s) {
-      val q = agg.writeStream.outputMode("update")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamingVwap(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("vwap")
     graft.sources.Sinks.readLatest(s, sinkDir, Seq("symbol", "day"))
       .select(col("symbol"), col("day"), col("size_sum"),
         (col("pv").cast(DoubleType) / col("size_sum").cast(DoubleType)).as("vwap"))
@@ -442,7 +566,7 @@ object Pipeline {
     * micro-batch, the canonical cheap enrichment at any scale. Decimal
     * sums ⇒ the drained table equals the batch equivalent exactly
     * (oracle = batch SQL). */
-  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+  private def launchEnrich(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_senrich_")
     val dim = Tables.events(s, d).select(col("event_type")).distinct()
       .withColumn("weight", length(col("event_type")).cast(LongType))
@@ -452,17 +576,19 @@ object Pipeline {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2)) * col("weight")).as("wsum"))
-    withStreamShuffle(s) {
-      val q = agg.writeStream.outputMode("update")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("enrich")
     graft.sources.Sinks.readLatest(s, sinkDir, Seq("event_type"))
       .select(col("event_type"), col("n"),
         col("wsum").cast(DoubleType).as("weighted_sum"))
@@ -475,25 +601,27 @@ object Pipeline {
     * pair with withWatermark to bound the state store; here the key
     * domain is small so state is bounded by construction. Output keys ==
     * batch DISTINCT over the same data, which is what the oracle checks. */
-  def streamDedup(s: SparkSession, d: String): DataFrame = {
+  private def launchDedup(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_ddsink_")
-    withStreamShuffle(s) {
-      val q = eventsStream(s, d)
-        .select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // executor-side parquet append — a memory sink would funnel
-          // every first-seen key through the driver (the scale cliff the
-          // other drains already avoid)
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    val q = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // executor-side parquet append — a memory sink would funnel
+        // every first-seen key through the driver (the scale cliff the
+        // other drains already avoid)
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("dedup")
     s.read.parquet(sinkDir).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -508,24 +636,26 @@ object Pipeline {
     * DISTINCT — which is exactly what the oracle checks; in production
     * the same code with a minutes-scale delay is the bounded-state
     * dedupe. */
-  def streamDedupBounded(s: SparkSession, d: String): DataFrame = {
+  private def launchDedupBounded(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_ddwsink_")
-    withStreamShuffle(s) {
-      val q = eventsStream(s, d)
-        .withWatermark("ts", watermarkDelay(s, d))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select(col("user_id"), col("event_type"))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    val q = eventsStream(s, d)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamDedupBounded(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("dedup_wm")
     s.read.parquet(sinkDir).orderBy(col("user_id"), col("event_type"))
   }
 
@@ -538,37 +668,39 @@ object Pipeline {
     * the drained result equals the batch interval join exactly (the
     * oracle states it in SQL). Watermark sized past the staged files'
     * arrival disorder, as in [[eventTimeWindow]]. */
-  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+  private def launchStreamStreamJoin(s: SparkSession, d: String): (String, StreamingQuery) = {
     val sinkDir = tmp("graft_ssj_")
-    withStreamShuffle(s) {
-      // 2-file triggers: still a genuine multi-batch drain (pairs split
-      // across batches exercise the cross-batch join state) at half the
-      // per-batch state machinery of the 1-file drains
-      val clicks = eventsStream(s, d, filesPerTrigger = 2)
-        .filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-          col("event_id").as("c_id"), col("value").as("click_value"))
-        .withWatermark("c_ts", watermarkDelay(s, d))
-      val purchases = eventsStream(s, d, filesPerTrigger = 2)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("p_id"))
-        .withWatermark("p_ts", watermarkDelay(s, d))
-      val joined = purchases.join(clicks,
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-        .select(col("p_id"), col("c_id"), col("click_value"))
-      val q = joined.writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.Sinks.parquetAppend(batch, sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
+    // 2-file triggers: still a genuine multi-batch drain (pairs split
+    // across batches exercise the cross-batch join state) at half the
+    // per-batch state machinery of the 1-file drains
+    val clicks = eventsStream(s, d, filesPerTrigger = 2)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"), col("value").as("click_value"))
+      .withWatermark("c_ts", watermarkDelay(s, d))
+    val purchases = eventsStream(s, d, filesPerTrigger = 2)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", watermarkDelay(s, d))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("click_value"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("ss_join")
     s.read.parquet(sinkDir).orderBy(col("p_id"), col("c_id"))
   }
 
@@ -576,11 +708,47 @@ object Pipeline {
     * appends the parsed events to a parquet sink while the listener
     * captures one metrics row per micro-batch (rows/latency) off the
     * listener bus — zero instrumentation cost inside the streaming plan.
-    * Returns the per-batch metrics table; latencies are wall-clock, so
-    * the query is rows-only by design (StreamingSpec pins the
-    * deterministic parts: one row per micro-batch, rows summing to the
-    * source count). */
+    * In the group, the SHARED listener captures this drain's progress
+    * rows (keyed by run id); [[streamWithMetrics]] returns them as the
+    * per-batch metrics table. Latencies are wall-clock, so the query is
+    * rows-only by design (StreamingSpec pins the deterministic parts:
+    * one row per micro-batch, rows summing to the source count). Kept at
+    * 1-file triggers: the 4-row metrics table is the spec's contract. */
+  private def launchMetricsAppend(s: SparkSession, d: String): (String, StreamingQuery) = {
+    val sinkDir = tmp("graft_msink_")
+    val q = eventsStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
   def streamWithMetrics(s: SparkSession, d: String,
+      echo: Boolean = false): DataFrame =
+    if (echo) standaloneMetricsDrain(s, d, echo = true)
+    else {
+      drainGroup(s, d)
+      import s.implicits._
+      val rid = groupRunIds.get(d)("metrics")
+      groupMetricRows.get(d).filter(_.run_id == rid).toDS().toDF()
+        .select(col("batch_id"), col("input_rows"), col("duration_ms"))
+        .orderBy(col("batch_id"))
+    }
+
+  /** The SOLO metrics drain — its own listener, its own uncontended
+    * micro-batches. Used for the console echo (S6) and as Bench's
+    * per-micro-batch LATENCY PROBE against the reference's stream panel
+    * (`stream_consumer.py:57,77-78`): inside the concurrent group a
+    * batch's wall latency includes scheduling overlap with 11 other
+    * drains, so the like-for-like per-batch number must come from a
+    * drain that runs alone. */
+  def standaloneMetricsDrain(s: SparkSession, d: String,
       echo: Boolean = false): DataFrame = {
     val lst = new GraftQueryListener(echo)
     s.streams.addListener(lst)
@@ -608,6 +776,60 @@ object Pipeline {
     } finally s.streams.removeListener(lst)
   }
 
+  /** Per-micro-batch LATENCY PROBE against the reference's stream panel
+    * (BASELINE.md: ~18–41 ms/batch, mean ≈ 30 ms, ~100 plotted batches
+    * at 10 msg/s — timer at `stream_consumer.py:57,77-78`): replays
+    * nBatches files of ~rowsPerBatch time-ordered events one file per
+    * trigger, doing the reference's per-batch work in foreachBatch —
+    * append the raw batch (its JDBC insert) plus the last-5 collect and
+    * linear predict (its per-batch prediction) — and returns the
+    * listener's per-batch metrics table. Runs SOLO (own listener, never
+    * through the group) so each batch's wall latency is uncontended,
+    * which is the only number comparable to the reference's
+    * single-query chart. Bench summarizes this next to BASELINE's
+    * stream metric. */
+  def streamLatencyProbe(s: SparkSession, d: String,
+      rowsPerBatch: Int = 10, nBatches: Int = 100): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = tmp("graft_lat_src_")
+    // one staging job: the oldest nBatches·rowsPerBatch events hashed
+    // into nBatches files (batch composition is irrelevant to latency;
+    // only the ~rows-per-trigger grain needs to match the reference)
+    s.read.schema(Tables.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .orderBy(col("ts")).limit(rowsPerBatch * nBatches)
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val lst = new GraftQueryListener()
+    s.streams.addListener(lst)
+    try {
+      val sinkDir = tmp("graft_lat_sink_")
+      val runId = withStreamShuffle(s) {
+        val q = Tables.eventsTsFix(
+            s.readStream.schema(Tables.eventsRawSchema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", tmp("graft_ckpt_"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sources.Sinks.parquetAppend(batch, sinkDir)
+            // the reference's per-batch predict: ORDER BY ts DESC LIMIT 5,
+            // driver-side collect, one forward pass (stream_consumer.py:51,75)
+            val last5 = batch.orderBy(col("ts").desc).limit(5)
+              .collect().map(_.getAs[Double]("value")).reverse
+            if (last5.length == 5) { Predict.LinearPredictor.predict(last5.toSeq); () }
+          }
+          .start()
+        q.awaitTermination()
+        q.runId.toString
+      }
+      require(lst.awaitTerminated(runId),
+        s"listener terminated event for latency probe $runId not received in time")
+      lst.metricsDf(s, runId)
+    } finally s.streams.removeListener(lst)
+  }
+
   /** Stateful streaming (T5 extension, explicitly beyond parity — the
     * reference is stateless per batch): carry the last-k prices per
     * series across micro-batches with flatMapGroupsWithState so every
@@ -623,24 +845,28 @@ object Pipeline {
     * global event-time last-k — so the last emission per series equals
     * the batch last-k prediction, which is what gives
     * [[statefulFinal]] its DuckDB oracle. */
-  /** The drained sink is cached per (corpus, k) per JVM: the drain is a
-    * build-once artifact consumed by BOTH q_stateful_predict and
+  /** The drained sink is shared by BOTH q_stateful_predict and
     * q_stateful_final (which only post-processes the same emission
-    * log), exactly like the dedup pair index — draining the identical
-    * stream twice would be pure duplicated micro-batch machinery. The
-    * first build's cost stays visible in the bench "cold" figures. */
+    * log): at the default k it rides the drain group; other k values
+    * drain standalone through the per-(corpus, k) cache. */
+  val DefaultLastK = 5
   private val statefulCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
-  def statefulPredictions(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val sinkDir = statefulCache.computeIfAbsent((d, k), { _ =>
-      statefulDrain(s, d, k)
-    })
+  def statefulPredictions(s: SparkSession, d: String, k: Int = DefaultLastK): DataFrame = {
+    val sinkDir =
+      if (k == DefaultLastK) drainGroup(s, d)("stateful")
+      else statefulCache.computeIfAbsent((d, k), _ =>
+        withStreamShuffle(s) {
+          val (sink, q) = launchStateful(s, d, k)
+          q.awaitTermination()
+          sink
+        })
     s.read.parquet(sinkDir)
       .orderBy(col("event_type"), col("batch_id"))
   }
 
-  private def statefulDrain(s: SparkSession, d: String, k: Int): String = {
+  private def launchStateful(s: SparkSession, d: String, k: Int): (String, StreamingQuery) = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sinkDir = tmp("graft_stsink_")
@@ -662,25 +888,22 @@ object Pipeline {
         Iterator((key, Predict.LinearPredictor.predict(hist.map(_._3)), hist.size))
       else Iterator.empty
     }
-    withStreamShuffle(s) {
-      val q = src.groupByKey(_.event_type)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-        .toDF("event_type", "predicted", "n_obs")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", tmp("graft_ckpt_"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          // executor-side sink, same pattern as every other drain here;
-          // the batch id rides along so the FINAL emission per series
-          // is identifiable from the sink (statefulFinal)
-          graft.sources.Sinks.parquetAppend(
-            batch.withColumn("batch_id", lit(bid)), sinkDir)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
-    sinkDir
+    val q = src.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("event_type", "predicted", "n_obs")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // executor-side sink, same pattern as every other drain here;
+        // the batch id rides along so the FINAL emission per series
+        // is identifiable from the sink (statefulFinal)
+        graft.sources.Sinks.parquetAppend(
+          batch.withColumn("batch_id", lit(bid)), sinkDir)
+        ()
+      }
+      .start()
+    (sinkDir, q)
   }
 
   /** The stateful drain's FINAL prediction per series: the emission from
@@ -690,7 +913,7 @@ object Pipeline {
     * so for series with ≥k observations it equals the BATCH last-k
     * prediction exactly, and the whole stateful path gets a DuckDB
     * oracle (stream==batch parity as a hash row, not just a spec). */
-  def statefulFinal(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def statefulFinal(s: SparkSession, d: String, k: Int = DefaultLastK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = statefulPredictions(s, d, k)
     val w = Window.partitionBy(col("event_type")).orderBy(col("batch_id").desc)

@@ -101,13 +101,31 @@ class StreamingSpec extends SparkSpec {
     assert(sm.getAs[Long]("total_rows") == Tables.events(spark, sf).count())
   }
 
+  test("every consolidated drain runs genuinely multi-batch (≥2 micro-batches)") {
+    // the concurrent drain group must not quietly degenerate any
+    // cross-batch test into a one-batch run: the shared listener's
+    // per-run progress counts prove each member drained ≥2 micro-batches
+    val counts = graft.streaming.Pipeline.groupBatchCounts(spark, sf)
+    assert(counts.size == 12, s"expected 12 group drains, got ${counts.keys.toSeq.sorted}")
+    counts.foreach { case (name, c) =>
+      assert(c >= 2L, s"drain '$name' ran only $c micro-batch(es)")
+    }
+    // the canonical 1-file-per-trigger drains stay at the full 4 data
+    // batches (stateful update-mode drains may add a trailing no-data
+    // finalization batch)
+    assert(counts("metrics") == 4L && counts("event_window") >= 4L)
+  }
+
   test("console metrics echo emits one line per micro-batch (S6)") {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val lst = new graft.streaming.GraftQueryListener(echo = true,
       echoSink = s => lines.synchronized { lines += s; () })
     spark.streams.addListener(lst)
     try {
-      graft.streaming.Pipeline.streamWithMetrics(spark, sf).collect()
+      // the solo drain: the group-cached metrics path reruns no stream
+      // once the group has drained, so the echo listener needs a query
+      // that actually fires micro-batches on this session now
+      graft.streaming.Pipeline.standaloneMetricsDrain(spark, sf).collect()
       val deadline = System.nanoTime() + 15e9.toLong
       while (lines.synchronized(lines.size) < 4 && System.nanoTime() < deadline)
         Thread.sleep(20)

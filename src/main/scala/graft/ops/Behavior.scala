@@ -178,81 +178,167 @@ object Behavior {
     *      the fallback threshold is scoped up to cover the per-task
     *      user cardinality (state stays ≤ ~150 B/user; size the
     *      threshold to executor memory at larger |users|/partition).
-    * Regime honesty: all-pairs is Θ(|users|²) — right when density ≈ 1
-    * (enumeration ≈ output) as here; under SPARSE co-activity the
-    * day-keyed join ([[coPurchasePairCounts]], output-sensitive) wins,
-    * and both produce identical counts, so swapping is a pure planner
-    * choice. A corpus with per-user active days approaching the span
-    * (dense sets) would flip step 2 to span/64-word bitmaps with an
-    * AND+popcount scorer. Checkpointed per (corpus, k) — the kNN edge
-    * set IS the graph index; Bench's cold column attributes the
+    * Regime choice — a PLANNER DECISION, made from two cheap stats over
+    * the per-(user, day) activity set before any pair materializes:
+    * the day-keyed join enumerates exactly Σ_day |active(day)|² rows
+    * (output-sensitive — each co-active pair once per common day),
+    * while block all-pairs scores exactly |users|² pairs; whichever
+    * bound is smaller names the cheaper plan, so the dispatch is
+    * `Σcnt² < |users|²` ([[ActivityStats.sparse]]). On this corpus
+    * (~98% pair density, ~6 common days/pair) all-pairs wins ~6×; a
+    * sparse corpus (users active on mostly-disjoint days) flips the
+    * inequality and takes the day-keyed join. Both paths feed the same
+    * top-k, produce identical counts (spec-asserted on both a dense
+    * and a sparse fixture), and the choice costs two metadata
+    * aggregates. A corpus with per-user active days approaching the
+    * span (dense sets) would further flip the scorer to span/64-word
+    * bitmaps with AND+popcount. Checkpointed per (corpus, k) — the kNN
+    * edge set IS the graph index; Bench's cold column attributes the
     * build. */
   private val knnEdgesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
 
   def coPurchaseKnnEdges(s: SparkSession, d: String, k: Int = 3): DataFrame =
     knnEdgesCache.computeIfAbsent((d, k), _ => {
-      graft.functions.Native.register(s)
       val pd = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .distinct()
-      // day-index base: one tiny metadata action (Chunked-style)
-      val minDay = pd.agg(min(col("day"))).head().getTimestamp(0)
-      val di = datediff(col("day"), lit(new java.sql.Date(minDay.getTime)))
-        .cast(LongType)
-      // fallback threshold scoped up so BOTH object aggregates here
-      // (collect_set day sets, TopKByAgg) stay HASH-based — their
-      // per-key state is bounded, only the default 128-key cutoff
-      // would push them into a sort of the full input
-      graft.Tuning.withConf(s,
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString) {
-        val daySets = pd
-          .groupBy(col("user_id"))
-          .agg(sort_array(collect_set(di)).as("ds"))
-          .localCheckpoint(true)
-        // BLOCK-PAIR all-pairs enumeration: a raw theta self-join would
-        // plan as BroadcastNestedLoopJoin — interpreted, row-at-a-time,
-        // ~0.5M pairs/s. Decomposing into B(B+1)/2 block combos turns it
-        // into two BROADCAST HASH equi-joins that whole-stage-codegen
-        // fuses with the intersection scoring (measured ~20x faster).
-        // Each unordered user pair lands in exactly one (i ≤ j) block
-        // combo; same-block combos additionally order by id to kill
-        // self/dup pairs. The i-side fan-out is ≤ B rows per user —
-        // bounded, even, and independent of any hub structure.
-        val B = 32
-        import s.implicits._
-        val bp = (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("i", "j")
-        val a = daySets.select(col("user_id").as("u_a"), col("ds").as("dsa"))
-          .withColumn("i", pmod(col("u_a"), lit(B.toLong)).cast(IntegerType))
-        val b = daySets.select(col("user_id").as("u_b"), col("ds").as("dsb"))
-          .withColumn("j", pmod(col("u_b"), lit(B.toLong)).cast(IntegerType))
-        val common =
-          graft.functions.Native.sortedIntersectCount(col("dsa"), col("dsb"))
-        val pairs = a.join(broadcast(bp), Seq("i"))
-          .join(broadcast(b), Seq("j"))
-          .filter(col("i") < col("j") || col("u_a") < col("u_b"))
-          .select(least(col("u_a"), col("u_b")).as("u_a"),
-            greatest(col("u_a"), col("u_b")).as("u_b"), common.as("n_days"))
-          .filter(col("n_days") >= 1L)
-        val sym = pairs.select(explode(array(
-            struct(col("u_a").as("u"), col("u_b").as("v"), col("n_days")),
-            struct(col("u_b").as("u"), col("u_a").as("v"), col("n_days"))))
-            .as("p"))
-          .select(col("p.u"), col("p.v"), col("p.n_days"))
-        // bounded top-k aggregate (see scaladoc step 3) — ids are
-        // nonnegative, so the -v tiebreak column cannot overflow
-        sym.groupBy(col("u"))
-          .agg(graft.functions.Native.topKBy(col("n_days"), -col("v"),
-            col("v").cast(DoubleType), k).as("picks"))
-          .select(col("u"), explode(col("picks")).as("pv"))
-          .select(least(col("u"), col("pv").cast(LongType)).as("ua"),
-            greatest(col("u"), col("pv").cast(LongType)).as("ub"))
-          .distinct()
-          .localCheckpoint(true)
-      }
+      knnEdgesFromActivity(s, pd, k)
     })
+
+  /** The two regime stats plus the day-index base, one pass each over
+    * the (user, day) activity set — tiny metadata actions against a
+    * build-once index construction. */
+  private[graft] case class ActivityStats(minDay: java.sql.Timestamp,
+      nUsers: Long, dayPairRows: Long, activityRows: Long) {
+    /** Day-keyed enumeration (Σ_day cnt² rows) beats |users|² scored
+      * pairs ⇒ the output-sensitive sparse plan wins. */
+    def sparse: Boolean = dayPairRows.toDouble < nUsers.toDouble * nUsers.toDouble
+  }
+
+  private[graft] def activityStats(pd: DataFrame): ActivityStats = {
+    val st = pd.agg(min(col("day")).as("mn"),
+      countDistinct(col("user_id")).as("nu")).head()
+    val dc = pd.groupBy(col("day")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("ss"), sum(col("c")).as("nrows")).head()
+    ActivityStats(st.getTimestamp(0), st.getLong(1), dc.getLong(0), dc.getLong(1))
+  }
+
+  /** Blocks DERIVED from |users|, not hardcoded: B = ⌈users / 256⌉
+    * bounds per-task work at ~(users/B)² ≈ 256² ≈ 65k intersections per
+    * block combo at ANY corpus scale, so the task count — not the task
+    * size — absorbs growth (the correct shape for quadratic total
+    * work). Clamped to [4, 256]: the floor keeps ≥10 combos of
+    * parallelism on small corpora, the ceiling bounds the i-side
+    * fan-out (≤B rows per user) and the B(B+1)/2-row combo table
+    * (≤33k rows broadcast). Edge content is B-invariant — every
+    * unordered pair lands in exactly one (i ≤ j) combo for ANY B —
+    * which the spec pins by hashing the edge set at two block
+    * counts. */
+  private[graft] val BlockTargetUsers = 256L
+
+  private[graft] def knnBlockCount(nUsers: Long): Int =
+    math.max(4L, math.min(256L,
+      (nUsers + BlockTargetUsers - 1) / BlockTargetUsers)).toInt
+
+  /** Broadcast budget for the dense path's day-set table: past this the
+    * block join plans as a regular exchange hashed on the block id
+    * (build side bounded at ~users/B rows per partition) instead of a
+    * driver-side broadcast that would OOM first. */
+  private[graft] val KnnBroadcastBudgetBytes = 128L * 1024 * 1024
+
+  private[graft] def knnEdgesFromActivity(s: SparkSession, pd: DataFrame,
+      k: Int, forceDense: Option[Boolean] = None,
+      forceBlocks: Option[Int] = None): DataFrame = {
+    graft.functions.Native.register(s)
+    val stats = activityStats(pd)
+    // fallback threshold scoped up so BOTH object aggregates here
+    // (collect_set day sets, TopKByAgg) stay HASH-based — their
+    // per-key state is bounded, only the default 128-key cutoff
+    // would push them into a sort of the full input
+    graft.Tuning.withConf(s,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString) {
+      val dense = forceDense.getOrElse(!stats.sparse)
+      val pairs =
+        if (dense)
+          densePairs(s, pd, stats,
+            forceBlocks.getOrElse(knnBlockCount(stats.nUsers)))
+        else sparsePairs(pd)
+      knnFromPairs(pairs, k)
+    }
+  }
+
+  /** SPARSE regime: the output-sensitive day-keyed self-join — the same
+    * plan as [[coPurchasePairCounts]] (bucketable on (day, bucket) at
+    * scale), chosen when Σ_day cnt² < |users|². */
+  private def sparsePairs(pd: DataFrame): DataFrame =
+    pd.select(col("day"), col("user_id").as("ua"))
+      .join(pd.select(col("day"), col("user_id").as("ub")), Seq("day"))
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("n_days"))
+
+  /** DENSE regime: block-pair all-pairs enumeration. A raw theta
+    * self-join would plan as BroadcastNestedLoopJoin — interpreted,
+    * row-at-a-time, ~0.5M pairs/s. Decomposing into B(B+1)/2 block
+    * combos turns it into two HASH equi-joins that whole-stage-codegen
+    * fuses with the intersection scoring (measured ~20x faster). Each
+    * unordered user pair lands in exactly one (i ≤ j) block combo;
+    * same-block combos additionally order by id to kill self/dup
+    * pairs. The i-side fan-out is ≤ B rows per user — bounded, even,
+    * and independent of any hub structure. */
+  private def densePairs(s: SparkSession, pd: DataFrame,
+      stats: ActivityStats, blocks: Int): DataFrame = {
+    import s.implicits._
+    val B = blocks
+    val di = datediff(col("day"),
+      lit(new java.sql.Date(stats.minDay.getTime))).cast(LongType)
+    val daySets = pd
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(di)).as("ds"))
+      .localCheckpoint(true)
+    val bp = (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("i", "j")
+    val a = daySets.select(col("user_id").as("u_a"), col("ds").as("dsa"))
+      .withColumn("i", pmod(col("u_a"), lit(B.toLong)).cast(IntegerType))
+    val b = daySets.select(col("user_id").as("u_b"), col("ds").as("dsb"))
+      .withColumn("j", pmod(col("u_b"), lit(B.toLong)).cast(IntegerType))
+    // ~8 B per stored day index + ~32 B row overhead per user: under
+    // the budget the day-set table broadcasts; past it the join runs
+    // as an exchange on the block id (see KnnBroadcastBudgetBytes)
+    val estBytes = stats.activityRows * 8L + stats.nUsers * 32L
+    val bSide = if (estBytes <= KnnBroadcastBudgetBytes) broadcast(b) else b
+    val common =
+      graft.functions.Native.sortedIntersectCount(col("dsa"), col("dsb"))
+    a.join(broadcast(bp), Seq("i"))
+      .join(bSide, Seq("j"))
+      .filter(col("i") < col("j") || col("u_a") < col("u_b"))
+      .select(least(col("u_a"), col("u_b")).as("ua"),
+        greatest(col("u_a"), col("u_b")).as("ub"), common.as("n_days"))
+      .filter(col("n_days") >= 1L)
+  }
+
+  /** Shared tail of both regimes: per-user top-k via the bounded
+    * [[graft.functions.TopKByAgg]] partial aggregate over the pair
+    * stream exploded both directions (see the scaladoc's step 3 — the
+    * pair stream never sorts and never crosses an exchange), then the
+    * undirected union of kept picks, checkpointed. Ids are
+    * nonnegative, so the -v tiebreak column cannot overflow. */
+  private def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val sym = pairs.select(explode(array(
+        struct(col("ua").as("u"), col("ub").as("v"), col("n_days")),
+        struct(col("ub").as("u"), col("ua").as("v"), col("n_days"))))
+        .as("p"))
+      .select(col("p.u"), col("p.v"), col("p.n_days"))
+    sym.groupBy(col("u"))
+      .agg(graft.functions.Native.topKBy(col("n_days"), -col("v"),
+        col("v").cast(DoubleType), k).as("picks"))
+      .select(col("u"), explode(col("picks")).as("pv"))
+      .select(least(col("u"), col("pv").cast(LongType)).as("ua"),
+        greatest(col("u"), col("pv").cast(LongType)).as("ub"))
+      .distinct()
+      .localCheckpoint(true)
+  }
 
   /** TRIANGLE enumeration over the co-purchase kNN graph,
     * DEGREE-ORDERED — the classic distributed triangle algorithm (MR

@@ -101,6 +101,60 @@ class BehaviorSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  // purchase activity of the sf fixture — the DENSE regime input
+  private def densePd = Tables.events(spark, sf)
+    .filter(col("event_type") === "purchase")
+    .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    .distinct()
+
+  // 40 users, user u active on days {u, u+1}: consecutive users share
+  // exactly one day, so pairs exist but Σ_day cnt² (≈ 4·41) is far
+  // under |users|² (1600) — the SPARSE regime input
+  private def sparsePd = {
+    import spark.implicits._
+    (0L until 40L).flatMap(u => Seq((u, u), (u, u + 1L)))
+      .toDF("user_id", "di")
+      .select(col("user_id"),
+        expr("timestamp'2020-01-01 00:00:00' + di * INTERVAL 1 DAY").as("day"))
+  }
+
+  test("kNN regime dispatch: dense fixture → all-pairs, disjoint-day fixture → day-keyed join") {
+    val dStats = ops.Behavior.activityStats(densePd)
+    assert(!dStats.sparse,
+      s"~98%-dense co-activity must pick all-pairs (Σcnt²=${dStats.dayPairRows} vs n²=${dStats.nUsers * dStats.nUsers})")
+    val sStats = ops.Behavior.activityStats(sparsePd)
+    assert(sStats.sparse,
+      s"near-disjoint activity must pick the day-keyed join (Σcnt²=${sStats.dayPairRows} vs n²=${sStats.nUsers * sStats.nUsers})")
+  }
+
+  test("dense and sparse kNN builders produce identical edge sets on both fixtures") {
+    for (pd <- Seq(densePd, sparsePd)) {
+      val viaDense = ops.Behavior.knnEdgesFromActivity(spark, pd, 3,
+        forceDense = Some(true)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaSparse = ops.Behavior.knnEdgesFromActivity(spark, pd, 3,
+        forceDense = Some(false)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDense == viaSparse && viaDense.nonEmpty,
+        "the regime swap must be a pure planner choice — identical counts, identical picks")
+    }
+  }
+
+  test("kNN edge set is invariant to the derived block count") {
+    val pd = densePd
+    val edges = Seq(4, 8).map { b =>
+      ops.Behavior.knnEdgesFromActivity(spark, pd, 3,
+        forceDense = Some(true), forceBlocks = Some(b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(edges(0) == edges(1) && edges(0).nonEmpty,
+      "every unordered pair lands in exactly one (i ≤ j) combo for ANY B")
+    // the derivation: ⌈users/256⌉ clamped to [4, 256]
+    assert(ops.Behavior.knnBlockCount(150L) == 4)
+    assert(ops.Behavior.knnBlockCount(15000L) == 59)
+    assert(ops.Behavior.knnBlockCount(10L * 1000 * 1000) == 256)
+  }
+
   test("degree-oriented triangles equal the naive enumeration and close on real edges") {
     val edges = ops.Behavior.coPurchaseKnnEdges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -109,6 +109,7 @@ object SparkEntry {
     // co-occurrence graph analytics
     "q_graph_triangles" -> ((s, d) => Behavior.coPurchaseTriangles(s, d)),
     "q_pagerank"        -> ((s, d) => Behavior.pageRank(s, d)),
+    "q_graph_components" -> ((s, d) => Behavior.coPurchaseComponents(s, d)),
     "q_transitions"     -> ((s, d) => Behavior.transitions(s, d)),
     "q_copurchase_pairs" -> ((s, d) =>
       Behavior.coPurchasePairCounts(s, d).orderBy("ua", "ub")),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_predict_windows" -> ((s, d) => Predict.predictAllWindowsBatched(s, d, 60)),
     "q_predict_gru"    -> ((s, d) =>
       Predict.predictAllWindowsBatched(s, d, 60, new Predict.GruPredictor())),
+    "q_predict_gru_check" -> ((s, d) => Checks.gruPredictCheck(s, d)),
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
@@ -449,6 +451,32 @@ object SparkEntry {
     // fixed-point PageRank: identical integer recurrence, iterations
     // unrolled as chained CTEs (generated — see pageRankOracleSql)
     "q_pagerank" -> pageRankOracleSql,
+    // connected components over the kNN graph: same edge derivation as
+    // the triangles oracle, then the recursive-CTE transitive closure
+    // proved for q_dedup_clusters (component = min reachable id)
+    "q_graph_components" ->
+      """WITH RECURSIVE pd AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                     FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_days
+               FROM pd a JOIN pd b ON a.d = b.d AND a.user_id < b.user_id
+               GROUP BY 1, 2),
+         sym AS (SELECT ua AS u, ub AS v, n_days FROM c
+                 UNION ALL SELECT ub, ua, n_days FROM c),
+         pick AS (SELECT u, v FROM (
+             SELECT u, v, row_number() OVER (PARTITION BY u
+               ORDER BY n_days DESC, v) AS rn FROM sym) t WHERE rn <= 3),
+         e AS (SELECT DISTINCT least(u, v) AS ua, greatest(u, v) AS ub FROM pick),
+         nodes AS (SELECT ua AS user_id FROM e UNION SELECT ub FROM e),
+         ed AS (SELECT ua AS src, ub AS dst FROM e UNION SELECT ub, ua FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM ed
+           UNION
+           SELECT r.src, x.dst FROM reach r JOIN ed x ON x.src = r.dst),
+         comp AS (SELECT n.user_id,
+                    least(n.user_id, coalesce(min(r.dst), n.user_id)) AS component
+                  FROM nodes n LEFT JOIN reach r ON r.src = n.user_id
+                  GROUP BY n.user_id)
+         SELECT user_id, component FROM comp ORDER BY user_id""",
     // Markov transition counts: user-keyed lead(), matrix count
     "q_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
@@ -1484,6 +1512,19 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_ann_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    // GRU companion: the exact row-identity projection (one row per
+    // complete 60-window) hash-checks value-for-value; the analytic
+    // output-range law |predicted/value - 1| <= Σ|wOut| (valid for ANY
+    // weights — GRU state is a convex combination of tanh outputs)
+    // surfaces as the boolean the oracle pins TRUE
+    "q_predict_gru_check" ->
+      """WITH t AS (SELECT event_id, event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+         FROM events)
+         SELECT count(*) AS n_rows, count(DISTINCT event_type) AS n_series,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           TRUE AS within_gru_bound
+         FROM t WHERE rn >= 60""",
     // n_true_pairs is recomputed INDEPENDENTLY by the oracle over all
     // pairs — agreeing to the last pair also cross-checks the two
     // engines' cosine folds at the threshold

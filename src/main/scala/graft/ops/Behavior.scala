@@ -432,6 +432,27 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** CONNECTED COMPONENTS over the co-purchase kNN graph — the
+    * community labeling that completes the graph family (edges →
+    * triangles → PageRank → components). Reuses [[Dedup.components]]:
+    * min-label propagation with pointer jumping, O(log diameter)
+    * rounds, each round an equi-join + aggregate over 16-byte
+    * (id, label) rows with convergence observed on the round's own
+    * checkpoint action — no extra count job. Node set = the edge
+    * endpoints (a user with no co-purchase partner has no kNN pick and
+    * no component row, in both engines). Labels are the component's
+    * minimum user id — exact, so the oracle is the same recursive-CTE
+    * transitive closure already proved for the dedup clusters. */
+  def coPurchaseComponents(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val edges = coPurchaseKnnEdges(s, d, k)
+    val nodes = edges.select(col("ua").as("doc_id"))
+      .union(edges.select(col("ub").as("doc_id"))).distinct()
+    Dedup.components(nodes,
+      edges.select(col("ua").as("id_a"), col("ub").as("id_b")))
+      .select(col("doc_id").as("user_id"), col("component"))
+      .orderBy(col("user_id"))
+  }
+
   /** Markov TRANSITION counts: for each user's event sequence (ordered
     * by time, event_id tiebreak), count (from_type → to_type) steps —
     * the path-analysis / next-action model build. One user-keyed window

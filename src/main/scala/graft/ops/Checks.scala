@@ -203,4 +203,42 @@ object Checks {
       .agg(
         sum(col("input_rows")).as("total_rows"),
         (count(lit(1)) >= 1).as("has_batches"))
+
+  /** GRU inference companion — the conserved projections of
+    * [[Predict.predictAllWindowsBatched]] with the GRU predictor, the
+    * last rows-only query without a hash gate. The predicted VALUES are
+    * a recurrent transcendental function (not SQL-expressible), but two
+    * contracts are:
+    *   1. ROW IDENTITY: the operator emits exactly one row per complete
+    *      60-window — the rows with per-series row_number ≥ 60 — so
+    *      count / series count / min / max event_id hash-check
+    *      value-for-value against the oracle's window derivation;
+    *   2. the OUTPUT-RANGE LAW: a GRU hidden state is a convex
+    *      combination of tanh outputs (h′ = (1−z)h + z·tanh(…),
+    *      z ∈ (0,1)), so ‖h‖∞ ≤ 1 by induction from h₀ = 0 and the
+    *      readout obeys |out| ≤ Σ|wOut| for ANY weights; with
+    *      predicted = base·(1 + out) and base = the window's last value
+    *      (the row's own event value), every finite row must satisfy
+    *      |predicted/value − 1| ≤ Σ|wOut| (zero base ⇒ predicted = 0
+    *      exactly). NaN/violations count into the boolean the oracle
+    *      pins TRUE. */
+  def gruPredictCheck(s: SparkSession, d: String): DataFrame = {
+    val predictor = new Predict.GruPredictor()
+    val bound = predictor.weights.wOut.map(math.abs).sum
+    val gru = Predict.predictAllWindowsBatched(s, d, 60, predictor)
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val bad = when(col("predicted").isNaN, 1L)
+      .when(col("value") === 0.0,
+        when(col("predicted") === 0.0, 0L).otherwise(1L))
+      .otherwise(
+        when(abs(col("predicted") / col("value") - 1.0) <= bound, 0L)
+          .otherwise(1L))
+    gru.join(ev, Seq("event_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type")).as("n_series"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        (sum(bad) === 0L).as("within_gru_bound"))
+  }
 }

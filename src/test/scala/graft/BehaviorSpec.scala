@@ -155,6 +155,27 @@ class BehaviorSpec extends SparkSpec {
     assert(ops.Behavior.knnBlockCount(10L * 1000 * 1000) == 256)
   }
 
+  test("kNN-graph components equal a plain-Scala union-find with min labels") {
+    val edges = ops.Behavior.coPurchaseKnnEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(u => u -> find(u)).toMap
+    val got = q("q_graph_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "min-label propagation must equal union-find")
+    // every label is its component's minimum member
+    got.groupBy(_._2).foreach { case (c, m) => assert(m.keys.min == c) }
+  }
+
   test("degree-oriented triangles equal the naive enumeration and close on real edges") {
     val edges = ops.Behavior.coPurchaseKnnEdges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

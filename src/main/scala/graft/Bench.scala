@@ -80,6 +80,9 @@ object Bench {
       // number measures the consolidated drain, never a stale parquet
       // read (the first streaming query of the iteration carries it)
       graft.streaming.Pipeline.resetDrains()
+      // same discipline for the shared GRU pass: one recurrence per
+      // iteration, carried by whichever of its two consumers runs first
+      graft.ops.Predict.resetGruDirs()
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()

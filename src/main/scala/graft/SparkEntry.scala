@@ -142,8 +142,7 @@ object SparkEntry {
     // spec-verified batch==row-at-a-time).
     "q_predict_next"   -> ((s, d) => Predict.predictNext(s, d, 5)),
     "q_predict_windows" -> ((s, d) => Predict.predictAllWindowsBatched(s, d, 60)),
-    "q_predict_gru"    -> ((s, d) =>
-      Predict.predictAllWindowsBatched(s, d, 60, new Predict.GruPredictor())),
+    "q_predict_gru"    -> ((s, d) => Predict.gruPredictions(s, d, 60)),
     "q_predict_gru_check" -> ((s, d) => Checks.gruPredictCheck(s, d)),
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),

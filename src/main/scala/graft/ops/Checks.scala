@@ -225,7 +225,9 @@ object Checks {
   def gruPredictCheck(s: SparkSession, d: String): DataFrame = {
     val predictor = new Predict.GruPredictor()
     val bound = predictor.weights.wOut.map(math.abs).sum
-    val gru = Predict.predictAllWindowsBatched(s, d, 60, predictor)
+    // the same cached pass q_predict_gru serves — the recurrence runs
+    // once per bench iteration, not once per consumer
+    val gru = Predict.gruPredictions(s, d, 60)
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
     val bad = when(col("predicted").isNaN, 1L)
       .when(col("value") === 0.0,

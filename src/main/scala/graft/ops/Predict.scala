@@ -203,6 +203,34 @@ object Predict {
       .orderBy(col("event_id"))
   }
 
+  private val gruDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** The GRU inference pass ([[predictAllWindowsBatched]] with the
+    * seeded [[GruPredictor]]) materialized ONCE per (corpus, window
+    * size) as a parquet dir and shared by `q_predict_gru` and its
+    * hash-gated companion (`Checks.gruPredictCheck`) — the same
+    * share-the-intermediate discipline as the stateful drain sink,
+    * which both `q_stateful_predict` and `q_stateful_final`
+    * post-process. Bench clears the cache each iteration
+    * ([[resetGruDirs]]), so every iteration — warm included — re-pays
+    * exactly ONE recurrence pass (carried by whichever consumer runs
+    * first), never zero and never one per consumer. */
+  def gruPredictionsDir(s: SparkSession, d: String, k: Int = 60): String =
+    gruDirCache.computeIfAbsent((d, k), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_gru_").toString
+      predictAllWindowsBatched(s, d, k, new GruPredictor())
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** `q_predict_gru`'s registered form: the cached pass, re-sorted on
+    * read (parquet does not preserve the operator's event_id order). */
+  def gruPredictions(s: SparkSession, d: String, k: Int = 60): DataFrame =
+    s.read.parquet(gruPredictionsDir(s, d, k)).orderBy(col("event_id"))
+
+  def resetGruDirs(): Unit = gruDirCache.clear()
+
   /** M1 — next-value prediction per series from the last k observations,
     * TWO-PHASE: the bounded [[graft.functions.TopKByAgg]] reduces each
     * map task to its k newest values (partial aggregation — k×partitions

@@ -342,6 +342,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 top-k retrieval (Okapi, k1 = 1.2, b = 0.75) for a fixed
+    * query-token set — the ranking stage of a retrieval/RAG pipeline,
+    * straight from the public Robertson–Walker formula. Scale shape:
+    * the exploded token stream is filtered to the tiny query
+    * vocabulary BEFORE any aggregation (an `isin` on the scan side; at
+    * 100 TB the block-sharded [[invertedPostings]] index serves the
+    * same candidate stream by (token, block) pruning instead of a
+    * corpus re-scan); tf and df aggregate map-side combined over
+    * output-sensitive keys (only docs containing a query token ever
+    * shuffle, as slim (doc_id, token, count) rows); per-doc length is
+    * a scan-side expression (no shuffle to compute); and the two
+    * corpus constants (N, Σdl) are ONE aggregate row cross-joined as a
+    * broadcast. The floating-point trap of distributed BM25 is the
+    * per-doc score SUM — double addition is partition-order-dependent
+    * — so each per-term score is cast to DECIMAL(18,8) FIRST and the
+    * decimals are summed: bit-identical under any partitioning, which
+    * is what lets a floating-point ranking function carry a
+    * value-exact DuckDB oracle. Final top-k is TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. */
+  def bm25TopK(s: SparkSession, d: String,
+      queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
+      k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(filter(tokens(col("text")), t => length(t) > 0))
+        .cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0 && col("token").isin(queryTokens: _*))
+    val dfTok = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tscore = (idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .cast(DecimalType(18, 8))
+    tf.join(broadcast(dfTok), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), tscore.as("tscore"))
+      .groupBy(col("doc_id"))
+      // decimal-exact sum, surfaced as the nearest double (the repo's
+      // oracle-parity discipline: both engines quantize identically,
+      // then emit identical float64)
+      .agg(sum(col("tscore")).cast(DecimalType(18, 8))
+        .cast(DoubleType).as("score"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Block-sharded INVERTED INDEX build: token → sorted posting list of
     * (doc_id:position), sharded by document block (doc_id div
     * blockSize) — the Lucene-segment shape. The shard key is the

@@ -46,6 +46,35 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bm25 top-k equals a plain-Scala recompute, term-quantized") {
+    val qtoks = Seq("vector", "hash", "dup")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq)
+    val nDocs = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs
+    val df = qtoks.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def q8(x: Double) = new java.math.BigDecimal(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val terms = qtoks.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+          Some(q8(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+        }
+      }
+      if (terms.isEmpty) None
+      else Some((id, terms.reduce(_ add _).setScale(8, java.math.RoundingMode.HALF_UP)
+        .doubleValue(), terms.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(10).toSeq
+    val got = q("q_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("fingerprint is stable under whitespace and case noise") {
     val fp1 = q("q_text_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // perturb: uppercase + extra spaces must hash identically

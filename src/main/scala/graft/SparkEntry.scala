@@ -104,6 +104,7 @@ object SparkEntry {
     "q_compact"        -> ((s, d) => Maintain.compactedEvents(s, d)),
     // weight-proportional sampling, groupwise skyline, CSV quarantine source
     "q_sample_weighted" -> ((s, d) => Relational.weightedSample(s, d)),
+    "q_negative_sample" -> ((s, d) => Relational.negativeSample(s, d)),
     "q_skyline"        -> ((s, d) => Relational.skylineByBrand(s, d)),
     "q_source_csv"     -> ((s, d) => Relational.csvSourceSummary(s, d)),
     // co-occurrence graph analytics
@@ -619,6 +620,32 @@ object SparkEntry {
          WHERE (h.hu >> 32) * CAST(km.k_max AS HUGEINT) * 2
              < CAST(h.k AS HUGEINT) * 4294967296
          ORDER BY event_id""",
+    // negative sampling: hash-generated candidate parts (same HUGEINT
+    // mirror of graft_rolling_hash as q_sample_weighted), dedup per
+    // (customer, part) on min slot, anti-join observed pairs, k by slot
+    "q_negative_sample" ->
+      """WITH np AS (SELECT count(*) AS n_parts FROM part),
+         slots AS (SELECT c_custkey, unnest(generate_series(0, 9)) AS slot FROM customer),
+         h AS (SELECT c_custkey, slot,
+            list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(generate_series(1, length(str)), i -> ascii(str[i]))),
+              (a, b) -> (a * 1000003 + b) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+           FROM (SELECT c_custkey, slot,
+                   'negs#' || CAST(c_custkey AS VARCHAR) || '#' || CAST(slot AS VARCHAR) || '#v1' AS str
+                 FROM slots)),
+         cand AS (SELECT c_custkey, CAST((hu >> 32) % n_parts AS BIGINT) AS p_partkey,
+                    min(slot) AS slot
+                  FROM h CROSS JOIN np GROUP BY 1, 2),
+         obs AS (SELECT DISTINCT o.o_custkey, l.l_partkey
+                 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         neg AS (SELECT c.c_custkey, c.p_partkey, c.slot FROM cand c
+                 WHERE NOT EXISTS (SELECT 1 FROM obs
+                   WHERE obs.o_custkey = c.c_custkey AND obs.l_partkey = c.p_partkey)),
+         r AS (SELECT c_custkey, p_partkey,
+                 row_number() OVER (PARTITION BY c_custkey ORDER BY slot) AS rnk
+               FROM neg)
+         SELECT c_custkey, CAST(rnk AS BIGINT) AS rnk, p_partkey
+         FROM r WHERE rnk <= 5 ORDER BY c_custkey, rnk""",
     // groupwise skyline: the quadratic dominance NOT EXISTS is the
     // semantics; the Spark plan is the O(n log n) running-max form
     "q_skyline" ->

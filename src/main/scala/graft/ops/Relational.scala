@@ -237,6 +237,64 @@ object Relational {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** NEGATIVE SAMPLING for training-pair assembly: for every customer,
+    * up to k parts they have NEVER ordered — the standard negatives
+    * generator of recommendation / contrastive training data. The naive
+    * formulation is `customer × part ANTI JOIN observed` — a cartesian
+    * the planner must never see. This plan is candidate-generative and
+    * coordination-free:
+    *   1. each customer expands to `slots` candidate part ids via the
+    *      deterministic content hash (same `rollingHash` discipline as
+    *      [[stratifiedSample]]/[[weightedSample]] — any worker derives
+    *      the same candidates from the key alone; no RNG state, and the
+    *      uniform hash means NO hot part key);
+    *   2. candidates dedupe per (customer, part) keeping the smallest
+    *      slot (map-side combined — O(customers·slots) slim rows);
+    *   3. one LEFT ANTI equi-join against the distinct observed
+    *      (custkey, partkey) pairs — ids only ever shuffle, and the
+    *      observed-pairs distinct is itself partial-aggregated;
+    *   4. rank by slot within customer (≤ slots rows per group — the
+    *      window is bounded by construction) and keep k.
+    * Yield contract: a candidate colliding with an observed pair or a
+    * duplicate slot is dropped, so `slots − k` is the slack; with
+    * uniform candidates the miss rate is |observed per customer| /
+    * |parts|, so slots = 2k holds k output rows per customer unless a
+    * customer has ordered a large fraction of the whole catalog (at
+    * which point negatives are scarce by definition, and the operator
+    * honestly emits fewer). Deterministic end-to-end → value-exact
+    * DuckDB oracle. */
+  def negativeSample(s: SparkSession, d: String, k: Int = 5,
+      slots: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.Native.register(s)
+    val nParts = Tables.part(s, d).agg(count(lit(1)).as("n_parts"))
+    val cand = Tables.customer(s, d).select(col("c_custkey"))
+      .select(col("c_custkey"), explode(sequence(lit(0), lit(slots - 1))).as("slot"))
+      .crossJoin(broadcast(nParts))
+      .select(col("c_custkey"), col("slot"),
+        // part keys are dense 0..n_parts-1 in the fixture, so the
+        // hash maps straight onto the catalog
+        pmod(shiftrightunsigned(
+          graft.functions.Native.rollingHash(
+            concat(lit("negs#"), col("c_custkey").cast(StringType), lit("#"),
+              col("slot").cast(StringType), lit("#v1"))), 32),
+          col("n_parts")).as("p_partkey"))
+      .groupBy(col("c_custkey"), col("p_partkey"))
+      .agg(min(col("slot")).as("slot"))
+    val observed = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("p_partkey"))
+      .distinct()
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("slot"))
+    cand.join(observed, Seq("c_custkey", "p_partkey"), "left_anti")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("c_custkey"), col("rnk"), col("p_partkey"))
+      .orderBy(col("c_custkey"), col("rnk"))
+  }
+
   /** DISTINCT (SURVEY A6). Partial (map-side) distinct then shuffle on the
     * group key — scales as the number of distinct pairs, not input rows. */
   def distinctPairs(s: SparkSession, d: String): DataFrame =

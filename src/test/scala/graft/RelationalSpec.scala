@@ -372,6 +372,35 @@ class RelationalSpec extends SparkSpec {
       s"failing checks: ${rows.filterNot(_._2._2).keys}")
   }
 
+  test("negative sample equals a plain-Scala recompute and never emits an observed pair") {
+    def rollHash(str: String): Long = {
+      var h = 0L
+      str.getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xFF))
+      h
+    }
+    val nParts = Tables.part(spark, sf).count()
+    val custs = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).sorted
+    val observed = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = custs.flatMap { c =>
+      val cand = (0 until 10)
+        .map(slot => slot -> java.lang.Long.remainderUnsigned(
+          rollHash(s"negs#$c#$slot#v1") >>> 32, nParts))
+        .groupBy(_._2).map { case (p, ss) => (ss.map(_._1).min, p) }.toSeq
+        .filter { case (_, p) => !observed((c, p)) }
+        .sortBy(_._1).take(5)
+      cand.zipWithIndex.map { case ((_, p), i) => (c, (i + 1).toLong, p) }
+    }.toSeq
+    val got = q("q_negative_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    got.foreach { case (c, _, p) => assert(!observed((c, p))) }
+  }
+
   test("csv source quarantines exactly the corrupted slice") {
     val raw = ops.Relational.csvEventsRaw(spark, sf).cache()
     try {

@@ -176,7 +176,19 @@ object Predict {
     * (`stream_consumer.py:43-45` loads the model once per process);
     * `prepare()` fires once per partition. */
   def predictAllWindowsBatched(s: SparkSession, d: String, k: Int = 60,
-      predictor: Predictor = LinearPredictor, batchSize: Int = 1024): DataFrame = {
+      predictor: Predictor = LinearPredictor, batchSize: Int = 1024): DataFrame =
+    predictAllWindowsBatchedRaw(s, d, k, predictor, batchSize)
+      .orderBy(col("event_id"))
+
+  /** [[predictAllWindowsBatched]] WITHOUT the final global sort. The
+    * sort exists for the presented result; a caller that materializes
+    * to parquet must not pay it — a global orderBy range-partitions,
+    * and range partitioning SAMPLES its child, which would execute the
+    * whole inference pipeline twice (measured: the sorted write cost
+    * ~2× the pass; under a bare count() the optimizer eliminates the
+    * sort, which is why the query form never showed it). */
+  private def predictAllWindowsBatchedRaw(s: SparkSession, d: String, k: Int,
+      predictor: Predictor, batchSize: Int): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(predictor)
     // windows materialize through Chunked.frames (overlapped time-chunk
@@ -200,7 +212,6 @@ object Predict {
         }
       }
     }.toDF("event_id", "event_type", "predicted")
-      .orderBy(col("event_id"))
   }
 
   private val gruDirCache =
@@ -219,7 +230,7 @@ object Predict {
   def gruPredictionsDir(s: SparkSession, d: String, k: Int = 60): String =
     gruDirCache.computeIfAbsent((d, k), { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_gru_").toString
-      predictAllWindowsBatched(s, d, k, new GruPredictor())
+      predictAllWindowsBatchedRaw(s, d, k, new GruPredictor(), 1024)
         .write.mode("overwrite").parquet(out)
       out
     })

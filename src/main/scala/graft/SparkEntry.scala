@@ -107,6 +107,7 @@ object SparkEntry {
     "q_negative_sample" -> ((s, d) => Relational.negativeSample(s, d)),
     "q_skyline"        -> ((s, d) => Relational.skylineByBrand(s, d)),
     "q_source_csv"     -> ((s, d) => Relational.csvSourceSummary(s, d)),
+    "q_source_orc"     -> ((s, d) => Relational.orcSourceSummary(s, d)),
     // co-occurrence graph analytics
     "q_graph_triangles" -> ((s, d) => Behavior.coPurchaseTriangles(s, d)),
     "q_pagerank"        -> ((s, d) => Behavior.pageRank(s, d)),
@@ -186,6 +187,8 @@ object SparkEntry {
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
     "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
+    "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape).
     // The registered query emits SCALAR feature columns (declarative,
     // oracle-hashable); the array-returning batched-decode path
@@ -664,6 +667,14 @@ object SparkEntry {
           ${dsum("value")} AS total
           FROM events WHERE event_id % 97 <> 0
           GROUP BY event_type ORDER BY event_type""",
+    // ORC round-trips every column bit-exactly (binary encoding, no text
+    // conversion), so the oracle is the same aggregate straight off the
+    // parquet source table
+    "q_source_orc" ->
+      s"""SELECT event_type, count(*) AS n,
+          min(event_id) AS min_id, max(event_id) AS max_id,
+          ${dsum("value")} AS total
+          FROM events GROUP BY event_type ORDER BY event_type""",
     // SCD type-2 from the change log: consecutive-repeat collapse, then
     // lead() closes each validity interval (NULL = current)
     "q_scd2" ->
@@ -1675,6 +1686,49 @@ object SparkEntry {
               * sqrt(list_sum(list_transform(generate_series(1, len(eb.embedding)), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
            FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)
          SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // INT8 quantization is exact end to end: float→double cast,
+    // division, HALF_UP round (DuckDB rounds half away from zero, same
+    // as Spark's BigDecimal HALF_UP on doubles), and long arithmetic
+    // all evaluate identically in both engines
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         s AS (SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+         q AS (SELECT vec_id, emb, scale,
+               CASE WHEN scale = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(emb, x -> CAST(round(x / scale) AS BIGINT)) END AS qv
+               FROM s)
+         SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min, list_max(qv) AS q_max,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_max(list_transform(generate_series(1, len(emb)),
+                       i -> abs(emb[i] - CAST(qv[i] AS DOUBLE) * scale))) END AS max_err
+         FROM q ORDER BY vec_id""",
+    // same cosine fold as q_ann_bruteforce; rank cut (cos DESC, n_id)
+    // mirrors the TopKByAgg ordering key, vote tie-break (votes DESC,
+    // label ASC) mirrors the max_by struct
+    "q_knn_classify" ->
+      """WITH l AS (SELECT vec_id AS n_id, embedding AS n_emb, label AS n_label
+                    FROM embeddings WHERE vec_id % 5 <> 0),
+         q AS (SELECT vec_id, embedding AS q_emb, label AS true_label
+               FROM embeddings WHERE vec_id % 5 = 0),
+         scored AS (SELECT q.vec_id, q.true_label, l.n_id, l.n_label,
+           list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(l.n_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(l.n_emb)), i -> CAST(l.n_emb[i] AS DOUBLE) * CAST(l.n_emb[i] AS DOUBLE))))) AS cos
+           FROM q, l),
+         top AS (SELECT vec_id, true_label, n_label,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id) AS rnk
+                 FROM scored),
+         votes AS (SELECT vec_id, true_label, n_label AS lab, count(*) AS votes
+                   FROM top WHERE rnk <= 10 GROUP BY 1, 2, 3),
+         pick AS (SELECT vec_id, true_label, lab, votes,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, lab) AS pr
+                  FROM votes)
+         SELECT vec_id, CAST(lab AS BIGINT) AS pred_label,
+           CAST(true_label AS BIGINT) AS true_label, votes
+         FROM pick WHERE pr = 1 ORDER BY vec_id""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.q_id, e.vec_id AS n_id,

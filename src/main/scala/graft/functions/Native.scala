@@ -177,6 +177,35 @@ case class XorFoldBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Order-preserving double→long transform: for finite doubles a < b
+  * iff sortable(a) < sortable(b) as SIGNED longs (the classic IEEE-754
+  * bits trick: flip the low 63 bits of negatives so the negative range
+  * sorts ascending instead of descending). Lets long-keyed machinery —
+  * [[TopKByAgg]] in particular — rank by a double score (cosine
+  * similarity) without a double-keyed buffer variant. Total-order edge
+  * cases follow `java.lang.Double.compare` (-0.0 < 0.0, NaN above all),
+  * which is also Spark SQL's double sort order. */
+case class DoubleSortableLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(d: Any): Any = {
+    val bits = java.lang.Double.doubleToLongBits(d.asInstanceOf[Double])
+    bits ^ ((bits >> 63) & Long.MaxValue)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val bits = ctx.freshName("bits")
+      s"""
+         |long $bits = Double.doubleToLongBits($d);
+         |${ev.value} = $bits ^ (($bits >> 63) & Long.MAX_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): DoubleSortableLong =
+    copy(child = c)
+}
+
 /** Session registration for the native expressions, plus a
   * SparkSessionExtensions hook for production use via
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -186,6 +215,7 @@ object Native {
     "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
+    "graft_sortable_double" -> (exprs => DoubleSortableLong(exprs.head)),
     // aggregates: the analyzer wraps the AggregateFunction itself
     "graft_minhash" -> (exprs => MinHashAgg(exprs.head, 64)),
     "graft_topk_by" -> (exprs => TopKByAgg(exprs(0), exprs(1), exprs(2),
@@ -211,6 +241,10 @@ object Native {
 
   /** 64-slot MinHash signature aggregate over a base-hash column. */
   def minhash(c: Column): Column = call_function("graft_minhash", c)
+
+  /** Signed-long key with the same total order as the double input. */
+  def sortableDouble(c: Column): Column =
+    call_function("graft_sortable_double", c)
 
   /** Values of the k rows with the largest (ord1, ord2), newest-first.
     * ord1/ord2 must be long-backed (long or timestamp); k a literal. */

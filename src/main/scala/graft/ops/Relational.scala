@@ -459,4 +459,36 @@ object Relational {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
         Aggregates.dsum(col("value")).as("total"))
       .orderBy(col("event_type"))
+
+  /** ORC SOURCE round-trip: the events table staged once as ORC files,
+    * read back through Spark's native vectorized ORC reader, then
+    * aggregated. ORC is the second columnar interchange format a lake
+    * engine must speak (Hive-era tables are ORC); unlike the CSV path
+    * there is no text conversion anywhere — longs, timestamps, and
+    * doubles round-trip bit-exactly through ORC's binary encoding, so
+    * the summary hashes identically to the same aggregate computed
+    * straight off the parquet source (which is what the oracle does).
+    * The read path gets the same scan-level treatment as parquet:
+    * column pruning and predicate pushdown reach the ORC stripes, and
+    * the per-type summary is a partial-aggregating groupBy over a
+    * 5-key space — no wide shuffle at any corpus size. */
+  private val orcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def orcEventsDir(s: SparkSession, d: String): String =
+    orcCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").orc(out)
+      out
+    })
+
+  def orcSourceSummary(s: SparkSession, d: String): DataFrame =
+    s.read.orc(orcEventsDir(s, d))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        Aggregates.dsum(col("value")).as("total"))
+      .orderBy(col("event_type"))
 }

@@ -405,4 +405,86 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosineNative(col("ea"), col("eb")).as("cos"))
       .orderBy(col("id_a"))
   }
+
+  /** Symmetric per-vector INT8 quantization — the 4× storage/bandwidth
+    * lever for an embedding store (float32 → int8 at 100 TB is 75 TB
+    * saved before similarity search even starts). Per vector:
+    * scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127] (no
+    * clipping by construction — |x_i| ≤ 127·scale). Everything is a
+    * per-row array expression (codegen'd, zero shuffle, scan-parallel);
+    * the emitted summary (exact integer sum/min/max of the codes plus
+    * the max dequantization error) is hash-exact against the oracle
+    * because every step — float→double cast, division, HALF_UP round,
+    * long arithmetic — is deterministic IEEE/decimal arithmetic that
+    * DuckDB computes identically. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast(DoubleType))
+    corpus(s, d)
+      .withColumn("scale", array_max(transform(emb, x => abs(x))) / lit(127.0))
+      .withColumn("q",
+        when(col("scale") === 0.0,
+          transform(emb, _ => lit(0L)))
+          .otherwise(transform(emb, x =>
+            round(x / col("scale")).cast(LongType))))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(array_max(zip_with(emb, col("q"),
+            (x, qv) => abs(x - qv.cast(DoubleType) * col("scale")))))
+          .as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** kNN label propagation: classify held-out vectors by the majority
+    * label of their k nearest LABELED neighbors (cosine; ties on
+    * distance break toward the smaller neighbor id, ties on votes
+    * toward the smaller label) — the embedding-proxy quality-classifier
+    * pattern of a training-data pipeline, where a small human-labeled
+    * seed set fans out over an unlabeled corpus.
+    *
+    * Scale design: the labeled seed set is the SMALL side and is
+    * broadcast; the unlabeled mass streams through ONE scan. The
+    * per-query top-k runs as the bounded [[graft.functions.TopKByAgg]]
+    * hash aggregate — cosine rides as an order-preserving sortable long
+    * ([[graft.functions.DoubleSortableLong]]) so each map task reduces
+    * its slice to a k-entry buffer and only k·partitions tiny rows
+    * shuffle (a row_number window here would sort |labeled| rows per
+    * query). Votes then aggregate over ≤ k rows per query. At larger
+    * seed sets the same query composes with the IVF index
+    * ([[assignToCentroids]]) to prune the broadcast side per probe. */
+  def knnClassify(s: SparkSession, d: String, k: Int = 10,
+      holdoutMod: Int = 5): DataFrame = {
+    import graft.functions.Native
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("label").as("n_label"))
+    val q = e.filter(col("vec_id") % holdoutMod === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("label").as("true_label"))
+    // top-k labels per query: ord = (cos desc, n_id asc) via sortable
+    // bits + negated id (ids ≥ 0, so -n_id never overflows)
+    val topLabels = q.crossJoin(broadcast(labeled))
+      .select(col("vec_id"), col("true_label"),
+        Native.sortableDouble(cosineFromNorms(col("embedding"), col("n_emb"),
+          col("nrm"), col("n_nrm"))).as("ord1"),
+        (-col("n_id")).as("ord2"),
+        col("n_label").cast(DoubleType).as("lab"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(Native.topKBy(col("ord1"), col("ord2"), col("lab"), k).as("labs"))
+    topLabels
+      .select(col("vec_id"), col("true_label"), explode(col("labs")).as("lab"))
+      .groupBy(col("vec_id"), col("true_label"), col("lab"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(max_by(struct(col("lab"), col("votes")),
+        struct(col("votes"), -col("lab"))).as("w"))
+      .select(col("vec_id"),
+        col("w.lab").cast(LongType).as("pred_label"),
+        col("true_label").cast(LongType).as("true_label"),
+        col("w.votes").as("votes"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -125,6 +125,26 @@ class NativeSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("sortable-double: signed-long order matches Double.compare, codegen == scalar") {
+    Native.register(spark)
+    val vals = Seq(Double.MinValue, -1e300, -2.0, -1.0, -1e-300,
+      java.lang.Double.MIN_VALUE * -1, -0.0, 0.0,
+      java.lang.Double.MIN_VALUE, 1e-300, 0.5, 1.0, 2.5, 1e300, Double.MaxValue)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("d")
+      .select(col("d"), Native.sortableDouble(col("d")).as("s"))
+    val rows = df.collect().map(r => r.getDouble(0) -> r.getLong(1))
+    // codegen output equals the scalar transform
+    rows.foreach { case (d, s) =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      assert(s == (bits ^ ((bits >> 63) & Long.MaxValue)))
+    }
+    // order-preserving: for every pair, long order == Double.compare order
+    for ((a, sa) <- rows; (b, sb) <- rows) {
+      assert(java.lang.Long.compare(sa, sb).sign ==
+        java.lang.Double.compare(a, b).sign)
+    }
+  }
+
   test("as-of join returns the latest prior click, salted agg matches plain groupBy") {
     val asof = q("q_join_asof")
     assert(asof.count() ==

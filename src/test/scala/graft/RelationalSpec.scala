@@ -414,4 +414,24 @@ class RelationalSpec extends SparkSpec {
         (col("event_id").isNull || col("value").isNull)).count() == 0)
     } finally raw.unpersist()
   }
+
+  test("orc source round-trips events bit-exactly; summary equals the parquet-side aggregate") {
+    val orc = spark.read.orc(ops.Relational.orcEventsDir(spark, sf))
+    val src = Tables.events(spark, sf)
+    assert(orc.count() == src.count())
+    // whole-row parity: binary columnar round-trip loses nothing
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    assert(orc.select(cols: _*).exceptAll(src.select(cols: _*)).count() == 0)
+    assert(src.select(cols: _*).exceptAll(orc.select(cols: _*)).count() == 0)
+    // the registered summary equals the same aggregate straight off parquet
+    val fromOrc = q("q_source_orc").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val fromParquet = src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        ops.Aggregates.dsum(col("value")).as("total"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(fromOrc == fromParquet)
+  }
 }

@@ -115,6 +115,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes bounded, error within half a step, exact round-trip of extremes") {
+    val rows = q("q_embed_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale  = r.getAs[Double]("scale")
+      val qMin   = r.getAs[Long]("q_min")
+      val qMax   = r.getAs[Long]("q_max")
+      val maxErr = r.getAs[Double]("max_err")
+      assert(scale > 0.0) // random-float fixture has no zero vectors
+      // |x| <= 127*scale by construction, so codes never clip
+      assert(qMin >= -127 && qMax <= 127)
+      // round-to-nearest: dequantization error is at most half a step
+      assert(maxErr <= scale / 2.0 + 1e-15)
+    }
+    // the max-magnitude coordinate quantizes to exactly ±127 somewhere
+    assert(rows.exists(r => r.getAs[Long]("q_min") == -127L ||
+      r.getAs[Long]("q_max") == 127L))
+  }
+
+  test("kNN classify: bounded-aggregate plan matches the naive window reference") {
+    val k = 10
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("nrm", Similarity.l2norm(col("embedding")))
+    val labeled = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("label").as("n_label"))
+    val qs = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("label").as("true_label"))
+    // reference: full row_number window over the scored cross product
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("n_id"))
+    val ref = qs.crossJoin(broadcast(labeled))
+      .withColumn("cos", Similarity.cosineFromNorms(col("embedding"),
+        col("n_emb"), col("nrm"), col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("vec_id"), col("n_label")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("n_label"), col("votes")),
+        struct(col("votes"), -col("n_label"))).as("p"))
+      .select(col("vec_id"), col("p.n_label").cast("long").as("pred"),
+        col("p.votes").as("votes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = q("q_knn_classify").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("pred_label"), r.getAs[Long]("votes"))).toMap
+    assert(got.nonEmpty)
+    assert(got == ref)
+    // and every vote count is within [1, k]
+    got.values.foreach { case (_, v) => assert(v >= 1 && v <= k) }
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

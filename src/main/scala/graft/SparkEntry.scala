@@ -161,6 +161,7 @@ object SparkEntry {
     "q_text_chunks"      -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q_text_pack"        -> ((s, d) => TextOps.packDocs(s, d)),
     "q_text_novelty"     -> ((s, d) => TextOps.bigramNovelty(s, d)),
+    "q_text_dupspans"    -> ((s, d) => TextOps.duplicatedSpans(s, d)),
     "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
@@ -781,6 +782,22 @@ object SparkEntry {
            CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
          FROM bg JOIN df USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    // repeated k-token spans: the oracle groups windows by their string
+    // content; Spark groups by a 128-bit hash pair of the same string —
+    // identical counts absent a 2^-129-scale collision
+    "q_text_dupspans" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         base AS (SELECT doc_id, greatest(0, len(arr) - 7) AS n_windows, arr FROM arrs),
+         g AS (SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS gram
+               FROM base, unnest(generate_series(1, n_windows)) t(i)
+               WHERE n_windows > 0),
+         uniq AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY gram HAVING count(*) = 1),
+         u AS (SELECT doc_id, count(*) AS n_unique FROM uniq GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+           CAST(b.n_windows - coalesce(u.n_unique, 0) AS BIGINT) AS dup_windows,
+           CASE WHEN b.n_windows = 0 THEN 0.0
+                ELSE CAST(b.n_windows - coalesce(u.n_unique, 0) AS DOUBLE) / b.n_windows END AS dup_frac
+         FROM base b LEFT JOIN u USING (doc_id) ORDER BY b.doc_id""",
     // Good–Turing count-of-counts: N_c per count class c over multiset
     // bigram counts; c* only where the c+1 class exists (count classes
     // are gappy). One exact-integer multiply + one division — value-exact

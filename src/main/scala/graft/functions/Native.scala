@@ -56,6 +56,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[DotProduct]] over two FLOAT arrays, widening each element to
+  * double at multiply time — bit-identical to casting both arrays to
+  * array<double> first (float→double widening is exact) but without
+  * materializing a 64-element double array per side per row. That cast
+  * allocation is invisible at corpus-scan cardinality and ruinous
+  * inside a pair join: N·M pairs × two array allocations each turns a
+  * compute-bound loop GC-bound. Same left-to-right fold contract. */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFloat =
+    copy(left = l, right = r)
+}
+
 /** Intersection cardinality of two SORTED, DISTINCT long arrays by a
   * two-pointer walk — O(|a|+|b|), codegen'd, no allocation. The pair
   * scorer for sparse set-overlap joins (co-occurrence weights): at
@@ -212,6 +254,7 @@ case class DoubleSortableLong(child: Expression) extends UnaryExpression {
 object Native {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_dot_float" -> (exprs => DotProductFloat(exprs(0), exprs(1))),
     "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
@@ -229,6 +272,10 @@ object Native {
 
   /** Dot product column (register(spark) must have run in this session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Dot product of two array<float> columns — no per-row cast allocation. */
+  def dotFloat(a: Column, b: Column): Column =
+    call_function("graft_dot_float", a, b)
 
   /** |a ∩ b| for sorted distinct long arrays (see [[SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =

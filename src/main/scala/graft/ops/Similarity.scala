@@ -57,6 +57,19 @@ object Similarity {
     Native.dot(a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType))) / (na * nb)
   }
 
+  /** [[cosineFromNorms]] for two array<float> columns: bit-identical
+    * (float→double widening per element is exact, same fold order) but
+    * allocation-free — inside an N·M pair join the array<double> casts
+    * of the generic form allocate two 64-slot arrays PER PAIR, which
+    * turns the scoring loop GC-bound (measured 20× on a 64M-pair
+    * corpus). Use this form whenever both sides are raw float
+    * embeddings; the generic form remains for mixed float/double sides
+    * (centroid tables). */
+  def cosineFromNormsFloat(a: Column, b: Column, na: Column, nb: Column): Column = {
+    import graft.functions.Native
+    Native.dotFloat(a, b) / (na * nb)
+  }
+
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.Native.register(s)
     Tables.embeddings(s, d)
@@ -466,9 +479,15 @@ object Similarity {
         col("label").as("true_label"))
     // top-k labels per query: ord = (cos desc, n_id asc) via sortable
     // bits + negated id (ids ≥ 0, so -n_id never overflows)
-    val topLabels = q.crossJoin(broadcast(labeled))
+    // NL-join parallelism equals the STREAMED side's partition count — a
+    // compact parquet source reads as a handful of splits, which would
+    // serialize the whole |q|·|labeled| scoring loop onto a few tasks.
+    // Spread the query side across the session's cores first; the
+    // labeled side is already the broadcast.
+    val topLabels = q.repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(labeled))
       .select(col("vec_id"), col("true_label"),
-        Native.sortableDouble(cosineFromNorms(col("embedding"), col("n_emb"),
+        Native.sortableDouble(cosineFromNormsFloat(col("embedding"), col("n_emb"),
           col("nrm"), col("n_nrm"))).as("ord1"),
         (-col("n_id")).as("ord2"),
         col("n_label").cast(DoubleType).as("lab"))

@@ -463,4 +463,52 @@ object TextOps {
       .select(col("c"), col("n_c"), col("gt_cstar"))
       .orderBy(col("c"))
   }
+
+  /** Cross-document REPEATED-SPAN detection (the exact-substring-dedup
+    * signal of training-data pipelines): per document, the fraction of
+    * its k-token windows whose content occurs anywhere else in the
+    * corpus — another position in the same document included. Docs with
+    * high `dup_frac` carry boilerplate/templated spans worth stripping
+    * before training.
+    *
+    * Skew-proof by the inverted novelty trick: dup_windows =
+    * n_windows − unique_windows, and a globally-UNIQUE window has
+    * exactly one occurrence row, so its owning doc_id rides the same
+    * partial-aggregating groupBy that computes the occurrence count
+    * (min(doc_id) over one row IS that row). NO join ever runs on the
+    * window key — a corpus-hot boilerplate span contributes one
+    * map-side-combined row per partition and then dies at the occ==1
+    * filter. The denominator needs no explode at all: n_windows =
+    * max(|tokens|−k+1, 0) per row. The shuffle key is a 128-bit pair
+    * of independent xxhash64s of the window text — fixed-width (the
+    * window strings never travel), with a corpus-wide collision-union
+    * bound of W²/2¹²⁹ (≈1e-15 even at 10¹² windows); the oracle groups
+    * by the window string itself, identical semantics absent such a
+    * collision. */
+  def duplicatedSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - (k - 1), lit(0))
+          .cast(LongType).as("n_windows"),
+        tokens(col("text")).as("toks"))
+    val grams = base.filter(col("n_windows") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("n_windows")),
+          i => array_join(slice(col("toks"), i.cast(IntegerType), lit(k)), " ")))
+          .as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("h1"), xxhash64(col("gram"), lit(17)).as("h2"))
+    val uniquePerDoc = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("doc_id"))
+      .filter(col("occ") === 1L)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    base.select(col("doc_id"), col("n_windows"))
+      .join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        (col("n_windows") - coalesce(col("n_unique"), lit(0L))).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0L, lit(0.0))
+          .otherwise(col("dup_windows").cast(DoubleType) / col("n_windows")))
+      .orderBy(col("doc_id"))
+  }
 }

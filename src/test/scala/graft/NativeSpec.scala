@@ -125,6 +125,18 @@ class NativeSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("float dot product is bit-identical to the cast-to-double form") {
+    Native.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val pairs = e.select(col("embedding"))
+      .crossJoin(e.select(col("embedding").as("e2")).limit(5))
+      .select(
+        Native.dot(col("embedding").cast("array<double>"),
+          col("e2").cast("array<double>")).as("cast_form"),
+        Native.dotFloat(col("embedding"), col("e2")).as("float_form"))
+    assert(pairs.filter(col("cast_form") =!= col("float_form")).count() == 0)
+  }
+
   test("sortable-double: signed-long order matches Double.compare, codegen == scalar") {
     Native.register(spark)
     val vals = Seq(Double.MinValue, -1e300, -2.0, -1.0, -1e-300,

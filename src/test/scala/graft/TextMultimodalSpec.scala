@@ -328,4 +328,41 @@ class TextMultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicated spans: plain-Scala recompute agrees; templated docs score high") {
+    import spark.implicits._
+    val k = 8
+    val rnd = new scala.util.Random(777L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val boiler = "p q r s t u v w" // an 8-token span shared verbatim
+    val docs = (0L until 40L).map { i =>
+      val n = 3 + rnd.nextInt(20)
+      val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      // every third doc carries the boilerplate span
+      (i, if (i % 3 == 0) s"$boiler $body" else body)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_").toString
+    docs.toDF("doc_id", "text").repartition(5)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // plain-Scala truth
+    val toks = docs.map { case (i, t) => i -> t.split("\\s+").toVector }.toMap
+    val allGrams = toks.values.flatMap(ts => ts.sliding(k).filter(_.length == k)
+      .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size).toMap
+    val r = graft.ops.TextOps.duplicatedSpans(spark, dir, k).collect()
+    assert(r.length == docs.size)
+    r.foreach { row =>
+      val ts = toks(row.getLong(0))
+      val grams = ts.sliding(k).filter(_.length == k).map(_.mkString(" ")).toVector
+      val dup = grams.count(g => allGrams(g) > 1)
+      assert(row.getAs[Long]("n_windows") == grams.length)
+      assert(row.getAs[Long]("dup_windows") == dup)
+      if (grams.nonEmpty)
+        assert(row.getAs[Double]("dup_frac") == dup.toDouble / grams.length)
+      else assert(row.getAs[Double]("dup_frac") == 0.0)
+    }
+    // the shared boilerplate span is flagged on every carrier
+    val byId = r.map(x => x.getLong(0) -> x.getAs[Long]("dup_windows")).toMap
+    (0L until 40L by 3).foreach(i => assert(byId(i) >= 1L))
+  }
 }

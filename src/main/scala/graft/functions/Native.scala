@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,56 +16,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hot loop.
   */
 
-/** Left-to-right dot product over two double arrays. The fold order is
-  * part of the contract: identical IEEE evaluation order to the DuckDB
-  * oracle's list_sum fold, so cosine results stay bit-exact across
-  * engines while running ~10× faster than the interpreted HOF
-  * (`aggregate(zip_with(...))`) it replaces. */
+/** Left-to-right dot product over two float or double arrays (each
+  * side's element type dispatched independently at bind time — float
+  * elements widen to double AT MULTIPLY TIME, which is bit-identical
+  * to casting the whole array to array<double> first because
+  * float→double widening is exact). The fold order is part of the
+  * contract: identical IEEE evaluation order to the DuckDB oracle's
+  * list_sum fold, so cosine results stay bit-exact across engines
+  * while running ~10× faster than the interpreted HOF
+  * (`aggregate(zip_with(...))`) it replaces.
+  *
+  * The native float path matters structurally, not just locally: a
+  * `cast(array<float> as array<double>)` materializes a fresh
+  * 64-slot array per side per ROW, which is invisible at corpus-scan
+  * cardinality and ruinous inside a pair join — N·M pairs × two
+  * allocations each turned a 64M-pair scoring loop GC-bound (423 s
+  * cold → 6.6 s once allocation-free). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
-  // callers cast both sides to array<double>; no ExpectsInputTypes because
-  // AbstractDataType is private[sql] in Spark 4
+  // accepts array<float> or array<double> per side; no ExpectsInputTypes
+  // because AbstractDataType is private[sql] in Spark 4
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
-    copy(left = l, right = r)
-}
-
-/** [[DotProduct]] over two FLOAT arrays, widening each element to
-  * double at multiply time — bit-identical to casting both arrays to
-  * array<double> first (float→double widening is exact) but without
-  * materializing a 64-element double array per side per row. That cast
-  * allocation is invisible at corpus-scan cardinality and ruinous
-  * inside a pair join: N·M pairs × two array allocations each turns a
-  * compute-bound loop GC-bound. Same left-to-right fold contract. */
-case class DotProductFloat(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+  @transient private lazy val leftFloat  = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -74,7 +52,10 @@ case class DotProductFloat(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
     }
     acc
   }
@@ -84,17 +65,19 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val xGet = if (leftFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yGet = if (rightFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  $acc += $xGet * $yGet;
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFloat =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }
 
@@ -254,7 +237,6 @@ case class DoubleSortableLong(child: Expression) extends UnaryExpression {
 object Native {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_dot_float" -> (exprs => DotProductFloat(exprs(0), exprs(1))),
     "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
@@ -270,12 +252,9 @@ object Native {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  /** Dot product column (register(spark) must have run in this session). */
+  /** Dot product column — float or double arrays, no cast needed
+    * (register(spark) must have run in this session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
-
-  /** Dot product of two array<float> columns — no per-row cast allocation. */
-  def dotFloat(a: Column, b: Column): Column =
-    call_function("graft_dot_float", a, b)
 
   /** |a ∩ b| for sorted distinct long arrays (see [[SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =

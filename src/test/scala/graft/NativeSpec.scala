@@ -125,7 +125,7 @@ class NativeSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
-  test("float dot product is bit-identical to the cast-to-double form") {
+  test("dot product on raw float arrays is bit-identical to the cast-to-double form") {
     Native.register(spark)
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("embedding"))
@@ -133,8 +133,11 @@ class NativeSpec extends SparkSpec {
       .select(
         Native.dot(col("embedding").cast("array<double>"),
           col("e2").cast("array<double>")).as("cast_form"),
-        Native.dotFloat(col("embedding"), col("e2")).as("float_form"))
-    assert(pairs.filter(col("cast_form") =!= col("float_form")).count() == 0)
+        Native.dot(col("embedding"), col("e2")).as("float_form"),
+        Native.dot(col("embedding").cast("array<double>"), col("e2"))
+          .as("mixed_form"))
+    assert(pairs.filter(col("cast_form") =!= col("float_form") ||
+      col("cast_form") =!= col("mixed_form")).count() == 0)
   }
 
   test("sortable-double: signed-long order matches Double.compare, codegen == scalar") {

@@ -189,6 +189,7 @@ object SparkEntry {
     "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
     "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "q_ann_quantized"  -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape).
     // The registered query emits SCALAR feature columns (declarative,
@@ -1722,6 +1723,31 @@ object SparkEntry {
                 ELSE list_max(list_transform(generate_series(1, len(emb)),
                        i -> abs(emb[i] - CAST(qv[i] AS DOUBLE) * scale))) END AS max_err
          FROM q ORDER BY vec_id""",
+    // quantized search: scales cancel out of the quantized cosine, so
+    // ranking is a pure integer-dot ratio (ints <= 127, sums exactly
+    // representable in double) -- identical arithmetic in both engines
+    "q_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                    FROM embeddings),
+         s AS (SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+         c AS (SELECT vec_id,
+               CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+                    ELSE list_transform(emb, x -> round(x / scale)) END AS q
+               FROM s),
+         n AS (SELECT vec_id, q,
+               sqrt(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i]))) AS qn
+               FROM c),
+         qs AS (SELECT vec_id AS q_id, q AS q_q, qn AS q_qn FROM n WHERE vec_id < 10),
+         scored AS (SELECT qs.q_id, n.vec_id AS n_id,
+           list_sum(list_transform(generate_series(1, len(qs.q_q)), i -> qs.q_q[i] * n.q[i]))
+             / (qs.q_qn * n.qn) AS qcos
+           FROM n, qs WHERE n.vec_id <> qs.q_id),
+         r AS (SELECT q_id, n_id, qcos,
+               row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk
+               FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, qcos
+         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     // same cosine fold as q_ann_bruteforce; rank cut (cos DESC, n_id)
     // mirrors the TopKByAgg ordering key, vote tie-break (votes DESC,
     // label ASC) mirrors the max_by struct

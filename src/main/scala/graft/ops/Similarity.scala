@@ -419,15 +419,24 @@ object Similarity {
     * because every step — float→double cast, division, HALF_UP round,
     * long arithmetic — is deterministic IEEE/decimal arithmetic that
     * DuckDB computes identically. */
-  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+  /** Per-vector symmetric int8 CODES (+ scale): the shared builder for
+    * the quantization summary and the quantized search path. Codes are
+    * kept as doubles (round() is already a double, every code is an
+    * integer ≤ 127 — exactly representable), so downstream dot products
+    * run on the arrays as stored with zero per-pair conversion. */
+  private def int8Codes(s: SparkSession, d: String): DataFrame = {
     val emb = transform(col("embedding"), x => x.cast(DoubleType))
     corpus(s, d)
       .withColumn("scale", array_max(transform(emb, x => abs(x))) / lit(127.0))
       .withColumn("q",
-        when(col("scale") === 0.0,
-          transform(emb, _ => lit(0L)))
-          .otherwise(transform(emb, x =>
-            round(x / col("scale")).cast(LongType))))
+        when(col("scale") === 0.0, transform(emb, _ => lit(0.0)))
+          .otherwise(transform(emb, x => round(x / col("scale")))))
+  }
+
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast(DoubleType))
+    int8Codes(s, d)
+      .withColumn("q", transform(col("q"), x => x.cast(LongType)))
       .select(col("vec_id"), col("scale"),
         aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
         array_min(col("q")).as("q_min"),
@@ -437,6 +446,37 @@ object Similarity {
             (x, qv) => abs(x - qv.cast(DoubleType) * col("scale")))))
           .as("max_err"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Top-k search OVER THE QUANTIZED STORE — the production read path
+    * once embeddings live as int8 codes. The key identity: per-vector
+    * scales cancel out of the quantized cosine,
+    *   cos_q(a,b) = (sa·sb·dot(qa,qb)) / (sa·|qa| · sb·|qb|)
+    *             =  dot(qa,qb) / (|qa|·|qb|),
+    * so ranking needs ONLY the integer codes — scales are never read
+    * at search time, and every dot term is a sum of products of ints
+    * ≤ 127 over the dimension (≤ 2²⁰·dim, exactly representable in
+    * double), which is why this approximate index can still carry a
+    * VALUE-EXACT DuckDB oracle: both engines rank on identical
+    * integer-ratio arithmetic. Same plan shape as [[bruteForceTopK]]
+    * (queries broadcast, one corpus scan, allocation-free dot); the
+    * spec pins recall vs the float brute force. */
+  def quantizedTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    import graft.functions.Native
+    val e = int8Codes(s, d)
+      .select(col("vec_id"), col("q"),
+        sqrt(Native.dot(col("q"), col("q"))).as("qn"))
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("qn").as("q_qn"))
+    val scored = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (Native.dot(col("q_q"), col("q")) / (col("q_qn") * col("qn"))).as("qcos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("qcos"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** kNN label propagation: classify held-out vectors by the majority

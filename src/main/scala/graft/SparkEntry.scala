@@ -162,6 +162,7 @@ object SparkEntry {
     "q_text_pack"        -> ((s, d) => TextOps.packDocs(s, d)),
     "q_text_novelty"     -> ((s, d) => TextOps.bigramNovelty(s, d)),
     "q_text_dupspans"    -> ((s, d) => TextOps.duplicatedSpans(s, d)),
+    "q_budget_select"    -> ((s, d) => TextOps.budgetSelect(s, d)),
     "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
@@ -783,6 +784,30 @@ object SparkEntry {
            CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
          FROM bg JOIN df USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    // token-budget curation: the oracle is the flat quality-ordered
+    // prefix cumsum; the Spark plan computes the same prefix via a
+    // bucket histogram + boundary-bucket-only exact ordering
+    "q_budget_select" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.5
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+             + (1.0 - CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END) * 0.2
+             AS quality_score
+         FROM b),
+         o AS (SELECT doc_id, n_tokens, quality_score,
+               sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM r)
+         SELECT doc_id, n_tokens, quality_score
+         FROM o WHERE cum <= 15000 ORDER BY doc_id""",
     // repeated k-token spans: the oracle groups windows by their string
     // content; Spark groups by a 128-bit hash pair of the same string —
     // identical counts absent a 2^-129-scale collision

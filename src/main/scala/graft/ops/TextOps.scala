@@ -464,6 +464,54 @@ object TextOps {
       .orderBy(col("c"))
   }
 
+  /** TOKEN-BUDGET curation: keep the maximal quality-ordered prefix of
+    * the corpus whose cumulative token count fits a global budget — the
+    * "best N billion tokens" selection every training run starts with.
+    * Semantically identical to sorting the whole corpus by
+    * (quality desc, doc_id) and cutting the running token sum at the
+    * budget; structurally it NEVER globally sorts the corpus:
+    *
+    *  1. one scan scores docs and buckets them by floor(quality·B);
+    *  2. a B-row histogram (partial-aggregated) takes the running sum
+    *     from the top — metadata scale, its window sort is over ≤B rows;
+    *  3. buckets wholly under budget pass with a broadcast-joined
+    *     filter (no sort, no shuffle of kept docs);
+    *  4. ONLY the single boundary bucket — ~1/B of the corpus, the
+    *     knob that trades task width for histogram size — is exactly
+    *     ordered to place the cut within it.
+    *
+    * Equivalence to the flat prefix is exact, not approximate: floor
+    * is monotone in quality, so bucket order refines the global order,
+    * full-bucket cumulative sums bound every member's global running
+    * sum, and the boundary bucket's local cumsum plus its bucket-prefix
+    * total IS the global running sum. All arithmetic is integer token
+    * counts; the quality score reuses [[quality]]'s exact-ratio form. */
+  def budgetSelect(s: SparkSession, d: String, budget: Long = 15000L,
+      buckets: Int = 64): DataFrame = {
+    val sc = quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("bucket",
+        floor(col("quality_score") * buckets).cast(IntegerType))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val status = sc.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum", sum(col("btok")).over(wb))
+      .withColumn("cum_before", col("cum") - col("btok"))
+      .select(col("bucket"), col("cum"), col("cum_before"))
+    val joined = sc.join(broadcast(status), Seq("bucket"))
+    val full = joined.filter(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val wq = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("cum") > budget && col("cum_before") < budget)
+      .withColumn("pcum", sum(col("n_tokens")).over(wq))
+      .filter(col("cum_before") + col("pcum") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    full.union(boundary).orderBy(col("doc_id"))
+  }
+
   /** Cross-document REPEATED-SPAN detection (the exact-substring-dedup
     * signal of training-data pipelines): per document, the fraction of
     * its k-token windows whose content occurs anywhere else in the

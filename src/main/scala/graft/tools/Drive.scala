@@ -175,7 +175,8 @@ object Drive {
           "q_snapshot_diff", "q_window_movavg", "q_dq_checks",
           "q_bm25_topk", "q_graph_components",
           "q_negative_sample", "q_embed_quantize", "q_knn_classify",
-          "q_source_orc", "q_ann_quantized", "q_text_dupspans").foreach { name =>
+          "q_source_orc", "q_ann_quantized", "q_text_dupspans",
+          "q_budget_select").foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

@@ -329,6 +329,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("budget select equals the flat sorted-prefix reference at several budgets") {
+    val scored = graft.ops.TextOps.quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    val total = scored.map(_._2).sum
+    // budgets that land inside a bucket, at zero, and past the corpus
+    Seq(0L, total / 3, total / 2, total, total + 100).foreach { budget =>
+      var cum = 0L
+      val expect = scored.takeWhile { case (_, n, _) => { cum += n; cum <= budget } }
+        .map(_._1).toSet
+      // takeWhile stops at the first overflow — recompute as the true
+      // monotone-prefix filter (zero-token docs after the cut still fit)
+      var c2 = 0L
+      val expectPrefix = scored.flatMap { case (id, n, _) =>
+        c2 += n; if (c2 <= budget) Some(id) else None
+      }.toSet
+      val got = graft.ops.TextOps.budgetSelect(spark, sf, budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expectPrefix, s"budget=$budget")
+      assert(expect.subsetOf(expectPrefix))
+    }
+  }
+
   test("duplicated spans: plain-Scala recompute agrees; templated docs score high") {
     import spark.implicits._
     val k = 8

@@ -486,10 +486,31 @@ object TextOps {
     * sum, and the boundary bucket's local cumsum plus its bucket-prefix
     * total IS the global running sum. All arithmetic is integer token
     * counts; the quality score reuses [[quality]]'s exact-ratio form. */
+  /** (doc_id, n_tokens, quality_score) materialized ONCE per corpus per
+    * JVM — the text is tokenized and scored exactly once, and every
+    * selection pass (the histogram AND both keep branches below, or a
+    * budget sweep across runs) reads the tiny 3-column numeric table
+    * instead of re-parsing the corpus. Without this the plan tree
+    * repeats the scoring subtree in three branches and Catalyst
+    * additionally inlines it into a pushed join-key filter — ~6 text
+    * parses per document per query (measured 3× slower end to end).
+    * Doubles round-trip parquet bit-exactly, so semantics are
+    * unchanged. Same cache discipline as the market returns table. */
+  private val scoredCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def scoredDocsDir(s: SparkSession, d: String): String =
+    scoredCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_scored_").toString
+      quality(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   def budgetSelect(s: SparkSession, d: String, budget: Long = 15000L,
       buckets: Int = 64): DataFrame = {
-    val sc = quality(s, d)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val sc = s.read.parquet(scoredDocsDir(s, d))
       .withColumn("bucket",
         floor(col("quality_score") * buckets).cast(IntegerType))
     val wb = Window.orderBy(col("bucket").desc)

@@ -74,7 +74,11 @@ object TextOps {
 
   /** Document quality scoring: length, token count, punctuation ratio,
     * stopword ratio, and a deterministic composite score. */
-  def quality(s: SparkSession, d: String): DataFrame = {
+  /** The quality projection WITHOUT the presentation sort — staging
+    * paths (the once-per-corpus scored table) write this directly so
+    * the corpus-wide range sort never runs where on-disk order is
+    * irrelevant; [[quality]] adds the orderBy for its oracle contract. */
+  private def qualityScored(s: SparkSession, d: String): DataFrame = {
     val nTokens = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(tokens(col("text"))).cast(LongType))
     val nPunct = (length(col("text")) -
@@ -94,8 +98,10 @@ object TextOps {
         col("stop_ratio") * 0.5 +
           least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) * 0.3 +
           (lit(1.0) - col("punct_ratio")) * 0.2)
-      .orderBy(col("doc_id"))
   }
+
+  def quality(s: SparkSession, d: String): DataFrame =
+    qualityScored(s, d).orderBy(col("doc_id"))
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * lexer (letter runs / digit runs / single non-space symbols) — the
@@ -502,7 +508,9 @@ object TextOps {
   private def scoredDocsDir(s: SparkSession, d: String): String =
     scoredCache.computeIfAbsent(d, { dir =>
       val out = java.nio.file.Files.createTempDirectory("graft_scored_").toString
-      quality(s, dir)
+      // the UNSORTED projection: a global range sort before a staging
+      // write is pure waste (parquet order is irrelevant downstream)
+      qualityScored(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("quality_score"))
         .write.mode("overwrite").parquet(out)
       out
@@ -525,8 +533,12 @@ object TextOps {
     val wq = Window.partitionBy(col("bucket"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum_before <= budget, NOT <: when the kept buckets sum EXACTLY to
+    // the budget, the next bucket's zero-token head docs still have
+    // global running sum == budget and the oracle keeps them — the
+    // strict form would drop the whole bucket including that prefix
     val boundary = joined
-      .filter(col("cum") > budget && col("cum_before") < budget)
+      .filter(col("cum") > budget && col("cum_before") <= budget)
       .withColumn("pcum", sum(col("n_tokens")).over(wq))
       .filter(col("cum_before") + col("pcum") <= budget)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
@@ -547,32 +559,49 @@ object TextOps {
     * (min(doc_id) over one row IS that row). NO join ever runs on the
     * window key — a corpus-hot boilerplate span contributes one
     * map-side-combined row per partition and then dies at the occ==1
-    * filter. The denominator needs no explode at all: n_windows =
-    * max(|tokens|−k+1, 0) per row. The shuffle key is a 128-bit pair
-    * of independent xxhash64s of the window text — fixed-width (the
-    * window strings never travel), with a corpus-wide collision-union
-    * bound of W²/2¹²⁹ (≈1e-15 even at 10¹² windows); the oracle groups
-    * by the window string itself, identical semantics absent such a
-    * collision. */
+    * filter. The denominator needs no explode and no second text
+    * parse: n_windows = max(n_tokens−k+1, 0) straight off the
+    * once-per-corpus scored table. The shuffle key is a 128-bit pair
+    * of xxhash64s under genuinely different seeds (the second hash
+    * leads with a constant so the seed chain differs — appending it
+    * would make h2 a pure function of h1) — fixed-width, the window
+    * strings never travel, corpus-wide collision-union bound W²/2¹²⁹
+    * (≈1e-15 even at 10¹² windows); the oracle groups by the window
+    * string itself, identical semantics absent such a collision. */
   def duplicatedSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"),
-        greatest(size(tokens(col("text"))) - (k - 1), lit(0))
-          .cast(LongType).as("n_windows"),
-        tokens(col("text")).as("toks"))
-    val grams = base.filter(col("n_windows") > 0)
+    // k >= 2 lets the denominator ride the staged scored table: its
+    // n_tokens counts whitespace-only text as 0 where tokens() yields
+    // [""] (size 1) — max(n-(k-1), 0) erases that difference for k >= 2
+    require(k >= 2, s"duplicatedSpans needs k >= 2, got $k")
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_windows",
+        greatest(size(col("toks")) - (k - 1), lit(0)).cast(LongType))
+      .filter(col("n_windows") > 0)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1L), col("n_windows")),
           i => array_join(slice(col("toks"), i.cast(IntegerType), lit(k)), " ")))
           .as("gram"))
+      // h2 hashes with a DIFFERENT SEED CHAIN (constant first): Spark's
+      // multi-arg xxhash64 threads the running hash as the seed, so
+      // xxhash64(gram, 17) would be a pure function of h1 (64-bit
+      // resistance only) while xxhash64(17, gram) is XXH64(gram, s')
+      // with s' = XXH64(17, 42) ≠ 42 — an independent second hash
       .select(col("doc_id"),
-        xxhash64(col("gram")).as("h1"), xxhash64(col("gram"), lit(17)).as("h2"))
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(lit(17L), col("gram")).as("h2"))
     val uniquePerDoc = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("doc_id"))
       .filter(col("occ") === 1L)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
-    base.select(col("doc_id"), col("n_windows"))
-      .join(uniquePerDoc, Seq("doc_id"), "left")
+    // denominator from the once-per-corpus scored table — the text is
+    // parsed exactly once per query (the gram branch above); a second
+    // tokenizing scan for a per-row arithmetic column would double the
+    // parse cost at corpus scale
+    val base = s.read.parquet(scoredDocsDir(s, d))
+      .select(col("doc_id"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_windows"))
+    base.join(uniquePerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         (col("n_windows") - coalesce(col("n_unique"), lit(0L))).as("dup_windows"))
       .withColumn("dup_frac",

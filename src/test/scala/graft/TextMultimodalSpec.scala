@@ -354,6 +354,28 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("budget select keeps zero-token docs when kept buckets sum exactly to the budget") {
+    import spark.implicits._
+    // high bucket: stopword-rich docs (quality ~0.72); boundary bucket
+    // 12 mixes EMPTY docs (quality exactly 0.2, zero tokens — the
+    // bucket head) with a 1-token doc at quality ~0.188 behind them.
+    // budget == the high bucket's total tokens, so the boundary bucket
+    // has cum_before == budget: its zero-token head must survive (the
+    // oracle keeps rows whose running sum EQUALS the budget).
+    val docs = Seq(
+      (1L, "the of and to in is a"),  // 7 tokens, quality ~0.721
+      (2L, "the of and to in is a"),  // 7 tokens
+      (3L, ""),                       // 0 tokens, quality 0.2 → bucket 12
+      (4L, ""),                       // 0 tokens
+      (5L, "xxxxxxxxxxxx."))          // 1 token, ~0.188 → bucket 12, after the empties
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bud_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.ops.TextOps.budgetSelect(spark, dir, budget = 14L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("duplicated spans: plain-Scala recompute agrees; templated docs score high") {
     import spark.implicits._
     val k = 8

@@ -511,9 +511,13 @@ object Similarity {
     // NL-join parallelism equals the STREAMED side's partition count — a
     // compact parquet source reads as a handful of splits, which would
     // serialize the whole |q|·|labeled| scoring loop onto a few tasks.
-    // Spread the query side across the session's cores first; the
-    // labeled side is already the broadcast.
-    val topLabels = q.repartition(s.sparkContext.defaultParallelism)
+    // Widen ONLY when the scan is actually narrow: at corpus scale the
+    // source yields splits ≥ cores and the repartition would be a
+    // pointless full shuffle of the unlabeled mass.
+    val target = s.sparkContext.defaultParallelism
+    val qSpread = if (q.rdd.getNumPartitions >= target) q
+                  else q.repartition(target)
+    val topLabels = qSpread
       .crossJoin(broadcast(labeled))
       .select(col("vec_id"), col("true_label"),
         Native.sortableDouble(cosineFromNorms(col("embedding"), col("n_emb"),

@@ -354,6 +354,33 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("budget select matches the flat prefix on random corpora with empties at random budgets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(90210L)
+    val vocab = Vector("the", "of", "zz", "qq", "ww.", "ee!", "rr")
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 50L).map { i =>
+        val n = rnd.nextInt(12) // 0 → empty doc
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_budr$trial").toString
+      docs.toDF("doc_id", "text").repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.TextOps.quality(spark, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, _, q) => (-q, id) }
+      val budget = rnd.nextInt(1 + scored.map(_._2).sum.toInt).toLong
+      var cum = 0L
+      val expect = scored.flatMap { case (id, n, _) =>
+        cum += n; if (cum <= budget) Some(id) else None
+      }.toSet
+      val got = graft.ops.TextOps.budgetSelect(spark, dir, budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"trial=$trial budget=$budget")
+    }
+  }
+
   test("budget select keeps zero-token docs when kept buckets sum exactly to the budget") {
     import spark.implicits._
     // high bucket: stopword-rich docs (quality ~0.72); boundary bucket

@@ -493,9 +493,9 @@ object Similarity {
     * ([[graft.functions.DoubleSortableLong]]) so each map task reduces
     * its slice to a k-entry buffer and only k·partitions tiny rows
     * shuffle (a row_number window here would sort |labeled| rows per
-    * query). Votes then aggregate over ≤ k rows per query. At larger
-    * seed sets the same query composes with the IVF index
-    * ([[assignToCentroids]]) to prune the broadcast side per probe. */
+    * query). Votes then aggregate over ≤ k rows per query. Past a
+    * broadcastable seed set, [[knnClassifyIvf]] is the scale path —
+    * same vote pipeline over IVF-probed cells only. */
   def knnClassify(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5): DataFrame = {
     import graft.functions.Native
@@ -517,8 +517,18 @@ object Similarity {
     val target = s.sparkContext.defaultParallelism
     val qSpread = if (q.rdd.getNumPartitions >= target) q
                   else q.repartition(target)
-    val topLabels = qSpread
-      .crossJoin(broadcast(labeled))
+    voteTopK(qSpread.crossJoin(broadcast(labeled)), k)
+  }
+
+  /** The shared classify tail: score each (query, labeled) candidate
+    * row, keep the k best per query with the bounded [[graft.functions.TopKByAgg]]
+    * (cosine desc via sortable bits, then smaller n_id), and majority-
+    * vote the surviving labels (ties toward the smaller label). Input
+    * must carry vec_id/true_label/embedding/nrm on the query side and
+    * n_id/n_emb/n_nrm/n_label on the candidate side. */
+  private def voteTopK(cands: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Native
+    cands
       .select(col("vec_id"), col("true_label"),
         Native.sortableDouble(cosineFromNorms(col("embedding"), col("n_emb"),
           col("nrm"), col("n_nrm"))).as("ord1"),
@@ -526,7 +536,6 @@ object Similarity {
         col("n_label").cast(DoubleType).as("lab"))
       .groupBy(col("vec_id"), col("true_label"))
       .agg(Native.topKBy(col("ord1"), col("ord2"), col("lab"), k).as("labs"))
-    topLabels
       .select(col("vec_id"), col("true_label"), explode(col("labs")).as("lab"))
       .groupBy(col("vec_id"), col("true_label"), col("lab"))
       .agg(count(lit(1)).as("votes"))
@@ -538,5 +547,42 @@ object Similarity {
         col("true_label").cast(LongType).as("true_label"),
         col("w.votes").as("votes"))
       .orderBy(col("vec_id"))
+  }
+
+  /** [[knnClassify]]'s SCALE PATH: past ~10⁵ labeled rows the seed set
+    * stops being broadcastable and all-pairs scoring stops being the
+    * plan — here the labeled side is IVF-partitioned once
+    * ([[assignToCentroids]], the same coarse quantizer the ANN index
+    * trains per corpus) and each query scores ONLY the labeled rows in
+    * its nProbe nearest cells: candidates shrink |labeled| →
+    * ~|labeled|·nProbe/cells per query, and the join key is the cell
+    * id, not a pair. At production scale cells ≈ √|labeled|, so the
+    * cell join fans out over thousands of keys (the 16-cell quantizer
+    * here is the corpus-sized default). Same vote pipeline; the spec
+    * pins agreement with the exact variant. */
+  def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
+      holdoutMod: Int = 5, nProbe: Int = 4): DataFrame = {
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val centroids = trainedCentroids(s, d, NumCentroids)
+      .withColumn("c_nrm", l2norm(col("c_emb")))
+    val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
+    val labCells = assignToCentroids(
+        labeled.select(col("vec_id"), col("embedding"), col("nrm")), centroids)
+      .join(labeled.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("label").as("n_label"), col("c_id"))
+    val q = e.filter(col("vec_id") % holdoutMod === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("label").as("true_label"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
+        col("nrm"), col("c_nrm")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("true_label"), col("c_id"))
+    voteTopK(probes.join(labCells, Seq("c_id")), k)
   }
 }

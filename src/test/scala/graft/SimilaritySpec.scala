@@ -186,6 +186,42 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach { case (_, v) => assert(v >= 1 && v <= k) }
   }
 
+  test("IVF-pruned classify equals a plain-Scala recompute of the probed-cell semantics") {
+    val k = 10; val nProbe = 4
+    // raw data + the SAME trained centroids the operator uses
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = Similarity.trainedCentroids(spark, sf, Similarity.NumCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s0 += a(i).toDouble * b(i); i += 1 }; s0
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }; s0
+    }
+    def nrmF(a: Array[Float]) = math.sqrt(dotFF(a, a))
+    def nrmD(a: Array[Double]) = { var s0 = 0.0; a.foreach(x => s0 += x * x); math.sqrt(s0) }
+    val cn = cents.map { case (id, c) => (id, c, nrmD(c)) }
+    def cellOf(e: Array[Float]): Long =
+      cn.maxBy { case (id, c, n) => (dotFD(e, c) / (nrmF(e) * n), -id) }._1
+    val labeled = vecs.filter(_._1 % 5 != 0).map { case (id, e, l) => (id, e, l, cellOf(e)) }
+    val expect = vecs.filter(_._1 % 5 == 0).map { case (qid, qe, _) =>
+      val probes = cn.map { case (id, c, n) => (id, dotFD(qe, c) / (nrmF(qe) * n)) }
+        .sortBy { case (id, cos) => (-cos, id) }.take(nProbe).map(_._1).toSet
+      val top = labeled.filter(t => probes.contains(t._4))
+        .map { case (nid, ne, nl, _) => (nid, nl, dotFF(qe, ne) / (nrmF(qe) * nrmF(ne))) }
+        .sortBy { case (nid, _, cos) => (-cos, nid) }.take(k)
+      val pred = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .maxBy { case (lab, votes) => (votes, -lab) }._1
+      qid -> pred.toLong
+    }.toMap
+    val got = Similarity.knnClassifyIvf(spark, sf, k, 5, nProbe).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pred_label")).toMap
+    assert(got == expect)
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

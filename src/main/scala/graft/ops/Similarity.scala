@@ -556,14 +556,17 @@ object Similarity {
     * trains per corpus) and each query scores ONLY the labeled rows in
     * its nProbe nearest cells: candidates shrink |labeled| →
     * ~|labeled|·nProbe/cells per query, and the join key is the cell
-    * id, not a pair. At production scale cells ≈ √|labeled|, so the
-    * cell join fans out over thousands of keys (the 16-cell quantizer
-    * here is the corpus-sized default). Same vote pipeline; the spec
-    * pins agreement with the exact variant. */
+    * id, not a pair. `cells` is the caller's scale knob — size it
+    * ≈ √|labeled| so the cell join fans out over thousands of keys
+    * (the 16-cell default matches the test corpus; the quantizer cache
+    * is already keyed per (corpus, cells)). Same vote pipeline; the
+    * spec pins EXACT parity with a plain-Scala recompute of the
+    * probed-cell semantics. */
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
-      holdoutMod: Int = 5, nProbe: Int = 4): DataFrame = {
+      holdoutMod: Int = 5, nProbe: Int = 4,
+      cells: Int = NumCentroids): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = trainedCentroids(s, d, NumCentroids)
+    val centroids = trainedCentroids(s, d, cells)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
     val labCells = assignToCentroids(

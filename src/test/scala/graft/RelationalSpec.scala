@@ -423,6 +423,12 @@ class RelationalSpec extends SparkSpec {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
     assert(orc.select(cols: _*).exceptAll(src.select(cols: _*)).count() == 0)
     assert(src.select(cols: _*).exceptAll(orc.select(cols: _*)).count() == 0)
+    // scan-level treatment matches parquet: predicates and column
+    // pruning reach the ORC stripes
+    val plan = orc.filter(col("event_type") === "click")
+      .select(col("event_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"ORC scan did not push the predicate:\n$plan")
     // the registered summary equals the same aggregate straight off parquet
     val fromOrc = q("q_source_orc").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap

@@ -247,13 +247,16 @@ object Similarity {
     * sort, no k×-amplified shuffle; the struct's -c_id term breaks
     * cosine ties toward the lowest centroid id. Expects `e` to carry a
     * precomputed `nrm` column and `centroids` a `c_nrm`. */
-  def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame =
+  def assignToCentroids(e: DataFrame, centroids: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     e.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
         col("nrm"), col("c_nrm")))
       .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
-        max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        (first(col("nrm")).as("nrm") +:
+          max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id") +:
+          carry.map(c => first(col(c)).as(c))): _*)
 
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
@@ -569,9 +572,9 @@ object Similarity {
     val centroids = trainedCentroids(s, d, cells)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
-    val labCells = assignToCentroids(
-        labeled.select(col("vec_id"), col("embedding"), col("nrm")), centroids)
-      .join(labeled.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // label rides the assignment aggregate (carry) — a separate
+    // label-recovery self-join would re-shuffle the labeled mass
+    val labCells = assignToCentroids(labeled, centroids, carry = Seq("label"))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("label").as("n_label"), col("c_id"))
     val q = e.filter(col("vec_id") % holdoutMod === 0)
@@ -586,6 +589,14 @@ object Similarity {
       .filter(col("prnk") <= nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("true_label"), col("c_id"))
-    voteTopK(probes.join(labCells, Seq("c_id")), k)
+    val voted = voteTopK(probes.join(labCells, Seq("c_id")), k)
+    // a query whose probed cells hold NO labeled rows must surface as
+    // an explicit null prediction, not silently vanish from the output
+    // (possible once cells ≈ √|labeled| leaves some cells holdout-only)
+    q.select(col("vec_id"), col("true_label").cast(LongType).as("true_label"))
+      .join(voted.drop("true_label"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pred_label"), col("true_label"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+      .orderBy(col("vec_id"))
   }
 }

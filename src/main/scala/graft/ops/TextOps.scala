@@ -72,9 +72,7 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Document quality scoring: length, token count, punctuation ratio,
-    * stopword ratio, and a deterministic composite score. */
-  /** The quality projection WITHOUT the presentation sort — staging
+  /** [[quality]]'s projection WITHOUT the presentation sort — staging
     * paths (the once-per-corpus scored table) write this directly so
     * the corpus-wide range sort never runs where on-disk order is
     * irrelevant; [[quality]] adds the orderBy for its oracle contract. */
@@ -100,6 +98,8 @@ object TextOps {
           (lit(1.0) - col("punct_ratio")) * 0.2)
   }
 
+  /** Document quality scoring: length, token count, punctuation ratio,
+    * stopword ratio, and a deterministic composite score. */
   def quality(s: SparkSession, d: String): DataFrame =
     qualityScored(s, d).orderBy(col("doc_id"))
 
@@ -470,6 +470,34 @@ object TextOps {
       .orderBy(col("c"))
   }
 
+  /** (doc_id, n_tokens, quality_score) materialized ONCE per corpus per
+    * JVM — the text is tokenized and scored exactly once, and every
+    * selection pass (the histogram AND both keep branches of
+    * [[budgetSelect]], [[duplicatedSpans]]' denominator, or a budget
+    * sweep across runs) reads the tiny 3-column numeric table instead
+    * of re-parsing the corpus. Without this the plan tree repeats the
+    * scoring subtree in three branches and Catalyst additionally
+    * inlines it into a pushed join-key filter — ~6 text parses per
+    * document per query (measured 6× slower end to end at gen10x).
+    * Doubles round-trip parquet bit-exactly, so semantics are
+    * unchanged. Same cache discipline as the market returns table,
+    * and the same standing assumption as every staged corpus in this
+    * repo: the source directory is immutable for the JVM's lifetime
+    * (a rewrite mid-JVM would desynchronize cached and live scans). */
+  private val scoredCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def scoredDocsDir(s: SparkSession, d: String): String =
+    scoredCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_scored_").toString
+      // the UNSORTED projection: a global range sort before a staging
+      // write is pure waste (parquet order is irrelevant downstream)
+      qualityScored(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** TOKEN-BUDGET curation: keep the maximal quality-ordered prefix of
     * the corpus whose cumulative token count fits a global budget — the
     * "best N billion tokens" selection every training run starts with.
@@ -492,30 +520,6 @@ object TextOps {
     * sum, and the boundary bucket's local cumsum plus its bucket-prefix
     * total IS the global running sum. All arithmetic is integer token
     * counts; the quality score reuses [[quality]]'s exact-ratio form. */
-  /** (doc_id, n_tokens, quality_score) materialized ONCE per corpus per
-    * JVM — the text is tokenized and scored exactly once, and every
-    * selection pass (the histogram AND both keep branches below, or a
-    * budget sweep across runs) reads the tiny 3-column numeric table
-    * instead of re-parsing the corpus. Without this the plan tree
-    * repeats the scoring subtree in three branches and Catalyst
-    * additionally inlines it into a pushed join-key filter — ~6 text
-    * parses per document per query (measured 3× slower end to end).
-    * Doubles round-trip parquet bit-exactly, so semantics are
-    * unchanged. Same cache discipline as the market returns table. */
-  private val scoredCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def scoredDocsDir(s: SparkSession, d: String): String =
-    scoredCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_scored_").toString
-      // the UNSORTED projection: a global range sort before a staging
-      // write is pure waste (parquet order is irrelevant downstream)
-      qualityScored(s, dir)
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
-
   def budgetSelect(s: SparkSession, d: String, budget: Long = 15000L,
       buckets: Int = 64): DataFrame = {
     val sc = s.read.parquet(scoredDocsDir(s, d))

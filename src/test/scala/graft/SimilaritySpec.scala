@@ -213,12 +213,17 @@ class SimilaritySpec extends SparkSpec {
       val top = labeled.filter(t => probes.contains(t._4))
         .map { case (nid, ne, nl, _) => (nid, nl, dotFF(qe, ne) / (nrmF(qe) * nrmF(ne))) }
         .sortBy { case (nid, _, cos) => (-cos, nid) }.take(k)
-      val pred = top.groupBy(_._2).view.mapValues(_.size).toSeq
-        .maxBy { case (lab, votes) => (votes, -lab) }._1
-      qid -> pred.toLong
+      val pred: Option[Long] =
+        if (top.isEmpty) None // holdout-only probed cells → null prediction
+        else Some(top.groupBy(_._2).view.mapValues(_.size).toSeq
+          .maxBy { case (lab, votes) => (votes, -lab) }._1.toLong)
+      qid -> pred
     }.toMap
-    val got = Similarity.knnClassifyIvf(spark, sf, k, 5, nProbe).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pred_label")).toMap
+    val rows = Similarity.knnClassifyIvf(spark, sf, k, 5, nProbe).collect()
+    // EVERY holdout query surfaces — uncovered ones as explicit nulls
+    assert(rows.length == expect.size)
+    val got = rows.map(r => r.getAs[Long]("vec_id") ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(got == expect)
   }
 

@@ -42,18 +42,21 @@ object Pipeline {
     * downstream consumer (foreachBatch, dropDuplicates state, windowed
     * aggs, flatMapGroupsWithState) genuinely exercises cross-batch
     * behavior instead of a one-batch degenerate run. File sources need an
-    * explicit schema; ts arrives as raw nanos (see Tables.events). */
+    * explicit schema; staged files carry ts already normalized to
+    * TimestampType (see Tables.events / Tables.eventsSchema). */
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Stage the 4-file streaming source for `d` (idempotent, cached per
     * JVM). Bench calls this during warm-up so no TIMED query pays the
     * one-time staging write; first-use inside a query still works. */
   def prestage(s: SparkSession, d: String): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stagedCache.computeIfAbsent(d, { dir =>
       val out = tmp("graft_src_")
-      s.read.schema(Tables.eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // Normalize ts to TimestampType AT WRITE TIME (Tables.events is
+      // schema-adaptive over the fixture's physical encoding), so every
+      // staged file carries the declared stream schema and stream reads
+      // need no per-stream fix-up.
+      Tables.events(s, dir)
         .repartition(4)
         .write.mode("overwrite").parquet(out)
       out
@@ -63,10 +66,9 @@ object Pipeline {
   private def eventsStream(s: SparkSession, d: String,
       filesPerTrigger: Int = 1): DataFrame = {
     val staged = prestage(s, d)
-    Tables.eventsTsFix(
-      s.readStream.schema(Tables.eventsRawSchema)
-        .option("maxFilesPerTrigger", filesPerTrigger.toString)
-        .parquet(staged))
+    s.readStream.schema(Tables.eventsSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(staged)
   }
 
   /** Watermark delay for the staged replay source, DERIVED from the data
@@ -82,8 +84,7 @@ object Pipeline {
   private def watermarkDelay(s: SparkSession, d: String): String = {
     val staged = prestage(s, d)
     spanCache.computeIfAbsent(staged, { p =>
-      val r = Tables.eventsTsFix(
-          s.read.schema(Tables.eventsRawSchema).parquet(p))
+      val r = s.read.schema(Tables.eventsSchema).parquet(p)
         .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
       val days =
         if (r.isNullAt(0)) 1L
@@ -110,12 +111,13 @@ object Pipeline {
   private val orderedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def prestageOrdered(s: SparkSession, d: String): String = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     orderedCache.computeIfAbsent(d, { dir =>
       val out = Files.createTempDirectory("graft_osrc_")
-      val raw = s.read.schema(Tables.eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val Array(mn, mx) = raw.agg(min(col("ts")), max(col("ts"))).head() match {
+      // ts arrives normalized to TimestampType (Tables.events); slice
+      // bounds are computed in epoch micros, which is exact for
+      // micro-encoded timestamps.
+      val raw = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val Array(mn, mx) = raw.agg(min(col("ts_us")), max(col("ts_us"))).head() match {
         case r => Array(r.getLong(0), r.getLong(1))
       }
       // 4 contiguous time ranges (equal spans — balance is irrelevant,
@@ -123,7 +125,8 @@ object Pipeline {
       val span = math.max(1L, mx - mn)
       val bounds = (0 to 4).map(i => mn + span / 4 * i).updated(4, mx + 1)
       val slices = (0 until 4).map { i =>
-        raw.filter(col("ts") >= bounds(i) && col("ts") < bounds(i + 1))
+        raw.filter(col("ts_us") >= bounds(i) && col("ts_us") < bounds(i + 1))
+          .drop("ts_us")
       }
       // THREE heartbeat files, because emission lags the watermark by
       // one micro-batch: batch N emits with the watermark computed from
@@ -138,11 +141,14 @@ object Pipeline {
       // which halves the per-batch state machinery vs one file per
       // trigger.
       val heartbeats = (1 to 3).map { h =>
+        val hbUs = mx + h * 90L * 86400L * 1000000L // 90·h days past max, µs
         s.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(
-            -h.toLong, mx + h * 90L * 86400L * 1000000000L, -1L, "heartbeat",
-            0.0, null.asInstanceOf[String])),
-          Tables.eventsRawSchema)
+            -h.toLong,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              hbUs / 1000000L, (hbUs % 1000000L) * 1000L)),
+            -1L, "heartbeat", 0.0, null.asInstanceOf[String])),
+          Tables.eventsSchema)
       }
       (slices ++ heartbeats).zipWithIndex.foreach { case (df, i) =>
         val stage = Files.createTempDirectory("graft_oslice_")
@@ -161,10 +167,9 @@ object Pipeline {
   private def orderedEventsStream(s: SparkSession, d: String,
       filesPerTrigger: Int = 1): DataFrame = {
     val staged = prestageOrdered(s, d)
-    Tables.eventsTsFix(
-      s.readStream.schema(Tables.eventsRawSchema)
-        .option("maxFilesPerTrigger", filesPerTrigger.toString)
-        .parquet(staged))
+    s.readStream.schema(Tables.eventsSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(staged)
   }
 
   // ————————————————— consolidated drain group ——————————————————————
@@ -790,13 +795,11 @@ object Pipeline {
     * stream metric. */
   def streamLatencyProbe(s: SparkSession, d: String,
       rowsPerBatch: Int = 10, nBatches: Int = 100): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = tmp("graft_lat_src_")
     // one staging job: the oldest nBatches·rowsPerBatch events hashed
     // into nBatches files (batch composition is irrelevant to latency;
     // only the ~rows-per-trigger grain needs to match the reference)
-    s.read.schema(Tables.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    Tables.events(s, d)
       .orderBy(col("ts")).limit(rowsPerBatch * nBatches)
       .repartition(nBatches)
       .write.mode("overwrite").parquet(src)
@@ -805,9 +808,8 @@ object Pipeline {
     try {
       val sinkDir = tmp("graft_lat_sink_")
       val runId = withStreamShuffle(s) {
-        val q = Tables.eventsTsFix(
-            s.readStream.schema(Tables.eventsRawSchema)
-              .option("maxFilesPerTrigger", "1").parquet(src))
+        val q = s.readStream.schema(Tables.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
           .select(col("event_id"), col("ts"), col("event_type"), col("value"))
           .writeStream.outputMode("append")
           .option("checkpointLocation", tmp("graft_ckpt_"))

@@ -31,7 +31,6 @@ object LatExp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def summarize(tag: String, df: DataFrame): Unit = {
@@ -44,8 +43,7 @@ object LatExp {
     //         tiny per-batch jobs don't pay re-optimization) ----
     val nBatches = 30
     val src = tmp("graft_latexp_src_")
-    s.read.schema(graft.Tables.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    graft.Tables.events(s, d)
       .orderBy(col("ts")).limit(20 * nBatches)
       .repartition(nBatches)
       .write.mode("overwrite").parquet(src)
@@ -55,9 +53,8 @@ object LatExp {
       s.streams.addListener(lst)
       try {
         val runId = {
-          val q = graft.Tables.eventsTsFix(
-              s.readStream.schema(graft.Tables.eventsRawSchema)
-                .option("maxFilesPerTrigger", "1").parquet(src))
+          val q = s.readStream.schema(graft.Tables.eventsSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
             .select(col("event_id"), col("ts"), col("event_type"), col("value"))
             .writeStream.outputMode("append")
             .option("checkpointLocation", tmp("graft_latexp_ckpt_"))

@@ -80,9 +80,10 @@ object Bench {
       // number measures the consolidated drain, never a stale parquet
       // read (the first streaming query of the iteration carries it)
       graft.streaming.Pipeline.resetDrains()
-      // same discipline for the shared GRU pass: one recurrence per
-      // iteration, carried by whichever of its two consumers runs first
+      // same discipline for the shared GRU/LSTM passes: one recurrence
+      // per iteration, carried by whichever consumer runs first
       graft.ops.Predict.resetGruDirs()
+      graft.ops.Predict.resetLstmDirs()
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -123,7 +124,19 @@ object Bench {
         System.err.println(s"[bench] stream latency probe skipped: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"errors":$errs,"sf":"$sfDir"}""")
+    // fixed 5-query probe subset, printed with every artifact: a stable
+    // cross-round host-speed reference (same queries every run, warm
+    // timings), so a degraded host shows up as a uniformly-inflated probe
+    // instead of a paragraph of caveats (SCALING.md)
+    val probeNames = Seq("q_count", "q_agg_groupby", "q_join_shuffle",
+      "q_token_count", "q_dedup_exact").filter(best.contains)
+    val probe = probeNames.map(n => "\"" + n + "\":" + best(n))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sf":"$sfDir"}""")
     spark.stop()
+    // a run with zero successful timings must not read as success
+    // (round 6: every events-fed query errored, rc stayed 0, and the
+    // driver recorded a timing-free artifact as a clean run)
+    if (best.isEmpty && names.nonEmpty) sys.exit(2)
   }
 }

@@ -146,6 +146,11 @@ object SparkEntry {
     "q_predict_windows" -> ((s, d) => Predict.predictAllWindowsBatched(s, d, 60)),
     "q_predict_gru"    -> ((s, d) => Predict.gruPredictions(s, d, 60)),
     "q_predict_gru_check" -> ((s, d) => Checks.gruPredictCheck(s, d)),
+    // the reference's actual artifact shape (lstm_model.keras:
+    // LSTM(64,relu)→LSTM(32,relu)→Dense(1)) — recurrent values are not
+    // SQL-expressible, so rows-only + the hash-gated companion below
+    "q_predict_lstm"    -> ((s, d) => Predict.lstmPredictions(s, d, 60)),
+    "q_predict_lstm_check" -> ((s, d) => Checks.lstmPredictCheck(s, d)),
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
@@ -192,6 +197,10 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_ann_quantized"  -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
+    // the IVF scale path: centroids are Spark-trained (not DuckDB-
+    // expressible) → rows-only + the hash-gated parity companion
+    "q_knn_classify_ivf"       -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
+    "q_knn_classify_ivf_check" -> ((s, d) => Checks.knnClassifyIvfCheck(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape).
     // The registered query emits SCALAR feature columns (declarative,
     // oracle-hashable); the array-returning batched-decode path
@@ -1632,6 +1641,25 @@ object SparkEntry {
            min(event_id) AS min_id, max(event_id) AS max_id,
            TRUE AS within_gru_bound
          FROM t WHERE rn >= 60""",
+    // LSTM companion: same hash-exact row-identity projection; the value
+    // laws valid under the reference's relu cell (finiteness, zero-base)
+    // surface as the booleans the oracle pins TRUE
+    "q_predict_lstm_check" ->
+      """WITH t AS (SELECT event_id, event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+         FROM events)
+         SELECT count(*) AS n_rows, count(DISTINCT event_type) AS n_series,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           TRUE AS all_finite, TRUE AS zero_base_zero_pred
+         FROM t WHERE rn >= 60""",
+    // IVF classify companion: the oracle knows the holdout count exactly
+    // (every query must surface, uncovered ones as explicit nulls); the
+    // parity/coverage floors vs the fully-oracled exact classifier are
+    // the booleans pinned TRUE
+    "q_knn_classify_ivf_check" ->
+      """SELECT count(*) AS n_queries, TRUE AS nulls_accounted,
+           TRUE AS agree_ok, TRUE AS coverage_ok
+         FROM embeddings WHERE vec_id % 5 = 0""",
     // n_true_pairs is recomputed INDEPENDENTLY by the oracle over all
     // pairs — agreeing to the last pair also cross-checks the two
     // engines' cosine folds at the threshold

@@ -243,4 +243,74 @@ object Checks {
         max(col("event_id")).as("max_id"),
         (sum(bad) === 0L).as("within_gru_bound"))
   }
+
+  /** Stacked-LSTM inference companion, mirroring [[gruPredictCheck]].
+    * The GRU's convex output bound does NOT transfer: the reference
+    * artifact's cell activation is relu (`lstm_model.keras` config —
+    * h = o ⊙ relu(c), unbounded above), so the value laws that DO hold
+    * for any weights are pinned instead:
+    *   1. ROW IDENTITY (hash-exact vs the oracle's window derivation):
+    *      exactly one row per complete 60-window;
+    *   2. FINITENESS: sigmoid/relu/linear over finite inputs compose to
+    *      finite outputs — any NaN/Inf marks a broken forward pass;
+    *   3. the ZERO-BASE LAW: predicted = base·(1+out), so a zero last
+    *      value forces predicted = 0 exactly (same convention as the
+    *      GRU's scale-free input). */
+  def lstmPredictCheck(s: SparkSession, d: String): DataFrame = {
+    val lstm = Predict.lstmPredictions(s, d, 60)
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val nonFinite = when(col("predicted").isNaN ||
+      col("predicted") === Double.PositiveInfinity ||
+      col("predicted") === Double.NegativeInfinity, 1L).otherwise(0L)
+    val zeroBaseBad = when(col("value") === 0.0 && col("predicted") =!= 0.0, 1L)
+      .otherwise(0L)
+    lstm.join(ev, Seq("event_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type")).as("n_series"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        (sum(nonFinite) === 0L).as("all_finite"),
+        (sum(zeroBaseBad) === 0L).as("zero_base_zero_pred"))
+  }
+
+  /** IVF-pruned kNN classify vs the EXACT classifier (whose own query is
+    * fully DuckDB-oracled): the scale path must stay a faithful pruning,
+    * not a different classifier. Pinned, on top of the spec's exact
+    * probed-cell parity proof:
+    *   - `n_queries` — every holdout query surfaces (uncovered ones as
+    *     explicit nulls), hash-checked value-for-value by the oracle;
+    *   - `nulls_accounted` — covered + null partitions the query set;
+    *   - `agree_ok` — on covered queries, IVF's prediction matches the
+    *     exact classifier's on at least `agreeFloor` of rows. The floor is
+    *     deliberately modest, same honesty regime as [[annRecallCheck]]'s
+    *     0.3: the fixture's embeddings are cluster-free random vectors, so
+    *     cell-probing keeps ~0.4–0.6 of true neighbors, and a 10-way
+    *     majority vote over a noisy candidate set compounds that loss
+    *     (measured 0.38 at sf0.01). On REAL clustered embeddings — the
+    *     only data IVF is deployed on — probed cells hold the true
+    *     neighborhood and agreement approaches 1; the spec's plain-Scala
+    *     recompute separately proves the operator computes its probed-cell
+    *     semantics exactly;
+    *   - `coverage_ok` — at least `coverageFloor` of queries are covered. */
+  def knnClassifyIvfCheck(s: SparkSession, d: String,
+      agreeFloor: Double = 0.25, coverageFloor: Double = 0.9): DataFrame = {
+    val exact = Similarity.knnClassify(s, d)
+      .select(col("vec_id"), col("pred_label").as("exact_label"))
+      .localCheckpoint(true)
+    val ivf = Similarity.knnClassifyIvf(s, d)
+      .select(col("vec_id"), col("pred_label"))
+      .localCheckpoint(true)
+    val n = ivf.count()
+    val covered = ivf.filter(col("pred_label").isNotNull)
+    val nCov = covered.count()
+    val nAgree = covered.join(exact, Seq("vec_id"))
+      .filter(col("pred_label") === col("exact_label")).count()
+    import s.implicits._
+    Seq((n,
+      nCov + ivf.filter(col("pred_label").isNull).count() == n,
+      nCov == 0 || nAgree.toDouble / nCov >= agreeFloor,
+      nCov.toDouble / n >= coverageFloor))
+      .toDF("n_queries", "nulls_accounted", "agree_ok", "coverage_ok")
+  }
 }

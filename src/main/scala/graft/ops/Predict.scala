@@ -165,6 +165,172 @@ object Predict {
     }
   }
 
+  /** One stacked-LSTM layer's weights, row-major (`w*` are hidden×input,
+    * `u*` hidden×hidden, `b*` hidden). Gate order follows the standard
+    * public LSTM formulation (input / forget / candidate / output). */
+  final case class LstmLayerWeights(input: Int, hidden: Int,
+      wi: Array[Double], ui: Array[Double], bi: Array[Double],
+      wf: Array[Double], uf: Array[Double], bf: Array[Double],
+      wg: Array[Double], ug: Array[Double], bg: Array[Double],
+      wo: Array[Double], uo: Array[Double], bo: Array[Double]) {
+    require(input > 0 && hidden > 0, s"bad layer dims ${input}x$hidden")
+    for ((n, a) <- Seq("wi" -> wi, "wf" -> wf, "wg" -> wg, "wo" -> wo))
+      require(a.length == hidden * input,
+        s"$n must have ${hidden * input} values, got ${a.length}")
+    for ((n, a) <- Seq("ui" -> ui, "uf" -> uf, "ug" -> ug, "uo" -> uo))
+      require(a.length == hidden * hidden,
+        s"$n must have ${hidden * hidden} values, got ${a.length}")
+    for ((n, a) <- Seq("bi" -> bi, "bf" -> bf, "bg" -> bg, "bo" -> bo))
+      require(a.length == hidden, s"$n must have $hidden values, got ${a.length}")
+  }
+
+  /** Stacked-LSTM weights + linear readout. `activation` is the cell /
+    * candidate activation ("tanh" = the textbook cell; "relu" = the
+    * reference artifact's choice — `lstm_model.keras` config.json declares
+    * LSTM(64, activation=relu) → LSTM(32, activation=relu) → Dense(1),
+    * recurrent_activation=sigmoid). Layer chaining is validated here so a
+    * misshapen stack fails at construction, not mid-job. */
+  final case class LstmWeights(layers: Seq[LstmLayerWeights],
+      wOut: Array[Double], activation: String = "relu") {
+    require(layers.nonEmpty, "need at least one LSTM layer")
+    require(layers.head.input == 1, "first layer consumes the scalar series")
+    layers.sliding(2).foreach {
+      case Seq(a, b) => require(b.input == a.hidden,
+        s"layer chain mismatch: ${a.hidden} -> ${b.input}")
+      case _ => ()
+    }
+    require(wOut.length == layers.last.hidden,
+      s"wOut must have ${layers.last.hidden} values, got ${wOut.length}")
+    require(activation == "tanh" || activation == "relu",
+      s"unsupported activation '$activation'")
+  }
+
+  /** LSTM forward pass with the reference's ARCHITECTURE
+    * (`lstm_model.keras`: stacked LSTM(64)→LSTM(32)→Dense(1), the model
+    * `batch_processor.py:45-46` loads once and `stream_consumer.py:43-45`
+    * serves per batch): standard public cell equations
+    *   i=σ(Wi·x+Ui·h+bi)  f=σ(Wf·x+Uf·h+bf)  g=act(Wg·x+Ug·h+bg)
+    *   o=σ(Wo·x+Uo·h+bo)  c′=f⊙c+i⊙g        h′=o⊙act(c′)
+    * unrolled over the window, layer l+1 consuming layer l's hidden
+    * sequence, linear head on the last layer's final h. Same scale-free
+    * input convention as [[GruPredictor]] (x = v/base − 1, output =
+    * base·(1+out)) so untrained weights still emit price-magnitude
+    * values. No trained weights in the sandbox (SURVEY §7 R1): the
+    * default constructor seeds the reference's 64→32 shape
+    * deterministically; trained weights drop in via
+    * [[LstmPredictor.fromFile]] with no other code change. */
+  class LstmPredictor(val weights: LstmWeights) extends Predictor {
+    def this(hidden: Seq[Int] = Seq(64, 32), seed: Long = 7L,
+        activation: String = "relu") =
+      this(LstmPredictor.seededWeights(hidden, seed, activation))
+
+    @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+    @inline private def act(x: Double): Double =
+      if (weights.activation == "relu") math.max(0.0, x) else math.tanh(x)
+
+    override def predict(lastK: Seq[Double]): Double = {
+      val base = lastK.last
+      // layer 0 input: the scale-free series, one scalar per step
+      var seq: Array[Array[Double]] =
+        lastK.iterator.map { v =>
+          Array(if (base != 0.0) v / base - 1.0 else v)
+        }.toArray
+      weights.layers.foreach { L =>
+        val n = L.hidden; val m = L.input
+        var h = new Array[Double](n)
+        var c = new Array[Double](n)
+        val outSeq = new Array[Array[Double]](seq.length)
+        var t = 0
+        while (t < seq.length) {
+          val x = seq(t)
+          val hN = new Array[Double](n); val cN = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var ai = L.bi(i); var af = L.bf(i); var ag = L.bg(i); var ao = L.bo(i)
+            var j = 0
+            while (j < m) {
+              val xj = x(j)
+              ai += L.wi(i * m + j) * xj; af += L.wf(i * m + j) * xj
+              ag += L.wg(i * m + j) * xj; ao += L.wo(i * m + j) * xj
+              j += 1
+            }
+            j = 0
+            while (j < n) {
+              val hj = h(j)
+              ai += L.ui(i * n + j) * hj; af += L.uf(i * n + j) * hj
+              ag += L.ug(i * n + j) * hj; ao += L.uo(i * n + j) * hj
+              j += 1
+            }
+            val ci = sigmoid(af) * c(i) + sigmoid(ai) * act(ag)
+            cN(i) = ci
+            hN(i) = sigmoid(ao) * act(ci)
+            i += 1
+          }
+          h = hN; c = cN; outSeq(t) = hN
+          t += 1
+        }
+        seq = outSeq
+      }
+      val hLast = seq.last
+      var out = 0.0
+      var i = 0
+      while (i < hLast.length) { out += weights.wOut(i) * hLast(i); i += 1 }
+      base * (1.0 + out)
+    }
+  }
+
+  object LstmPredictor {
+    /** Deterministic stand-in weights, fan-in-scaled so deep stacks stay
+      * numerically tame under the unbounded relu cell. */
+    def seededWeights(hidden: Seq[Int], seed: Long,
+        activation: String): LstmWeights = {
+      val rnd = new scala.util.Random(seed)
+      def mat(n: Int, fanIn: Int): Array[Double] =
+        Array.fill(n)(rnd.nextGaussian() / math.sqrt(math.max(1, fanIn)))
+      val layers = hidden.zip(1 +: hidden.dropRight(1)).map { case (n, m) =>
+        LstmLayerWeights(m, n,
+          mat(n * m, m + n), mat(n * n, m + n), mat(n, m + n),
+          mat(n * m, m + n), mat(n * n, m + n), mat(n, m + n),
+          mat(n * m, m + n), mat(n * n, m + n), mat(n, m + n),
+          mat(n * m, m + n), mat(n * n, m + n), mat(n, m + n))
+      }
+      LstmWeights(layers, mat(hidden.last, hidden.last), activation)
+    }
+
+    /** Load trained weights from the same plain-text format as
+      * [[GruPredictor.fromFile]]: `hidden:64,32`, optional
+      * `activation:relu|tanh` (default relu, the reference artifact's),
+      * then per-layer tensors `l<idx>_{wi,ui,bi,wf,uf,bf,wg,ug,bg,wo,uo,bo}`
+      * row-major, and `wOut`. Sizes validate on load. */
+    def fromFile(path: String): LstmPredictor =
+      new LstmPredictor(parseWeights(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)))
+
+    private[graft] def parseWeights(text: String): LstmWeights = {
+      val m: Map[String, String] = text.linesIterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val parts = l.split(":", 2)
+          require(parts.length == 2, s"malformed weight line: '$l'")
+          parts(0).trim -> parts(1).trim
+        }.toMap
+      def nums(name: String): Array[Double] =
+        m.getOrElse(name, throw new IllegalArgumentException(
+          s"missing tensor '$name'"))
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+      val hidden = nums("hidden").map(_.toInt).toSeq
+      val layers = hidden.zip(1 +: hidden.dropRight(1)).zipWithIndex.map {
+        case ((n, in), idx) =>
+          def g(t: String) = nums(s"l${idx}_$t")
+          LstmLayerWeights(in, n,
+            g("wi"), g("ui"), g("bi"), g("wf"), g("uf"), g("bf"),
+            g("wg"), g("ug"), g("bg"), g("wo"), g("uo"), g("bo"))
+      }
+      LstmWeights(layers, nums("wOut"), m.getOrElse("activation", "relu"))
+    }
+  }
+
   /** M2's REAL shape — batched inference over every stride-1 length-k
     * window: windows are materialized by the (deterministic, ordered)
     * frame exactly as [[predictAllWindows]], then a mapPartitions stage
@@ -241,6 +407,30 @@ object Predict {
     s.read.parquet(gruPredictionsDir(s, d, k)).orderBy(col("event_id"))
 
   def resetGruDirs(): Unit = gruDirCache.clear()
+
+  private val lstmDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** The stacked-LSTM inference pass ([[predictAllWindowsBatched]] with
+    * the reference-shaped seeded [[LstmPredictor]]), materialized once
+    * per (corpus, window size) and shared by `q_predict_lstm` and its
+    * hash-gated companion — same build-once lifecycle as
+    * [[gruPredictionsDir]]; Bench clears it each iteration so the warm
+    * number still pays exactly one recurrence pass. */
+  def lstmPredictionsDir(s: SparkSession, d: String, k: Int = 60): String =
+    lstmDirCache.computeIfAbsent((d, k), { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_lstm_").toString
+      predictAllWindowsBatchedRaw(s, d, k, new LstmPredictor(), 1024)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** `q_predict_lstm`'s registered form: the cached pass, re-sorted on
+    * read (parquet does not preserve the operator's event_id order). */
+  def lstmPredictions(s: SparkSession, d: String, k: Int = 60): DataFrame =
+    s.read.parquet(lstmPredictionsDir(s, d, k)).orderBy(col("event_id"))
+
+  def resetLstmDirs(): Unit = lstmDirCache.clear()
 
   /** M1 — next-value prediction per series from the last k observations,
     * TWO-PHASE: the bounded [[graft.functions.TopKByAgg]] reduces each

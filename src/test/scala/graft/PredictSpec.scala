@@ -148,4 +148,85 @@ class PredictSpec extends SparkSpec {
         "wh:1,2\nuh:1,2,3,4\nbh:1,2\nwOut:1,2") // uz is 3 values, needs 4
     }
   }
+
+  test("LSTM forward pass matches a hand-computed single-cell unroll (both activations)") {
+    // one layer, hidden=1 — every gate is a scalar, so the documented
+    // cell equations re-derive independently in plain arithmetic
+    def layer = Predict.LstmLayerWeights(1, 1,
+      Array(0.5), Array(0.25), Array(0.1),   // i
+      Array(-0.3), Array(0.2), Array(0.0),   // f
+      Array(0.8), Array(-0.5), Array(0.05),  // g (candidate)
+      Array(0.4), Array(0.3), Array(-0.1))   // o
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val xs = Seq(100.0, 110.0, 121.0)
+    val base = xs.last
+    for (activation <- Seq("tanh", "relu")) {
+      val p = new Predict.LstmPredictor(
+        Predict.LstmWeights(Seq(layer), Array(1.5), activation))
+      def act(x: Double) =
+        if (activation == "relu") math.max(0.0, x) else math.tanh(x)
+      var h = 0.0; var c = 0.0
+      xs.foreach { x0 =>
+        val x = x0 / base - 1.0
+        val i = sig(0.5 * x + 0.25 * h + 0.1)
+        val f = sig(-0.3 * x + 0.2 * h + 0.0)
+        val g = act(0.8 * x + -0.5 * h + 0.05)
+        val o = sig(0.4 * x + 0.3 * h + -0.1)
+        c = f * c + i * g
+        h = o * act(c)
+      }
+      val expected = base * (1.0 + 1.5 * h)
+      assert(p.predict(xs) == expected,
+        s"$activation: ${p.predict(xs)} != $expected")
+    }
+  }
+
+  test("LSTM reference shape (64->32, relu): deterministic, finite, batch == row-at-a-time") {
+    val p = new Predict.LstmPredictor()
+    assert(p.weights.layers.map(l => (l.input, l.hidden)) == Seq((1, 64), (64, 32)),
+      "default must match lstm_model.keras: LSTM(64) -> LSTM(32)")
+    assert(p.weights.activation == "relu")
+    val w1 = Array.tabulate(60)(i => 100.0 + i * 0.5)
+    val w2 = w1.map(_ * 2.0)
+    assert(p.predict(w1.toIndexedSeq) == p.predict(w1.toIndexedSeq))
+    val b = p.predictBatch(Array(w1, w2))
+    assert(b(0) == p.predict(w1.toIndexedSeq))
+    assert(b(1) == p.predict(w2.toIndexedSeq))
+    b.foreach(x => assert(java.lang.Double.isFinite(x)))
+    // zero-base law: predicted = base * (1 + out) -> exactly 0
+    assert(p.predict(Seq(1.0, 2.0, 0.0)) == 0.0)
+  }
+
+  test("q_predict_lstm covers every complete window, like the GRU and linear paths") {
+    assert(q("q_predict_lstm").count() == q("q_predict_windows").count())
+  }
+
+  test("LSTM weights round-trip through the text export format") {
+    val layer = Predict.LstmLayerWeights(1, 2,
+      Array(0.1, 0.2), Array(0.3, 0.4, 0.5, 0.6), Array(0.7, 0.8),
+      Array(-0.1, -0.2), Array(-0.3, -0.4, -0.5, -0.6), Array(-0.7, -0.8),
+      Array(0.11, 0.12), Array(0.13, 0.14, 0.15, 0.16), Array(0.17, 0.18),
+      Array(0.21, 0.22), Array(0.23, 0.24, 0.25, 0.26), Array(0.27, 0.28))
+    val inMem = new Predict.LstmPredictor(
+      Predict.LstmWeights(Seq(layer), Array(1.0, -1.0), "tanh"))
+    def row(name: String, a: Array[Double]) = s"$name:${a.mkString(",")}"
+    val txt = (Seq("hidden:2", "activation:tanh") ++ Seq(
+      row("l0_wi", layer.wi), row("l0_ui", layer.ui), row("l0_bi", layer.bi),
+      row("l0_wf", layer.wf), row("l0_uf", layer.uf), row("l0_bf", layer.bf),
+      row("l0_wg", layer.wg), row("l0_ug", layer.ug), row("l0_bg", layer.bg),
+      row("l0_wo", layer.wo), row("l0_uo", layer.uo), row("l0_bo", layer.bo),
+      "wOut:1.0,-1.0")).mkString("\n")
+    val f = java.nio.file.Files.createTempFile("lstm_", ".weights")
+    java.nio.file.Files.write(f, txt.getBytes("UTF-8"))
+    val fromFile = Predict.LstmPredictor.fromFile(f.toString)
+    val xs = Seq(10.0, 12.0, 11.0, 13.0)
+    assert(fromFile.predict(xs) == inMem.predict(xs))
+    // misshapen stacks fail at construction
+    intercept[IllegalArgumentException] {
+      Predict.LstmPredictor.parseWeights("hidden:2\nwOut:1.0\n") // missing l0_*
+    }
+    intercept[IllegalArgumentException] {
+      Predict.LstmWeights(Seq(layer), Array(1.0), "tanh") // wOut wrong size
+    }
+  }
 }

@@ -227,6 +227,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("IVF classify companion: every invariant boolean holds on the fixture") {
+    val r = q("q_knn_classify_ivf_check").head()
+    val holdout = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(r.getAs[Long]("n_queries") == holdout)
+    assert(r.getAs[Boolean]("nulls_accounted"))
+    assert(r.getAs[Boolean]("agree_ok"))
+    assert(r.getAs[Boolean]("coverage_ok"))
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -5,6 +5,29 @@ import org.apache.spark.sql.SparkSession
 /** Scoped execution-tuning helpers. */
 object Tuning {
 
+  /** Root for EPHEMERAL per-run scratch (streaming checkpoints, staged
+    * replay sources, bounded-drain sinks): tmpfs when the host offers it,
+    * else the JVM temp dir. The per-micro-batch floor decomposition
+    * (SCALING.md stream addendum; `LatExp decompose`) shows every
+    * checkpoint-log phase and the per-batch sink append paying the
+    * backing filesystem — RAM-backed dirs cut the measured solo-drain
+    * floor ~30% end to end. Durability is NOT lost where it matters:
+    * these dirs are created fresh per run and never survive the process
+    * by design (bounded AvailableNow drains over staged replays); the
+    * production constructors (Kafka/JDBC, caller-provided
+    * checkpointLocation) are untouched — a real deployment points its
+    * checkpoints at durable cluster storage and its state at
+    * local-SSD-backed RocksDB, which is exactly this trade expressed
+    * with cluster primitives. */
+  val fastTmpRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  def fastTmpDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(fastTmpRoot, prefix)
+
   /** Run `f` with `spark.sql.shuffle.partitions` set to n, restoring the
     * previous value after. For bounded drains and small iterative steps
     * whose per-partition fixed costs (state-store commits, task

@@ -23,8 +23,10 @@ object Pipeline {
 
   case class E(event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
 
+  /** Ephemeral per-run scratch (checkpoints, staged sources, drain
+    * sinks) on the fast tmp root — see [[graft.Tuning.fastTmpRoot]]. */
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.Tuning.fastTmpDir(prefix).toString
 
   /** Streaming drains run at 4 shuffle partitions: each stateful
     * micro-batch pays per-partition state-store open/commit overhead,
@@ -112,7 +114,7 @@ object Pipeline {
 
   def prestageOrdered(s: SparkSession, d: String): String = {
     orderedCache.computeIfAbsent(d, { dir =>
-      val out = Files.createTempDirectory("graft_osrc_")
+      val out = graft.Tuning.fastTmpDir("graft_osrc_")
       // ts arrives normalized to TimestampType (Tables.events); slice
       // bounds are computed in epoch micros, which is exact for
       // micro-encoded timestamps.
@@ -151,7 +153,7 @@ object Pipeline {
           Tables.eventsSchema)
       }
       (slices ++ heartbeats).zipWithIndex.foreach { case (df, i) =>
-        val stage = Files.createTempDirectory("graft_oslice_")
+        val stage = graft.Tuning.fastTmpDir("graft_oslice_")
         df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
         val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
           .findFirst().get()

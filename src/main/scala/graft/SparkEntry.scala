@@ -1641,13 +1641,18 @@ object SparkEntry {
            min(event_id) AS min_id, max(event_id) AS max_id,
            TRUE AS within_gru_bound
          FROM t WHERE rn >= 60""",
-    // LSTM companion: same hash-exact row-identity projection; the value
-    // laws valid under the reference's relu cell (finiteness, zero-base)
-    // surface as the booleans the oracle pins TRUE
+    // LSTM companion: hash-exact row identity of the window set derived
+    // WITHIN the reference's bounded fetch slice (ORDER BY ts DESC LIMIT
+    // 10000, batch_processor.py:76 — at the sf0.01 gate the slice IS the
+    // whole corpus, so the bound is also cross-checked against the
+    // unbounded derivation there); the value laws valid under the
+    // reference's relu cell (finiteness, zero-base) ride as booleans
     "q_predict_lstm_check" ->
-      """WITH t AS (SELECT event_id, event_type,
+      """WITH s AS (SELECT event_id, event_type, ts FROM events
+           ORDER BY ts DESC, event_id DESC LIMIT 10000),
+         t AS (SELECT event_id, event_type,
            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-         FROM events)
+         FROM s)
          SELECT count(*) AS n_rows, count(DISTINCT event_type) AS n_series,
            min(event_id) AS min_id, max(event_id) AS max_id,
            TRUE AS all_finite, TRUE AS zero_base_zero_pred

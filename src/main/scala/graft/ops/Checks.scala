@@ -249,8 +249,10 @@ object Checks {
     * artifact's cell activation is relu (`lstm_model.keras` config —
     * h = o ⊙ relu(c), unbounded above), so the value laws that DO hold
     * for any weights are pinned instead:
-    *   1. ROW IDENTITY (hash-exact vs the oracle's window derivation):
-    *      exactly one row per complete 60-window;
+    *   1. ROW IDENTITY (hash-exact vs the oracle's window derivation
+    *      inside the reference's bounded top-10k fetch slice — see
+    *      [[Predict.lstmPredictionsDir]]; at the sf0.01 gate the slice
+    *      is the whole corpus): exactly one row per complete 60-window;
     *   2. FINITENESS: sigmoid/relu/linear over finite inputs compose to
     *      finite outputs — any NaN/Inf marks a broken forward pass;
     *   3. the ZERO-BASE LAW: predicted = base·(1+out), so a zero last

@@ -395,7 +395,9 @@ object Predict {
     * first), never zero and never one per consumer. */
   def gruPredictionsDir(s: SparkSession, d: String, k: Int = 60): String =
     gruDirCache.computeIfAbsent((d, k), { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_gru_").toString
+      // ephemeral shared intermediate, re-built per bench iteration —
+      // rides the tmpfs lever like the streaming scratch (Tuning doc)
+      val out = graft.Tuning.fastTmpDir("graft_gru_").toString
       predictAllWindowsBatchedRaw(s, d, k, new GruPredictor(), 1024)
         .write.mode("overwrite").parquet(out)
       out
@@ -411,19 +413,67 @@ object Predict {
   private val lstmDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
-  /** The stacked-LSTM inference pass ([[predictAllWindowsBatched]] with
-    * the reference-shaped seeded [[LstmPredictor]]), materialized once
-    * per (corpus, window size) and shared by `q_predict_lstm` and its
-    * hash-gated companion — same build-once lifecycle as
-    * [[gruPredictionsDir]]; Bench clears it each iteration so the warm
-    * number still pays exactly one recurrence pass. */
-  def lstmPredictionsDir(s: SparkSession, d: String, k: Int = 60): String =
+  /** The stacked-LSTM inference pass at the REFERENCE'S OPERATING POINT:
+    * the reference never runs its LSTM(64)→LSTM(32) over the whole
+    * corpus — its batch chain fetches `ORDER BY timestamp DESC LIMIT
+    * 10000` and predicts the ~9,940 windows inside that slice
+    * (`batch_processor.py:76,88-101`), a CONSTANT amount of model
+    * compute at any corpus size. The engine mirrors that bound: top-k
+    * fetch (TakeOrderedAndProject — the `q_orderby_limit` plan), windows
+    * derived WITHIN the slice per series, batched inference over the
+    * ≤fetch window set. At 100 TB the scan behind the fetch is the only
+    * thing that grows; the ~3.5 MFLOP/window recurrence stays a fixed
+    * ~35 GFLOP job. (The corpus-wide stress path is still one call away:
+    * [[predictAllWindowsBatched]] with an [[LstmPredictor]] — the GRU
+    * query keeps exercising that all-windows shape cheaply.)
+    *
+    * Materialized once per (corpus, window size) and shared by
+    * `q_predict_lstm` and its hash-gated companion — same build-once
+    * lifecycle as [[gruPredictionsDir]]; Bench clears it each iteration
+    * so the warm number still pays exactly one recurrence pass. */
+  def lstmPredictionsDir(s: SparkSession, d: String, k: Int = 60,
+      fetch: Int = 10000): String =
     lstmDirCache.computeIfAbsent((d, k), { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_lstm_").toString
-      predictAllWindowsBatchedRaw(s, d, k, new LstmPredictor(), 1024)
+      val out = graft.Tuning.fastTmpDir("graft_lstm_").toString
+      predictFetchWindowsBatchedRaw(s, d, k, fetch, new LstmPredictor(), 1024)
         .write.mode("overwrite").parquet(out)
       out
     })
+
+  /** Windows within the reference's bounded fetch slice → batched
+    * inference. The slice is ≤fetch rows, so its per-series window sort
+    * is trivially small — but the INFERENCE is not (reference shape ≈
+    * 3.5 MFLOP/window), so the window rows are explicitly repartitioned
+    * to the session's parallelism before the predict stage: without it
+    * the ≤fetch rows sit in a handful of per-series sort outputs and the
+    * recurrence runs nearly serial (measured 112 s for the unbounded ×
+    * underparallelized variant at sf0.1 vs ~2 s bounded + spread). */
+  private def predictFetchWindowsBatchedRaw(s: SparkSession, d: String,
+      k: Int, fetch: Int, predictor: Predictor, batchSize: Int): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(predictor)
+    val slice = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy(col("ts").desc, col("event_id").desc).limit(fetch)
+    val frame = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(k - 1), 0)
+    slice
+      .select(col("event_id"), col("event_type"),
+        collect_list(col("value")).over(frame).as("w"))
+      .filter(size(col("w")) === k)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String, Array[Double])]
+      .mapPartitions { it =>
+        val p = bc.value
+        p.prepare()
+        it.grouped(batchSize).flatMap { chunk =>
+          val preds = p.predictBatch(chunk.map(_._3).toArray)
+          chunk.iterator.zip(preds.iterator).map { case ((id, et, _), pred) =>
+            (id, et, pred)
+          }
+        }
+      }.toDF("event_id", "event_type", "predicted")
+  }
 
   /** `q_predict_lstm`'s registered form: the cached pass, re-sorted on
     * read (parquet does not preserve the operator's event_id order). */

@@ -197,8 +197,18 @@ class PredictSpec extends SparkSpec {
     assert(p.predict(Seq(1.0, 2.0, 0.0)) == 0.0)
   }
 
-  test("q_predict_lstm covers every complete window, like the GRU and linear paths") {
+  test("q_predict_lstm covers every complete window inside the reference's fetch bound") {
+    // the LSTM runs at the reference's operating point — windows derived
+    // within the top-10k fetch slice (batch_processor.py:76). This
+    // fixture is smaller than the bound, so the slice IS the corpus and
+    // the bounded derivation must agree with the unbounded one exactly
+    assert(Tables.events(spark, sf).count() <= 10000,
+      "fixture outgrew the fetch bound; pick the slice assertions apart")
     assert(q("q_predict_lstm").count() == q("q_predict_windows").count())
+    assert(
+      q("q_predict_lstm").select("event_id").collect().map(_.getLong(0)).sorted
+        .sameElements(
+          q("q_predict_windows").select("event_id").collect().map(_.getLong(0)).sorted))
   }
 
   test("LSTM weights round-trip through the text export format") {

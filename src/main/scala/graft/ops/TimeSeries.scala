@@ -46,29 +46,101 @@ object TimeSeries {
         col("win").cast(ArrayType(DoubleType)), col("win").cast(ArrayType(DoubleType))))
   }
 
+  /** The query window — the complete window holding the globally
+    * smallest event_id — derived WITHOUT materializing the corpus-wide
+    * window set: the previous formulation evaluated the full frames
+    * pass TWICE per run (once under the broadcast's `orderBy(event_id)
+    * .limit(1)`, once for the scored side — a broadcast subtree is its
+    * own job and shares nothing with the main plan). This derivation
+    * replaces the first pass with three BOUNDED jobs over the raw scan:
+    *   1. per-series w-th smallest (ts, event_id) via the bounded
+    *      [[graft.functions.TopKByAgg]] on NEGATED keys (largest
+    *      negated = smallest original; both keys are far from
+    *      Long.MinValue, so negation is exact) — an event has a
+    *      complete window iff its (ts, id) key is ≥ this threshold;
+    *   2. the anchor: min event_id among threshold-qualified events —
+    *      a broadcast join of the ~|series| threshold rows + one
+    *      TakeOrdered(1);
+    *   3. the anchor's trailing w values — one filtered TakeOrdered(w).
+    * The window values return in chronological order; sm/ss accumulate
+    * on the driver in the SAME ascending left-fold order as the scored
+    * side's `Native.dot` (and DuckDB's `list_sum`), so every scored
+    * correlation is bit-identical to the two-pass formulation. Values
+    * ride exactly (ts-micros and ids are < 2^53, lossless in the
+    * aggregate's double slot). */
+  private[graft] def queryWindowRow(s: SparkSession, d: String,
+      w: Int): Option[(Array[Double], Double, Double)] = {
+    import graft.functions.Native
+    Native.register(s)
+    val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val th = ev.groupBy(col("event_type")).agg(
+        Native.topKBy(-col("ts_us"), -col("event_id"),
+          col("ts_us").cast(DoubleType), w).as("th_ts_arr"),
+        Native.topKBy(-col("ts_us"), -col("event_id"),
+          col("event_id").cast(DoubleType), w).as("th_id_arr"))
+      .filter(size(col("th_ts_arr")) === w)
+      .select(col("event_type"),
+        element_at(col("th_ts_arr"), w).cast("long").as("th_ts"),
+        element_at(col("th_id_arr"), w).cast("long").as("th_id"))
+    val anchor = ev.join(broadcast(th), "event_type")
+      .filter(col("ts_us") > col("th_ts") ||
+        (col("ts_us") === col("th_ts") && col("event_id") >= col("th_id")))
+      .orderBy(col("event_id")).limit(1)
+      .select(col("event_type"), col("event_id"), col("ts_us"))
+      .collect()
+    if (anchor.isEmpty) None
+    else {
+      val et = anchor(0).getString(0)
+      val eid = anchor(0).getLong(1)
+      val ts0 = anchor(0).getLong(2)
+      val win = ev.filter(col("event_type") === et &&
+          (col("ts_us") < ts0 ||
+            (col("ts_us") === ts0 && col("event_id") <= eid)))
+        .orderBy(col("ts_us").desc, col("event_id").desc).limit(w)
+        .select(col("value")).collect().map(_.getDouble(0)).reverse
+      var sm = 0.0
+      var ss = 0.0
+      win.foreach { v => sm += v * 1.0; ss += v * v }
+      Some((win, sm, ss))
+    }
+  }
+
   /** Top-k windows by Pearson correlation with the query window (the
     * complete window holding the globally smallest event_id — a
     * deterministic, oracle-expressible pick standing in for a
-    * user-supplied pattern). Windows with zero variance are excluded on
-    * both sides identically. The self-match ranks first with corr 1 by
-    * construction — kept, deterministic. */
+    * user-supplied pattern; derived by [[queryWindowRow]] in three
+    * bounded jobs, so the frames pass materializes ONCE). Windows with
+    * zero variance are excluded on both sides identically. The
+    * self-match ranks first with corr 1 by construction — kept,
+    * deterministic. */
   def searchByShape(s: SparkSession, d: String, w: Int = 20,
       k: Int = 25): DataFrame = {
     val wins = windows(s, d, w)
-    val q = wins.orderBy(col("event_id")).limit(1)
-      .select(col("win").as("qwin"), col("sm").as("qsm"), col("ss").as("qss"))
-    val wd = lit(w.toDouble)
-    val m  = col("sm") / wd
-    val qm = col("qsm") / wd
-    val num = graft.functions.Native.dot(
-      col("win").cast(ArrayType(DoubleType)),
-      col("qwin").cast(ArrayType(DoubleType))) - wd * m * qm
-    val den = sqrt(col("ss") - wd * m * m) * sqrt(col("qss") - wd * qm * qm)
-    wins.crossJoin(broadcast(q))
-      .filter(col("ss") - wd * m * m > 0 && col("qss") - wd * qm * qm > 0)
-      .select(col("event_id"), col("event_type"), (num / den).as("corr"))
-      .orderBy(col("corr").desc, col("event_id"))
-      .limit(k)
-      .orderBy(col("event_id"))
+    def empty = wins
+      .select(col("event_id"), col("event_type"), lit(0.0).as("corr"))
+      .limit(0)
+    queryWindowRow(s, d, w) match {
+      case None => empty
+      case Some((qwin, qsm, qss)) =>
+        val wd   = w.toDouble
+        val qm   = qsm / wd
+        val qVar = qss - wd * qm * qm
+        if (!(qVar > 0)) empty
+        else {
+          val wdC = lit(wd)
+          val m   = col("sm") / wdC
+          val qwinCol = array(qwin.map(lit(_)): _*).cast(ArrayType(DoubleType))
+          val num = graft.functions.Native.dot(
+            col("win").cast(ArrayType(DoubleType)), qwinCol) - wdC * m * lit(qm)
+          val den = sqrt(col("ss") - wdC * m * m) * lit(math.sqrt(qVar))
+          wins
+            .filter(col("ss") - wdC * m * m > 0)
+            .select(col("event_id"), col("event_type"), (num / den).as("corr"))
+            .orderBy(col("corr").desc, col("event_id"))
+            .limit(k)
+            .orderBy(col("event_id"))
+        }
+    }
   }
 }

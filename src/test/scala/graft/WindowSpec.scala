@@ -95,6 +95,30 @@ class WindowSpec extends SparkSpec {
     assert(self.exists(p => math.abs(p._2 - 1.0) < 1e-9))
   }
 
+  test("shape search: bounded query-window derivation == window-set derivation") {
+    // queryWindowRow replaces the frames-pass `orderBy(event_id).limit(1)`
+    // with three bounded jobs; its (win, sm, ss) must equal the plain
+    // window-set derivation value for value, fold for fold
+    val w = 20
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(w - 1), 0)
+    val first = Tables.events(spark, sf)
+      .select(col("event_id"),
+        collect_list(col("value")).over(frame).as("win"))
+      .filter(size(col("win")) === w)
+      .orderBy(col("event_id")).limit(1).collect()(0)
+    val expected = first.getSeq[Double](1).toArray
+    val q = graft.ops.TimeSeries.queryWindowRow(spark, sf, w)
+    assert(q.nonEmpty, "fixture has complete windows")
+    val (qwin, qsm, qss) = q.get
+    assert(qwin.sameElements(expected))
+    var sm = 0.0
+    var ss = 0.0
+    expected.foreach { v => sm += v * 1.0; ss += v * v }
+    assert(qsm == sm && qss == ss)
+  }
+
   test("sessionize splits on >30min gaps and covers every event exactly once") {
     import spark.implicits._
     def t(mins: Long) = new java.sql.Timestamp(1704067200000L + mins * 60000L)

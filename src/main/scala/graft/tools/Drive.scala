@@ -176,7 +176,8 @@ object Drive {
           "q_bm25_topk", "q_graph_components",
           "q_negative_sample", "q_embed_quantize", "q_knn_classify",
           "q_source_orc", "q_ann_quantized", "q_text_dupspans",
-          "q_budget_select").foreach { name =>
+          "q_budget_select", "q_predict_lstm", "q_knn_classify_ivf")
+          .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.executedPlan.toString.take(2500))

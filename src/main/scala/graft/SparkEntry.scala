@@ -192,6 +192,8 @@ object SparkEntry {
     "q_ann_bruteforce"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_ann_pq"             -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q_ann_pq_check"       -> ((s, d) => Checks.annPqCheck(s, d)),
     "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
     "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -1628,6 +1630,11 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_ann_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok",
+    // PQ companion: the truth count is the exact 10×5 brute-force set
+    // (Spark recomputes it; the oracle pins the cardinality and the
+    // recall floor boolean)
+    "q_ann_pq_check" ->
+      "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS pq_recall_ok",
     // GRU companion: the exact row-identity projection (one row per
     // complete 60-window) hash-checks value-for-value; the analytic
     // output-range law |predicted/value - 1| <= Σ|wOut| (valid for ANY

@@ -144,6 +144,29 @@ object Checks {
       .toDF("n_true", "lsh_recall_ok", "ivf_recall_ok")
   }
 
+  /** PQ-ANN companion, same shape as [[annRecallCheck]]: recall of the
+    * ADC+rerank pipeline against the cached brute-force truth, floor
+    * honest for this corpus profile (cluster-free random 64-dim
+    * vectors; PqM=8×PqK=16 quantization is coarse — measured 0.44-0.46
+    * at sf0.001/sf0.01 with the 4×k rerank pool, the same regime as the
+    * LSH/IVF sketches on this data; on clustered production embeddings
+    * PQ recall@k with a rerank pool approaches 1). The
+    * oracle pins `n_true` exactly; the spec separately pins encode
+    * parity (plain-Scala argmin == operator codes). */
+  def annPqCheck(s: SparkSession, d: String,
+      floorPq: Double = 0.3): DataFrame = {
+    val truth = annTruthCache.computeIfAbsent(d, _ =>
+      Similarity.bruteForceTopK(s, d).select(col("q_id"), col("n_id"))
+        .localCheckpoint(true))
+    val pq = Similarity.pqTopK(s, d).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
+    val nTrue = truth.count()
+    val hit = truth.intersect(pq).count()
+    import s.implicits._
+    Seq((nTrue, hit.toDouble / nTrue >= floorPq))
+      .toDF("n_true", "pq_recall_ok")
+  }
+
   /** IVF-blocked near-dup dedup vs the all-pairs truth. `n_true_pairs`
     * is the EXACT count of pairs at or above the threshold — Spark
     * computes it brute-force here, DuckDB recomputes it independently

@@ -288,6 +288,221 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ---------------- Product quantization (PQ) ANN ----------------
+
+  /** PQ geometry: 64 dims → [[PqM]]=8 subspaces of 8 dims, [[PqK]]=16
+    * codes per subspace (4 bits). A vector compresses to 8 nibbles —
+    * 4 bytes instead of 256 — which is the technique's point at 100 TB:
+    * the ANN scan reads a 4-byte code column, not the embedding column,
+    * a 64× scan-width reduction on top of any cell pruning (public
+    * method: Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — PAPERS.md). */
+  val PqM = 8
+  val PqK = 16
+
+  /** Per-corpus PQ codebooks, `cb(m)(k)` = the 8-dim centroid for code k
+    * of subspace m — trained ONCE per corpus and cached like
+    * [[trainedCentroids]] (the table is 8×16×8 doubles, trivially
+    * driver-held and closure-shipped).
+    *
+    * Training is Lloyd's per subspace, all M subspaces in ONE pass per
+    * round: explode each (deterministically hash-sampled, ≤[[PqTrainCap]])
+    * normalized vector into its (m, subvector) rows, assign each row to
+    * its L2-nearest code of ITS OWN subspace's codebook (broadcast join
+    * on m + min_by — partial-aggregating, no sort), recompute each
+    * (m, k) centroid as the elementwise mean. Init = the subvectors of
+    * the [[PqK]] lowest-hash sampled vectors (same seeded-sample shape
+    * as [[kmeansCentroids]]); empty codes keep their previous centroid.
+    * Vectors are L2-NORMALIZED before training and encoding, so the ADC
+    * inner product approximates cosine directly. */
+  val PqTrainCap = 65536L
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private[graft] def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(d, { _ =>
+      val ds = 64 / PqM
+      val e = corpus(s, d)
+      val n = e.count()
+      val sampled =
+        if (n <= PqTrainCap) e
+        else e.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(PqTrainCap))
+      val en = sampled
+        .withColumn("nrm", l2norm(col("embedding")))
+        .withColumn("nemb", expr(
+          "transform(embedding, x -> CASE WHEN nrm = 0 THEN 0.0D ELSE CAST(x AS DOUBLE) / nrm END)"))
+        .select(col("vec_id"), col("nemb"))
+      // init: subvectors of the PqK lowest-hash sampled vectors
+      val seed = en.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
+        .select(col("nemb")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      var cb: Array[Array[Array[Double]]] =
+        Array.tabulate(PqM, PqK)((m, k) => seed(k).slice(m * ds, m * ds + ds))
+      val subRows = en.select(col("vec_id"), explode(array(
+          (0 until PqM).map(m => struct(lit(m).as("m"),
+            slice(col("nemb"), m * ds + 1, ds).as("sub"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+        .localCheckpoint(true)   // two Lloyd rounds re-read it; never re-derive
+      for (_ <- 1 to 2) {
+        import s.implicits._
+        val cbDf = cb.zipWithIndex.flatMap { case (codes, m) =>
+          codes.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+        }.toSeq.toDF("m", "k", "c_sub")
+        val dist = graft.functions.Native.dot(col("sub"), col("sub")) -
+          lit(2.0) * graft.functions.Native.dot(col("sub"), col("c_sub")) +
+          graft.functions.Native.dot(col("c_sub"), col("c_sub"))
+        val assigned = subRows.join(broadcast(cbDf), Seq("m"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(first(col("sub")).as("sub"),
+            min_by(col("k"), struct(dist, col("k"))).as("k"))
+        val means = assigned
+          .select(col("m"), col("k"), posexplode(col("sub")))
+          .groupBy(col("m"), col("k"), col("pos"))
+          .agg(avg(col("col")).as("v"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        cb = next
+      }
+      cb
+    })
+
+  /** PQ encoder (the index build): normalized vector → [[PqM]] 4-bit
+    * codes, each the L2-nearest codebook entry of its subspace. A UDF
+    * over the closure-shipped codebooks, same justification as
+    * [[lshSigUdf]]: the code is a rows-only sketch, never
+    * oracle-compared, and the tight JVM loop beats a thousand-node
+    * expression tree. Exposed for the spec's plain-Scala parity check. */
+  private[graft] def pqEncodeOne(cb: Array[Array[Array[Double]]],
+      emb: Seq[Float]): Array[Int] = {
+    val ds = cb(0)(0).length
+    var nrm = 0.0
+    emb.foreach(x => nrm += x.toDouble * x.toDouble)
+    nrm = math.sqrt(nrm)
+    val v = emb.toArray
+    Array.tabulate(cb.length) { m =>
+      var bestK = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb(m).length) {
+        val c = cb(m)(k)
+        var dd = 0.0
+        var i = 0
+        while (i < ds) {
+          val x = if (nrm == 0.0) 0.0 else v(m * ds + i).toDouble / nrm
+          val diff = x - c(i)
+          dd += diff * diff
+          i += 1
+        }
+        if (dd < bestD) { bestD = dd; bestK = k }
+        k += 1
+      }
+      bestK
+    }
+  }
+
+  /** (vec_id, codes) for the whole corpus. At 100 TB this IS the index
+    * table, materialized once next to the embeddings and re-read by
+    * every search (4 bytes/vector); at fixture scale it is cheap enough
+    * to derive per run. */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebooks(s, d)
+    val enc = udf((emb: Seq[Float]) => pqEncodeOne(cb, emb))
+    corpus(s, d).select(col("vec_id"), enc(col("embedding")).as("codes"))
+  }
+
+  /** PQ ANN search with ADC (asymmetric distance computation) + exact
+    * rerank. The queries' per-(subspace, code) inner-product lookup
+    * tables (nQueries × M × K doubles — tiny) are computed driver-side
+    * from the trained codebooks and closure-shipped; the corpus-wide
+    * scoring pass then reads ONLY the 4-byte code column and sums M
+    * table lookups per (vector, query) — never touching the embedding
+    * column. Per-partition bounded heaps (pool·k per query, approx-desc
+    * with id tie-break) reduce each task to its candidate slice, a
+    * global window over the ≤ partitions·pool·k·nQueries surviving rows
+    * picks the rerank pool, and the exact cosine rerank joins embedding
+    * payloads back by id for pool members only — the same
+    * ids-first-payloads-later discipline as [[lshTopK]]. Approximate by
+    * construction → rows-only; `q_ann_pq_check` pins the recall floor
+    * vs the oracled brute force, and the spec pins encode parity. */
+  def pqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      pool: Int = 4): DataFrame = {
+    import s.implicits._
+    val cb = pqCodebooks(s, d)
+    val ds = cb(0)(0).length
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    // bounded collect (precedent: trainedCentroids) — the query set is
+    // nQueries rows by construction
+    val qRows = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val emb = r.getSeq[Float](1)
+        val nrm = r.getDouble(2)
+        val lut = Array.tabulate(PqM, PqK) { (m, kk) =>
+          var acc = 0.0
+          var i = 0
+          while (i < ds) {
+            val x = if (nrm == 0.0) 0.0 else emb(m * ds + i).toDouble / nrm
+            acc += x * cb(m)(kk)(i)
+            i += 1
+          }
+          acc
+        }
+        (id, lut)
+      }
+    val heapCap = pool * k
+    val scored = pqCodes(s, d).as[(Long, Seq[Int])].mapPartitions { it =>
+      // one bounded (approx-desc, id-asc) heap per query, per partition
+      val heaps = qRows.map { case (qid, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (sc, id) => (-sc, id) })
+      }.toMap
+      it.foreach { case (vid, codes) =>
+        qRows.foreach { case (qid, lut) =>
+          if (vid != qid) {
+            var acc = 0.0
+            var m = 0
+            while (m < PqM) { acc += lut(m)(codes(m)); m += 1 }
+            val h = heaps(qid)
+            if (h.size < heapCap) h.enqueue((acc, vid))
+            else {
+              val worst = h.head // max of PQ under inverted ordering = worst kept
+              if (acc > worst._1 || (acc == worst._1 && vid < worst._2)) {
+                h.dequeue(); h.enqueue((acc, vid))
+              }
+            }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (sc, vid) => (qid, vid, sc) }
+      }
+    }.toDF("q_id", "n_id", "approx")
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("n_id"))
+    val candIds = scored.withColumn("prnk", row_number().over(wPool))
+      .filter(col("prnk") <= heapCap)
+      .select(col("q_id"), col("n_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    candIds
+      .join(e.select(col("vec_id").as("n_id"), col("embedding"), col("nrm")),
+        Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosineFromNorms(col("q_emb"), col("embedding"),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Sign-band LSH for near-dup blocking: band t packs the sign bits of
     * embedding coordinates [mt, mt+m) into an m-bit bucket key — random-
     * hyperplane LSH with axis-aligned hyperplanes. Two properties make

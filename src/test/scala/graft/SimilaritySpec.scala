@@ -249,4 +249,48 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.3, s"$name recall@5 = $recall")
     }
   }
+
+  test("PQ codes: operator output equals a plain-Scala argmin recompute") {
+    val cb = graft.ops.Similarity.pqCodebooks(spark, sf)
+    assert(cb.length == graft.ops.Similarity.PqM &&
+      cb.forall(_.length == graft.ops.Similarity.PqK))
+    val got = graft.ops.Similarity.pqCodes(spark, sf)
+      .filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.nonEmpty && got.keySet == embs.keySet)
+    // independent recompute: normalize, per-subspace L2 argmin (first
+    // minimum wins — the tie-break pqEncodeOne's strict < implements)
+    for ((id, emb) <- embs) {
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x.toDouble).sum)
+      val nv = emb.map(x => if (nrm == 0.0) 0.0 else x.toDouble / nrm)
+      val ds = 64 / graft.ops.Similarity.PqM
+      val want = (0 until graft.ops.Similarity.PqM).map { m =>
+        val sub = nv.slice(m * ds, m * ds + ds)
+        cb(m).zipWithIndex.map { case (c, k) =>
+          (sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, k)
+        }.minBy(x => (x._1, x._2))._2
+      }.toVector
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
+  }
+
+  test("PQ ANN: deterministic, schema-conformant, recall with rerank beats the floor") {
+    val a = q("q_ann_pq").collect()
+    val b = q("q_ann_pq").collect()
+    assert(a.toSeq == b.toSeq, "PQ search must be deterministic")
+    assert(a.length == 50, s"10 queries x top-5, got ${a.length}")
+    assert(q("q_ann_pq").columns.toSeq == Seq("q_id", "rnk", "n_id", "cos"))
+    val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = a.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    // 8x16 PQ on cluster-free random vectors is a coarse sketch; the
+    // 4xk exact-rerank pool is what pulls ranking quality back up
+    assert(recall >= 0.3, s"PQ recall@5 = $recall")
+    // and the companion's booleans hold
+    val chk = q("q_ann_pq_check").head()
+    assert(chk.getLong(0) == 50 && chk.getBoolean(1))
+  }
 }

@@ -193,6 +193,7 @@ object SparkEntry {
     "q_ann_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_ann_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_ann_pq"             -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q_ann_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_ann_pq_check"       -> ((s, d) => Checks.annPqCheck(s, d)),
     "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
     "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
@@ -1634,7 +1635,7 @@ object SparkEntry {
     // (Spark recomputes it; the oracle pins the cardinality and the
     // recall floor boolean)
     "q_ann_pq_check" ->
-      "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS pq_recall_ok",
+      "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS pq_recall_ok, TRUE AS ivfpq_recall_ok",
     // GRU companion: the exact row-identity projection (one row per
     // complete 60-window) hash-checks value-for-value; the analytic
     // output-range law |predicted/value - 1| <= Σ|wOut| (valid for ANY

@@ -503,6 +503,85 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF+PQ — the two scale paths COMPOSED, the published billion-scale
+    * index layout (FAISS IVFPQ; Jégou et al. 2011 §IV): the coarse
+    * quantizer prunes the corpus to the query's nProbe nearest cells,
+    * and WITHIN probed cells the scan reads 4-byte PQ codes instead of
+    * 256-byte embeddings, scored by the same ADC lookup tables as
+    * [[pqTopK]]. At 100 TB the multiplicative effect is the point:
+    * nProbe/nCells of the corpus touched × 64× narrower rows touched,
+    * then the exact rerank joins full payloads for the pool only.
+    * Candidates are output-sensitive (cell-pruned) rows, the ADC score
+    * is one UDF over the closure-shipped per-query tables (sketch-only,
+    * never oracle-compared — the [[lshSigUdf]] justification), and the
+    * tail is the shared pool-window + rerank shape. Recall compounds
+    * the two sketches' losses; `q_ann_pq_check` pins both floors. */
+  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nProbe: Int = 4, pool: Int = 4): DataFrame = {
+    val cb = pqCodebooks(s, d)
+    val ds = cb(0)(0).length
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val centroids = trainedCentroids(s, d, NumCentroids)
+      .withColumn("c_nrm", l2norm(col("c_emb")))
+    val assigned = assignToCentroids(e, centroids)
+      .select(col("vec_id"), col("c_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosineFromNorms(col("q_emb"), col("c_emb"),
+        col("q_nrm"), col("c_nrm")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nProbe)
+      .select(col("q_id"), col("c_id"))
+    // per-query ADC tables, keyed by q_id (bounded collect, as in pqTopK)
+    val luts: Map[Long, Array[Array[Double]]] = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map { r =>
+        val emb = r.getSeq[Float](1)
+        val nrm = r.getDouble(2)
+        r.getLong(0) -> Array.tabulate(PqM, PqK) { (m, kk) =>
+          var acc = 0.0
+          var i = 0
+          while (i < ds) {
+            val x = if (nrm == 0.0) 0.0 else emb(m * ds + i).toDouble / nrm
+            acc += x * cb(m)(kk)(i)
+            i += 1
+          }
+          acc
+        }
+      }.toMap
+    val adc = udf { (qid: Long, codes: Seq[Int]) =>
+      val lut = luts(qid)
+      var acc = 0.0
+      var m = 0
+      while (m < PqM) { acc += lut(m)(codes(m)); m += 1 }
+      acc
+    }
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("n_id"))
+    val candIds = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(pqCodes(s, d), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        adc(col("q_id"), col("codes")).as("approx"))
+      .withColumn("prnk", row_number().over(wPool))
+      .filter(col("prnk") <= pool * k)
+      .select(col("q_id"), col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    candIds
+      .join(e.select(col("vec_id").as("n_id"), col("embedding"), col("nrm")),
+        Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosineFromNorms(col("q_emb"), col("embedding"),
+        col("q_nrm"), col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast(LongType).as("rnk"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Sign-band LSH for near-dup blocking: band t packs the sign bits of
     * embedding coordinates [mt, mt+m) into an m-bit bucket key — random-
     * hyperplane LSH with axis-aligned hyperplanes. Two properties make

@@ -291,6 +291,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@5 = $recall")
     // and the companion's booleans hold
     val chk = q("q_ann_pq_check").head()
-    assert(chk.getLong(0) == 50 && chk.getBoolean(1))
+    assert(chk.getLong(0) == 50 && chk.getBoolean(1) && chk.getBoolean(2))
+  }
+
+  test("IVF+PQ: candidates come only from probed cells, recall beats the composed floor") {
+    val rows = q("q_ann_ivfpq").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(q("q_ann_ivfpq").columns.toSeq == Seq("q_id", "rnk", "n_id", "cos"))
+    // determinism
+    assert(rows.toSeq == q("q_ann_ivfpq").collect().toSeq)
+    // every candidate's cell must be among its query's probed cells —
+    // the pruning is real, not decorative
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("nrm", graft.ops.Similarity.l2norm(col("embedding")))
+    val cents = graft.ops.Similarity.trainedCentroids(spark, sf,
+        graft.ops.Similarity.NumCentroids)
+      .withColumn("c_nrm", graft.ops.Similarity.l2norm(col("c_emb")))
+    val cellOf = graft.ops.Similarity.assignToCentroids(e, cents)
+      .select("vec_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centRows = cents.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)
+    }
+    val qEmb = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probedOf = qEmb.map { case (qid, emb) =>
+      val qd = emb.map(_.toDouble)
+      qid -> centRows.map { case (cid, c) => (cos(qd, c), cid) }
+        .sortBy { case (c, id) => (-c, id) }.take(4).map(_._2).toSet
+    }
+    rows.foreach { r =>
+      val qid = r.getLong(0); val nid = r.getLong(2)
+      assert(probedOf(qid).contains(cellOf(nid)),
+        s"candidate $nid of query $qid came from an unprobed cell")
+    }
   }
 }

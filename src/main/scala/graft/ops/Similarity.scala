@@ -296,7 +296,7 @@ object Similarity {
     * the ANN scan reads a 4-byte code column, not the embedding column,
     * a 64× scan-width reduction on top of any cell pruning (public
     * method: Jégou/Douze/Schmid, "Product Quantization for Nearest
-    * Neighbor Search", TPAMI 2011 — PAPERS.md). */
+    * Neighbor Search", TPAMI 2011). */
   val PqM = 8
   val PqK = 16
 

@@ -25,8 +25,31 @@ object Tuning {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
-  def fastTmpDir(prefix: String): java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory(fastTmpRoot, prefix)
+  /** Dirs created here are deleted by a JVM shutdown hook, making the
+    * "never survive the process" contract above literal — without it a
+    * long-lived host accumulates per-run scratch under /dev/shm (739
+    * stale dirs observed after a day of bench runs). Deletion is
+    * best-effort: a dir busy at exit is skipped, never an error. */
+  private val createdTmpDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      createdTmpDirs.forEach { root =>
+        try {
+          import java.nio.file._
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-tmp-cleanup"))
+  }
+
+  def fastTmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(fastTmpRoot, prefix)
+    createdTmpDirs.add(p)
+    p
+  }
 
   /** Run `f` with `spark.sql.shuffle.partitions` set to n, restoring the
     * previous value after. For bounded drains and small iterative steps

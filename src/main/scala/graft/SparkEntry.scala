@@ -151,6 +151,11 @@ object SparkEntry {
     // SQL-expressible, so rows-only + the hash-gated companion below
     "q_predict_lstm"    -> ((s, d) => Predict.lstmPredictions(s, d, 60)),
     "q_predict_lstm_check" -> ((s, d) => Checks.lstmPredictCheck(s, d)),
+    // the artifact's TRAINED weights (ported from lstm_model.keras by
+    // tools/dump_keras_weights.py) + frozen scaler.pkl constants, at the
+    // model's true (5,1) input shape; rows-only + hash-gated companion
+    "q_predict_lstm_ref"    -> ((s, d) => Predict.lstmRefPredictions(s, d, 5)),
+    "q_predict_lstm_ref_check" -> ((s, d) => Checks.lstmRefPredictCheck(s, d)),
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
@@ -1665,6 +1670,22 @@ object SparkEntry {
            min(event_id) AS min_id, max(event_id) AS max_id,
            TRUE AS all_finite, TRUE AS zero_base_zero_pred
          FROM t WHERE rn >= 60""",
+    // trained-weights companion: same row-identity derivation at the
+    // artifact's true (5,1) window shape, and the oracle pins the EXACT
+    // frozen-scaler doubles decoded from the reference's scaler.pkl — a
+    // bad weight extraction or swapped resource flips the hash
+    "q_predict_lstm_ref_check" ->
+      """WITH s AS (SELECT event_id, event_type, ts FROM events
+           ORDER BY ts DESC, event_id DESC LIMIT 10000),
+         t AS (SELECT event_id, event_type,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+         FROM s)
+         SELECT count(*) AS n_rows, count(DISTINCT event_type) AS n_series,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           TRUE AS all_finite,
+           170.75782116164527 AS scaler_min,
+           189.0292566483142 AS scaler_max
+         FROM t WHERE rn >= 5""",
     // IVF classify companion: the oracle knows the holdout count exactly
     // (every query must surface, uncovered ones as explicit nulls); the
     // parity/coverage floors vs the fully-oracled exact classifier are

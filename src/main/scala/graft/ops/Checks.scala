@@ -308,6 +308,39 @@ object Checks {
         (sum(zeroBaseBad) === 0L).as("zero_base_zero_pred"))
   }
 
+  /** Trained-weights LSTM companion (`q_predict_lstm_ref`): the same
+    * row-identity law as [[lstmPredictCheck]] but at the artifact's
+    * true (5, 1) input shape, PLUS the ported constants themselves:
+    *   1. ROW IDENTITY — exactly one row per complete 5-window derived
+    *      inside the reference's top-10k fetch slice, hash-exact vs the
+    *      oracle's own window derivation;
+    *   2. FINITENESS of every trained-forward-pass output;
+    *   3. the FROZEN SCALER PIN — the MinMaxScaler pair the predictor
+    *      actually loaded from the shipped resource surfaces as two
+    *      literal columns, and the oracle pins the exact doubles decoded
+    *      from the reference's `scaler.pkl` (170.75782116164527 /
+    *      189.0292566483142). A bad extraction, a swapped resource, or a
+    *      drifted loader flips the hash. (The weight VALUES are pinned
+    *      by LstmRefWeightsSpec's independent hand-unrolled forward
+    *      pass; a DuckDB oracle cannot run an LSTM.) */
+  def lstmRefPredictCheck(s: SparkSession, d: String): DataFrame = {
+    val (scalerMin, scalerMax) =
+      Predict.LstmPredictor.reference.weights.scaler.getOrElse(
+        throw new IllegalStateException("reference weights lost their scaler"))
+    val lstm = Predict.lstmRefPredictions(s, d, 5)
+    val nonFinite = when(col("predicted").isNaN ||
+      col("predicted") === Double.PositiveInfinity ||
+      col("predicted") === Double.NegativeInfinity, 1L).otherwise(0L)
+    lstm.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("event_type")).as("n_series"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      (sum(nonFinite) === 0L).as("all_finite"),
+      lit(scalerMin).as("scaler_min"),
+      lit(scalerMax).as("scaler_max"))
+  }
+
   /** IVF-pruned kNN classify vs the EXACT classifier (whose own query is
     * fully DuckDB-oracled): the scale path must stay a faithful pruning,
     * not a different classifier. Pinned, on top of the spec's exact

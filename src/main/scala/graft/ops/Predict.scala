@@ -191,7 +191,8 @@ object Predict {
     * recurrent_activation=sigmoid). Layer chaining is validated here so a
     * misshapen stack fails at construction, not mid-job. */
   final case class LstmWeights(layers: Seq[LstmLayerWeights],
-      wOut: Array[Double], activation: String = "relu") {
+      wOut: Array[Double], activation: String = "relu",
+      bOut: Double = 0.0, scaler: Option[(Double, Double)] = None) {
     require(layers.nonEmpty, "need at least one LSTM layer")
     require(layers.head.input == 1, "first layer consumes the scalar series")
     layers.sliding(2).foreach {
@@ -203,6 +204,8 @@ object Predict {
       s"wOut must have ${layers.last.hidden} values, got ${wOut.length}")
     require(activation == "tanh" || activation == "relu",
       s"unsupported activation '$activation'")
+    scaler.foreach { case (mn, mx) =>
+      require(mx > mn, s"degenerate scaler [$mn, $mx]") }
   }
 
   /** LSTM forward pass with the reference's ARCHITECTURE
@@ -230,11 +233,20 @@ object Predict {
 
     override def predict(lastK: Seq[Double]): Double = {
       val base = lastK.last
-      // layer 0 input: the scale-free series, one scalar per step
-      var seq: Array[Array[Double]] =
-        lastK.iterator.map { v =>
-          Array(if (base != 0.0) v / base - 1.0 else v)
-        }.toArray
+      // layer 0 input, one scalar per step. Two conventions:
+      //  - frozen scaler (the reference's MinMaxScaler: scaler.pkl holds
+      //    {min, max}; stream_consumer.py scales, predicts, then
+      //    inverse-transforms) when `weights.scaler` is set;
+      //  - scale-free (x = v/base − 1, output = base·(1+out)) otherwise,
+      //    so untrained seeded weights still emit price-magnitude values.
+      var seq: Array[Array[Double]] = weights.scaler match {
+        case Some((mn, mx)) =>
+          lastK.iterator.map(v => Array((v - mn) / (mx - mn))).toArray
+        case None =>
+          lastK.iterator.map { v =>
+            Array(if (base != 0.0) v / base - 1.0 else v)
+          }.toArray
+      }
       weights.layers.foreach { L =>
         val n = L.hidden; val m = L.input
         var h = new Array[Double](n)
@@ -272,10 +284,13 @@ object Predict {
         seq = outSeq
       }
       val hLast = seq.last
-      var out = 0.0
+      var out = weights.bOut
       var i = 0
       while (i < hLast.length) { out += weights.wOut(i) * hLast(i); i += 1 }
-      base * (1.0 + out)
+      weights.scaler match {
+        case Some((mn, mx)) => out * (mx - mn) + mn // inverse_transform
+        case None           => base * (1.0 + out)
+      }
     }
   }
 
@@ -301,11 +316,33 @@ object Predict {
       * [[GruPredictor.fromFile]]: `hidden:64,32`, optional
       * `activation:relu|tanh` (default relu, the reference artifact's),
       * then per-layer tensors `l<idx>_{wi,ui,bi,wf,uf,bf,wg,ug,bg,wo,uo,bo}`
-      * row-major, and `wOut`. Sizes validate on load. */
+      * row-major, and `wOut`; optional `bOut` (readout bias, default 0)
+      * and `scaler_min`/`scaler_max` (frozen MinMaxScaler constants —
+      * when present the predictor uses the reference's scale/predict/
+      * inverse-transform convention instead of the scale-free one).
+      * Sizes validate on load. */
     def fromFile(path: String): LstmPredictor =
       new LstmPredictor(parseWeights(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)))
+
+    /** THE REFERENCE ARTIFACT'S TRAINED WEIGHTS — `lstm_model.keras`
+      * (keras 3.9.2: LSTM(64, relu, return_sequences) → LSTM(32, relu)
+      * → Dense(1), input window (5, 1)), extracted from the public HDF5
+      * container by `tools/dump_keras_weights.py` into the text tensor
+      * format above and shipped as a classpath resource, with the
+      * sibling `scaler.pkl`'s frozen MinMaxScaler pair
+      * (min 170.75782116164527, max 189.0292566483142) riding along as
+      * `scaler_min`/`scaler_max`. Loaded once per JVM; the extraction
+      * is pinned by LstmRefWeightsSpec's independent hand-unrolled
+      * forward pass and cross-language golden values. */
+    lazy val reference: LstmPredictor = {
+      val in = getClass.getResourceAsStream("/graft/lstm_ref_weights.txt")
+      require(in != null, "missing resource graft/lstm_ref_weights.txt")
+      try new LstmPredictor(parseWeights(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    }
 
     private[graft] def parseWeights(text: String): LstmWeights = {
       val m: Map[String, String] = text.linesIterator
@@ -327,7 +364,14 @@ object Predict {
             g("wi"), g("ui"), g("bi"), g("wf"), g("uf"), g("bf"),
             g("wg"), g("ug"), g("bg"), g("wo"), g("uo"), g("bo"))
       }
-      LstmWeights(layers, nums("wOut"), m.getOrElse("activation", "relu"))
+      val scaler = (m.get("scaler_min"), m.get("scaler_max")) match {
+        case (Some(mn), Some(mx)) => Some((mn.toDouble, mx.toDouble))
+        case (None, None)         => None
+        case _ => throw new IllegalArgumentException(
+          "scaler_min/scaler_max must be given together")
+      }
+      LstmWeights(layers, nums("wOut"), m.getOrElse("activation", "relu"),
+        m.get("bOut").map(_.toDouble).getOrElse(0.0), scaler)
     }
   }
 
@@ -410,8 +454,11 @@ object Predict {
 
   def resetGruDirs(): Unit = gruDirCache.clear()
 
+  // keyed by (corpus, k, fetch, predictor-tag): every parameter that
+  // changes the materialized slice participates, so a non-default fetch
+  // or the trained-weights variant can never alias a cached default run
   private val lstmDirCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, String), String]()
 
   /** The stacked-LSTM inference pass at the REFERENCE'S OPERATING POINT:
     * the reference never runs its LSTM(64)→LSTM(32) over the whole
@@ -433,12 +480,34 @@ object Predict {
     * so the warm number still pays exactly one recurrence pass. */
   def lstmPredictionsDir(s: SparkSession, d: String, k: Int = 60,
       fetch: Int = 10000): String =
-    lstmDirCache.computeIfAbsent((d, k), { _ =>
+    lstmDirCache.computeIfAbsent((d, k, fetch, "seeded"), { _ =>
       val out = graft.Tuning.fastTmpDir("graft_lstm_").toString
       predictFetchWindowsBatchedRaw(s, d, k, fetch, new LstmPredictor(), 1024)
         .write.mode("overwrite").parquet(out)
       out
     })
+
+  /** [[lstmPredictionsDir]] under the reference artifact's TRAINED
+    * weights and frozen scaler ([[LstmPredictor.reference]]), at the
+    * artifact's true operating point: `config.json` declares input
+    * (5, 1) — the last-5 window `stream_consumer.py:50-54` feeds it —
+    * so k defaults to 5 here, not the batch chain's 60 (which the
+    * shipped model could never have accepted; SURVEY Q1). Same bounded
+    * top-`fetch` slice and build-once lifecycle as the seeded variant. */
+  def lstmRefPredictionsDir(s: SparkSession, d: String, k: Int = 5,
+      fetch: Int = 10000): String =
+    lstmDirCache.computeIfAbsent((d, k, fetch, "reference"), { _ =>
+      val out = graft.Tuning.fastTmpDir("graft_lstm_ref_").toString
+      predictFetchWindowsBatchedRaw(s, d, k, fetch,
+        LstmPredictor.reference, 1024)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** `q_predict_lstm_ref`'s registered form: the cached trained-weights
+    * pass, re-sorted on read. */
+  def lstmRefPredictions(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    s.read.parquet(lstmRefPredictionsDir(s, d, k)).orderBy(col("event_id"))
 
   /** Windows within the reference's bounded fetch slice → batched
     * inference. The slice is ≤fetch rows, so its per-series window sort

@@ -306,7 +306,9 @@ object Similarity {
     * driver-held and closure-shipped).
     *
     * Training is Lloyd's per subspace, all M subspaces in ONE pass per
-    * round: explode each (deterministically hash-sampled, ≤[[PqTrainCap]])
+    * round: explode each (deterministically hash-sampled to
+    * approximately [[PqTrainCap]] — the `pmod(hash, n) < cap` filter
+    * yields an EXPECTED size, not an exact bound)
     * normalized vector into its (m, subvector) rows, assign each row to
     * its L2-nearest code of ITS OWN subspace's codebook (broadcast join
     * on m + min_by — partial-aggregating, no sort), recompute each
@@ -314,7 +316,15 @@ object Similarity {
     * the [[PqK]] lowest-hash sampled vectors (same seeded-sample shape
     * as [[kmeansCentroids]]); empty codes keep their previous centroid.
     * Vectors are L2-NORMALIZED before training and encoding, so the ADC
-    * inner product approximates cosine directly. */
+    * inner product approximates cosine directly.
+    *
+    * DETERMINISM is per-JVM, not per-run (same caveat as
+    * [[kmeansCentroids]]): the centroid update is a distributed `avg()`
+    * over doubles, so float summation order — hence the trained
+    * codebook's last bits — can differ across JVMs/partitionings. The
+    * cache pins one codebook per JVM (codes, check, and recall all see
+    * the same one); cross-run stability is by recall-floor margin, not
+    * bit-identical codes. */
   val PqTrainCap = 65536L
 
   private val pqCache =
@@ -333,12 +343,17 @@ object Similarity {
         .withColumn("nemb", expr(
           "transform(embedding, x -> CASE WHEN nrm = 0 THEN 0.0D ELSE CAST(x AS DOUBLE) / nrm END)"))
         .select(col("vec_id"), col("nemb"))
-      // init: subvectors of the PqK lowest-hash sampled vectors
+      // init: subvectors of the PqK lowest-hash sampled vectors; a tiny
+      // corpus (< PqK vectors) wraps around rather than out-of-bounds —
+      // duplicate init centroids are legal Lloyd's input (empty codes
+      // keep their previous centroid, see the round loop)
       val seed = en.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
         .select(col("nemb")).collect()
         .map(_.getSeq[Double](0).toArray)
+      require(seed.nonEmpty, s"PQ training needs at least one vector in $d")
       var cb: Array[Array[Array[Double]]] =
-        Array.tabulate(PqM, PqK)((m, k) => seed(k).slice(m * ds, m * ds + ds))
+        Array.tabulate(PqM, PqK)((m, k) =>
+          seed(k % seed.length).slice(m * ds, m * ds + ds))
       val subRows = en.select(col("vec_id"), explode(array(
           (0 until PqM).map(m => struct(lit(m).as("m"),
             slice(col("nemb"), m * ds + 1, ds).as("sub"))): _*)).as("e"))

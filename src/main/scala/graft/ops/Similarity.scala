@@ -442,9 +442,19 @@ object Similarity {
     * payloads back by id for pool members only — the same
     * ids-first-payloads-later discipline as [[lshTopK]]. Approximate by
     * construction → rows-only; `q_ann_pq_check` pins the recall floor
-    * vs the oracled brute force, and the spec pins encode parity. */
+    * vs the oracled brute force, and the spec pins encode parity.
+    *
+    * POOL SIZING: the ADC scan cost is pool-INDEPENDENT (the heaps and
+    * rerank grow, the corpus pass doesn't), so the rerank pool is the
+    * free recall lever — measured on the cluster-free fixtures (the
+    * sketch's worst case): pool 4 → 0.44 recall@5, 8 → 0.64-0.74,
+    * 16 → 0.84-0.90, 32 → 0.96, all at the same ~1.4 s warm wall
+    * (tools/Drive pqRecall). Default 16 clears the companion's 0.7
+    * floor with margin while keeping the rerank join at 80 ids/query;
+    * at 100 TB pool·k rows per query is still negligible next to the
+    * code scan. */
   def pqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-      pool: Int = 4): DataFrame = {
+      pool: Int = 16): DataFrame = {
     import s.implicits._
     val cb = pqCodebooks(s, d)
     val ds = cb(0)(0).length
@@ -530,9 +540,18 @@ object Similarity {
     * is one UDF over the closure-shipped per-query tables (sketch-only,
     * never oracle-compared — the [[lshSigUdf]] justification), and the
     * tail is the shared pool-window + rerank shape. Recall compounds
-    * the two sketches' losses; `q_ann_pq_check` pins both floors. */
+    * the two sketches' losses; `q_ann_pq_check` pins both floors.
+    *
+    * TUNING (tools/Drive pqRecall, cluster-free fixtures): the wide
+    * pool recovers the code-distortion loss but NOT the cell-pruning
+    * loss — (nProbe=4, pool=32) plateaus at 0.54-0.60 recall@5 where
+    * PQ-alone reaches 0.96, and only more probes move it (6 → 0.66-0.70,
+    * 8 → 0.72-0.84, at half the cells scanned). nProbe stays 4 (¼ of
+    * the 16 cells — the scan-fraction story IS the operator); the
+    * recall floor is set to 0.35 accordingly, the same honesty regime
+    * as the LSH/IVF 0.3 floors on this worst-case corpus profile. */
   def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-      nProbe: Int = 4, pool: Int = 4): DataFrame = {
+      nProbe: Int = 4, pool: Int = 32): DataFrame = {
     val cb = pqCodebooks(s, d)
     val ds = cb(0)(0).length
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))

@@ -85,6 +85,31 @@ object Drive {
           .orderBy(col("id_a")).count())
         println(proj.queryExecution.executedPlan.toString.take(4000))
         spark.range(1).toDF("x")
+      case "pqRecall" =>
+        // tuning probe for the PQ/IVFPQ rerank pool and probe width:
+        // recall@k vs the exact brute force at several operating points
+        import org.apache.spark.sql.functions._
+        val truth = graft.ops.Similarity.bruteForceTopK(spark, sfDir)
+          .select(col("q_id"), col("n_id")).localCheckpoint(true)
+        val nTrue = truth.count()
+        for (pool <- Seq(4, 8, 16, 32)) {
+          val t0 = System.nanoTime()
+          val pq = graft.ops.Similarity.pqTopK(spark, sfDir, pool = pool)
+            .select(col("q_id"), col("n_id"))
+          val hit = truth.intersect(pq).count()
+          println(f"PQ pool=$pool%2d recall=${hit.toDouble / nTrue}%.3f " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        for ((nProbe, pool) <- Seq((4, 4), (4, 16), (4, 32), (6, 32), (8, 32))) {
+          val t0 = System.nanoTime()
+          val c = graft.ops.Similarity.ivfPqTopK(spark, sfDir,
+            nProbe = nProbe, pool = pool).select(col("q_id"), col("n_id"))
+          val hit = truth.intersect(c).count()
+          println(f"IVFPQ nProbe=$nProbe%2d pool=$pool%2d " +
+            f"recall=${hit.toDouble / nTrue}%.3f " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        spark.range(1).toDF("x")
       case "predictWindows" => graft.ops.Predict.predictAllWindows(spark, sfDir)
       case "ticksJson"      => graft.gen.Ticks.asJson(graft.gen.Ticks.generate(spark))
       case "statefulPredict" => graft.streaming.Pipeline.statefulPredictions(spark, sfDir)

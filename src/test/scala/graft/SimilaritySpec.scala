@@ -287,8 +287,9 @@ class SimilaritySpec extends SparkSpec {
     val approx = a.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
     // 8x16 PQ on cluster-free random vectors is a coarse sketch; the
-    // 4xk exact-rerank pool is what pulls ranking quality back up
-    assert(recall >= 0.3, s"PQ recall@5 = $recall")
+    // 16xk exact-rerank pool (free — the ADC scan is pool-independent)
+    // pulls recall to 0.84-0.90 on the fixtures
+    assert(recall >= 0.7, s"PQ recall@5 = $recall")
     // and the companion's booleans hold
     val chk = q("q_ann_pq_check").head()
     assert(chk.getLong(0) == 50 && chk.getBoolean(1) && chk.getBoolean(2))

@@ -66,12 +66,12 @@ object Pipeline {
   }
 
   private def eventsStream(s: SparkSession, d: String,
-      filesPerTrigger: Int = 1): DataFrame = {
-    val staged = prestage(s, d)
-    s.readStream.schema(Tables.eventsSchema)
-      .option("maxFilesPerTrigger", filesPerTrigger.toString)
-      .parquet(staged)
-  }
+      filesPerTrigger: Int = 1): DataFrame =
+    // transport is config (graft.stream.source): the staged file replay
+    // by default; a Kafka deployment swaps in via --conf, zero code
+    // (sources.TickTransport — staging is lazy, Kafka never pays it)
+    graft.sources.TickTransport.source(s, prestage(s, d), filesPerTrigger)
+      .read(s)
 
   /** Watermark delay for the staged replay source, DERIVED from the data
     * (one cached min/max pass per staged dir): the staged files are
@@ -306,13 +306,15 @@ object Pipeline {
       .outputMode("append")
       .option("checkpointLocation", tmp("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // S2 parity: append the raw micro-batch to the tick table. No
-        // isEmpty pre-check (P4): an AvailableNow file source never
-        // delivers an empty batch, and the guard itself costs one extra
-        // Spark job per micro-batch; an empty batch would just append
-        // zero rows, which is already correct.
-        graft.sources.Sinks.parquetAppend(batch, sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // S2 parity: append the raw micro-batch to the tick table,
+        // through the config-selected transport (parquet default, JDBC
+        // via graft.stream.sink — sources.TickTransport). No isEmpty
+        // pre-check (P4): an AvailableNow file source never delivers an
+        // empty batch, and the guard itself costs one extra Spark job
+        // per micro-batch; an empty batch would just append zero rows,
+        // which is already correct.
+        graft.sources.TickTransport.sink(s, sinkDir).append(batch, batchId)
         ()
       }
       .start()

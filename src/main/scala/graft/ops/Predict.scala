@@ -344,6 +344,19 @@ object Predict {
       finally in.close()
     }
 
+    /** Load a Keras-3 `.keras` archive DIRECTLY (in-engine HDF5 reader —
+      * [[graft.ops.KerasH5]]): a user of the reference points this at
+      * their own trained artifact and runs, no export step. `scaler` is
+      * the frozen MinMaxScaler pair the reference ships separately as
+      * scaler.pkl; None selects the scale-free convention.
+      * KerasH5Spec pins this loader bit-identical to the shipped
+      * resource on the reference's own artifact. */
+    def fromKeras(path: String, scaler: Option[(Double, Double)],
+        layerNames: Seq[String] = Seq("lstm", "lstm_1"),
+        denseName: String = "dense"): LstmPredictor =
+      new LstmPredictor(KerasH5.lstmWeights(
+        KerasH5.readKerasArchive(path), layerNames, denseName, scaler))
+
     private[graft] def parseWeights(text: String): LstmWeights = {
       val m: Map[String, String] = text.linesIterator
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))

@@ -182,12 +182,15 @@ object SparkEntry {
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_zorder"           -> ((s, d) => Layout.zorder(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
+    "q_mixture_sample"   -> ((s, d) => TextOps.mixtureSample(s, d)),
+    "q_shard_manifest"   -> ((s, d) => TextOps.shardManifest(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
     "q_dedup_minhash"       -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
+    "q_dedup_keep_best"     -> ((s, d) => Dedup.keepBestPerCluster(s, d)),
     "q_decontaminate"       -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_simjoin_prefix"      -> ((s, d) => Dedup.prefixSimJoin(s, d)),
     // north-star: similarity search
@@ -825,6 +828,48 @@ object SparkEntry {
                FROM r)
          SELECT doc_id, n_tokens, quality_score
          FROM o WHERE cum <= 15000 ORDER BY doc_id""",
+    // domain-mixture sampling: the oracle is the flat per-source
+    // md5-order prefix cumsum under the √tokens-share allocation; the
+    // Spark plan computes the same prefix via a per-source 256-bucket
+    // md5-prefix histogram + boundary-bucket-only exact ordering (the
+    // bucket is the md5 string's own 2-hex-char prefix, so bucket order
+    // refines md5 order). Allocation weights quantize through
+    // DECIMAL(28,6) before the cross-source sum so both engines add
+    // exactly representable values.
+    "q_mixture_sample" ->
+      """WITH tok AS (SELECT doc_id, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+         FROM documents),
+         tot AS (SELECT source,
+                 CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS wsd
+                 FROM tok GROUP BY source),
+         alloc AS (SELECT source,
+                   CAST(floor(CAST(20000 AS DOUBLE) * CAST(wsd AS DOUBLE)
+                     / CAST(sum(wsd) OVER () AS DOUBLE)) AS BIGINT) AS budget
+                   FROM tot),
+         sel AS (SELECT t.source, t.doc_id, t.n_tokens,
+                 sum(t.n_tokens) OVER (PARTITION BY t.source
+                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM tok t)
+         SELECT s.source, s.doc_id, s.n_tokens
+         FROM sel s JOIN alloc a ON a.source = s.source
+         WHERE s.cum <= a.budget
+         ORDER BY s.source, s.doc_id""",
+    // deterministic shard manifest: md5-hash routing + per-shard balance
+    "q_shard_manifest" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 32 AS shard,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM t GROUP BY shard ORDER BY shard""",
     // repeated k-token spans: the oracle groups windows by their string
     // content; Spark groups by a 128-bit hash pair of the same string —
     // identical counts absent a 2^-129-scale collision
@@ -1764,6 +1809,50 @@ object SparkEntry {
                   GROUP BY d.doc_id)
          SELECT doc_id, component, (doc_id = component) AS is_keeper
          FROM comp ORDER BY doc_id""",
+    // cluster retention: same transitive closure as q_dedup_clusters,
+    // survivor = argmax (quality_score, -doc_id) per component via a
+    // window; Spark computes it with a partial-aggregating max_by
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         ),
+         comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+                  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+                  GROUP BY d.doc_id),
+         b AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         FROM documents),
+         qual AS (SELECT doc_id,
+           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.5
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+             + (1.0 - CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END) * 0.2
+             AS quality_score
+         FROM b),
+         ranked AS (SELECT c.component AS cluster_id, q.doc_id, q.quality_score,
+                    row_number() OVER (PARTITION BY c.component
+                      ORDER BY q.quality_score DESC, q.doc_id) AS rn,
+                    count(*) OVER (PARTITION BY c.component) AS n_members
+                    FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+         SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_quality, n_members
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
     "q_embed_cosine_pairs" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
                     FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)

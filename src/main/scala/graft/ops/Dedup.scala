@@ -224,6 +224,33 @@ object Dedup {
       .withColumn("is_keeper", col("doc_id") === col("component"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup cluster RETENTION — the keep-the-best policy real
+    * pipelines layer over [[nearDupComponents]]'s keeper = min-doc_id
+    * default: within each near-dup cluster keep the HIGHEST-QUALITY
+    * member (ties to the lowest doc_id), reporting the cluster, the
+    * survivor, its score, and the cluster size. One doc_id equi-join of
+    * the component labels against the once-per-corpus scored table,
+    * then a partial-aggregating `max_by` over a (quality, −doc_id)
+    * struct ordering — the argmax never sorts the cluster, and the
+    * output is one row per cluster (metadata scale at 100 TB; the
+    * deletion list is the complement, same join shape). */
+  def keepBestPerCluster(s: SparkSession, d: String): DataFrame =
+    // the unsorted component labels: nearDupComponents' presentation
+    // orderBy would be dead weight under the join + aggregate here
+    components(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashLshPairs(s, d).select(col("id_a"), col("id_b")))
+      .join(TextOps.scoredDocs(s, d)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("kept_doc_id"),
+        col("best.quality_score").as("kept_quality"), col("n_members"))
+      .orderBy(col("cluster_id"))
+
   /** Train/test DECONTAMINATION — the corpus-hygiene op every training
     * pipeline runs before eval: find test-split documents whose content
     * leaks from the train split, either verbatim (same content hash) or

@@ -234,10 +234,28 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Seq[Double])]]()
 
+  /** Coarse-quantizer TRAINING CAP (mirrors [[PqTrainCap]]): Lloyd's
+    * rounds broadcast k centroids against every training row, so
+    * training on the full corpus would cost n×k dots per round — at
+    * 10⁹ vectors with √n cells that is the one quadratic left in the
+    * index build. Capping the training sample (deterministic
+    * `pmod(hash, n) < cap` — an EXPECTED size, like PQ's) bounds
+    * training at cap×k while the actual index assignment stays one
+    * full-corpus broadcast pass, which is the irreducible build cost.
+    * Fixtures at/below the cap train on everything — behavior at the
+    * driver's correctness scales is unchanged. */
+  val KmTrainCap = 65536L
+
   def trainedCentroids(s: SparkSession, d: String, k: Int): DataFrame = {
-    val rows = centroidCache.computeIfAbsent((d, k), _ =>
-      kmeansCentroids(corpus(s, d), k).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq)
+    val rows = centroidCache.computeIfAbsent((d, k), _ => {
+      val e = corpus(s, d)
+      val n = e.count()
+      val sample =
+        if (n <= KmTrainCap) e
+        else e.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(KmTrainCap))
+      kmeansCentroids(sample, k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq
+    })
     import s.implicits._
     rows.toDF("c_id", "c_emb")
   }
@@ -895,11 +913,26 @@ object Similarity {
     * probed-cell semantics. */
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5, nProbe: Int = 4,
-      cells: Int = NumCentroids): DataFrame = {
+      cells: Int = 0): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = trainedCentroids(s, d, cells)
-      .withColumn("c_nrm", l2norm(col("c_emb")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
+    // cells = 0 means AUTO: per-query candidate work is
+    // |labeled|·nProbe/cells, so a fixed cell count makes the whole
+    // query quadratic in corpus size (measured super-linear on the
+    // generated 100× fixture before this scaled). √|labeled| cells
+    // keeps candidates/query at ~nProbe·√|labeled| — the standard IVF
+    // sizing — once the corpus outgrows the small-fixture regime
+    // (below it, the 16-cell default is kept so driver-scale results
+    // are bit-stable with earlier rounds).
+    val c =
+      if (cells > 0) cells
+      else {
+        val nLab = labeled.count()
+        if (nLab <= 20000L) NumCentroids
+        else math.min(4096L, math.round(math.sqrt(nLab.toDouble))).toInt
+      }
+    val centroids = trainedCentroids(s, d, c)
+      .withColumn("c_nrm", l2norm(col("c_emb")))
     // label rides the assignment aggregate (carry) — a separate
     // label-recovery self-join would re-shuffle the labeled mass
     val labCells = assignToCentroids(labeled, centroids, carry = Seq("label"))

@@ -613,4 +613,97 @@ object TextOps {
           .otherwise(col("dup_windows").cast(DoubleType) / col("n_windows")))
       .orderBy(col("doc_id"))
   }
+
+  /** The once-per-corpus (doc_id, n_tokens, quality_score) table, for
+    * operators in sibling objects that compose with quality/token
+    * counts without re-parsing the corpus text. */
+  private[ops] def scoredDocs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(scoredDocsDir(s, d))
+
+  /** DOMAIN-MIXTURE sampling — the "data mixing" step of LLM pretraining:
+    * allocate a global token budget across sources by temperature-
+    * flattened share (T=2, i.e. weight ∝ √tokens — the standard
+    * upweight-the-tail mixture of multilingual/multi-domain training),
+    * then keep each source's deterministic hash-ordered document prefix
+    * up to its allocation. Hash order (md5 of doc_id) makes the sample
+    * reproducible and coordination-free: any worker knows a document's
+    * fate from the allocation table alone.
+    *
+    * Scale shape mirrors [[budgetSelect]]'s histogram-prefix trick, per
+    * source: documents land in 256 md5-prefix buckets, a sources×256
+    * histogram (metadata scale, broadcast) takes each bucket's running
+    * token sum, whole buckets under the allocation pass with a broadcast
+    * filter, and ONLY each source's single boundary bucket (~1/256 of
+    * that source) is exactly sorted to place the cut. No corpus-wide or
+    * per-source global sort ever runs; equivalence to the flat
+    * per-source md5-order prefix is exact because the bucket is the md5
+    * string's own 2-hex-char prefix — hex chars sort lexicographically
+    * as their numeric value, so bucket order refines md5 order.
+    *
+    * Allocation arithmetic is quantized through DECIMAL(28,6) before the
+    * cross-source sum so both engines add exactly representable values
+    * (float-sum order independence), then one IEEE multiply/divide/floor
+    * lands the per-source budget identically. */
+  def mixtureSample(s: SparkSession, d: String, budget: Long = 20000L): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(scoredDocs(s, d).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+    val alloc = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t_s"))
+      .withColumn("wsd",
+        round(sqrt(col("t_s").cast(DoubleType)), 6).cast(DecimalType(28, 6)))
+      .withColumn("budget",
+        floor(lit(budget).cast(DoubleType) * col("wsd").cast(DoubleType) /
+          sum(col("wsd")).over(Window.partitionBy()).cast(DoubleType))
+          .cast(LongType))
+      .select(col("source"), col("budget"))
+    val md5c = md5(col("doc_id").cast(StringType))
+    val withB = base.withColumn("bucket",
+      conv(substring(md5c, 1, 2), 16, 10).cast(IntegerType))
+    val wb = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = withB.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum", sum(col("btok")).over(wb))
+      .withColumn("cum_before", col("cum") - col("btok"))
+      .join(alloc, Seq("source"))
+      .select(col("source"), col("bucket"), col("cum"), col("cum_before"), col("budget"))
+    val joined = withB.join(broadcast(hist), Seq("source", "bucket"))
+    val full = joined.filter(col("cum") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    // boundary-bucket-only exact sort; cum_before <= budget (not <) for
+    // the zero-token-head edge, same reasoning as budgetSelect
+    val wq = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("cum") > col("budget") && col("cum_before") <= col("budget"))
+      .withColumn("pcum", sum(col("n_tokens")).over(wq))
+      .filter(col("cum_before") + col("pcum") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    full.union(boundary).orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Deterministic SHARD MANIFEST — the write-side layout step of a
+    * training pipeline: every document hash-routes to one of `nShards`
+    * output shards (md5-based, so any worker computes the assignment
+    * statelessly), and the manifest reports per-shard balance (docs,
+    * tokens, bytes, id range). At 100 TB this IS the partitioner for the
+    * final `partitionBy(shard)` write; the manifest is one partial-
+    * aggregated groupBy over nShards keys — metadata-scale output, the
+    * balance check that decides whether the shard count needs widening
+    * before the write job runs. */
+  def shardManifest(s: SparkSession, d: String, nShards: Int = 32): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_bytes"))
+      .join(scoredDocs(s, d).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(LongType), lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("shard"))
 }

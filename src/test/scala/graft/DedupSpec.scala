@@ -181,4 +181,28 @@ class DedupSpec extends SparkSpec {
     }.sum
     assert(prefTok * 4 < allTok, s"prefix carries $prefTok of $allTok postings")
   }
+
+  test("keep-best retention: argmax of (quality, -doc_id) per cluster, sizes conserved") {
+    val comps = Dedup.nearDupComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    val qual = graft.ops.TextOps.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val want = comps.groupBy(_._2).map { case (c, members) =>
+      val ids = members.keys.toSeq
+      val best = ids.minBy(id => (-qual(id), id))
+      c -> (best, qual(best), ids.size.toLong)
+    }
+    val got = Dedup.keepBestPerCluster(spark, sf).collect()
+    assert(got.length == want.size)
+    // ordered output, one row per cluster
+    val cids = got.map(_.getAs[Long]("cluster_id"))
+    assert(cids.sameElements(cids.sorted) && cids.distinct.length == cids.length)
+    got.foreach { r =>
+      val (bid, bq, n) = want(r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("kept_doc_id") == bid)
+      assert(r.getAs[Double]("kept_quality") == bq)
+      assert(r.getAs[Long]("n_members") == n)
+    }
+    assert(got.map(_.getAs[Long]("n_members")).sum == comps.size)
+  }
 }

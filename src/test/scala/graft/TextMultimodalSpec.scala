@@ -439,4 +439,76 @@ class TextMultimodalSpec extends SparkSpec {
     val byId = r.map(x => x.getLong(0) -> x.getAs[Long]("dup_windows")).toMap
     (0L until 40L by 3).foreach(i => assert(byId(i) >= 1L))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Independent plain-Scala reference for the mixture allocation +
+    * per-source md5-order prefix (java.security md5, BigDecimal-exact
+    * weight sum — no Spark functions involved). */
+  private def mixtureReference(budget: Long): Map[String, Set[Long]] = {
+    import spark.implicits._
+    val docs = graft.ops.TextOps.quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .as[(Long, Long, String)].collect()
+    val bySource = docs.groupBy(_._3)
+    val wsd = bySource.map { case (src, rows) =>
+      src -> BigDecimal(math.sqrt(rows.map(_._2).sum.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val total = wsd.values.sum // exact decimal addition
+    val alloc = wsd.map { case (src, w) =>
+      src -> math.floor(budget.toDouble * w.toDouble / total.toDouble).toLong
+    }
+    bySource.map { case (src, rows) =>
+      val ordered = rows.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+      var cum = 0L
+      val kept = ordered.takeWhile { case (_, n, _) => cum += n; cum <= alloc(src) }
+      src -> kept.map(_._1).toSet
+    }
+  }
+
+  test("mixture sample equals the plain-Scala hash-order prefix at several budgets") {
+    for (b <- Seq(500L, 5000L, 20000L)) {
+      val got = graft.ops.TextOps.mixtureSample(spark, sf, b).collect()
+        .groupBy(_.getAs[String]("source"))
+        .map { case (s, rows) => s -> rows.map(_.getAs[Long]("doc_id")).toSet }
+      val want = mixtureReference(b).filter(_._2.nonEmpty)
+      assert(got == want, s"budget $b mismatch")
+    }
+  }
+
+  test("mixture sample output is sorted and carries true token counts") {
+    val r = q("q_mixture_sample").collect()
+    val keys = r.map(x => (x.getAs[String]("source"), x.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+    val toks = graft.ops.TextOps.quality(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_tokens")).toMap
+    r.foreach(x => assert(x.getAs[Long]("n_tokens") ==
+      toks(x.getAs[Long]("doc_id"))))
+  }
+
+  test("shard manifest: full cover, balanced-ish, plain-Scala recompute agrees") {
+    import spark.implicits._
+    val man = q("q_shard_manifest").collect()
+    assert(man.map(_.getAs[Long]("shard")).forall(s => s >= 0 && s < 32))
+    val docs = graft.ops.TextOps.quality(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(Tables.documents(spark, sf).select(col("doc_id"), length(col("text")).as("nb")), Seq("doc_id"))
+      .as[(Long, Long, Int)].collect()
+    assert(man.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val ref = docs.groupBy { case (id, _, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 32
+    }
+    man.foreach { row =>
+      val rows = ref(row.getAs[Long]("shard"))
+      assert(row.getAs[Long]("n_docs") == rows.length)
+      assert(row.getAs[Long]("n_tokens") == rows.map(_._2).sum)
+      assert(row.getAs[Long]("n_bytes") == rows.map(_._3.toLong).sum)
+      assert(row.getAs[Long]("min_doc_id") == rows.map(_._1).min)
+      assert(row.getAs[Long]("max_doc_id") == rows.map(_._1).max)
+    }
+  }
 }

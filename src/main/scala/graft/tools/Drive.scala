@@ -201,7 +201,8 @@ object Drive {
           "q_bm25_topk", "q_graph_components",
           "q_negative_sample", "q_embed_quantize", "q_knn_classify",
           "q_source_orc", "q_ann_quantized", "q_text_dupspans",
-          "q_budget_select", "q_predict_lstm", "q_knn_classify_ivf")
+          "q_budget_select", "q_predict_lstm", "q_knn_classify_ivf",
+          "q_mixture_sample", "q_shard_manifest", "q_dedup_keep_best")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

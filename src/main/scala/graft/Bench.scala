@@ -115,11 +115,18 @@ object Bench {
     val streamPanel =
       try {
         val m = graft.streaming.Pipeline.streamLatencyProbe(spark, sfDir)
+          .localCheckpoint(true) // summarized twice below
         val r = graft.streaming.Metrics.summarize(m).head()
         val n = r.getAs[Long]("n_batches")
         val rows = r.getAs[Long]("total_rows")
         val rpb = if (n > 0) rows.toDouble / n else 0.0
-        s"""{"n_batches":$n,"rows_per_batch":$rpb,"min_ms":${r.getAs[Long]("min_ms")},"max_ms":${r.getAs[Long]("max_ms")},"mean_ms":${r.getAs[Double]("avg_ms")}}"""
+        // the per-phase FLOOR decomposition as bench data (SCALING.md
+        // round-7 measured it with one-off variants; the listener now
+        // carries Spark's own durationMs per batch)
+        val pm = graft.streaming.Metrics.phaseMeans(m).head()
+        def f(c: String) = f"${pm.getAs[Double](c)}%.1f"
+        val phases = s"""{"latest_offset":${f("latest_offset_ms")},"get_batch":${f("get_batch_ms")},"plan":${f("plan_ms")},"wal_commit":${f("wal_commit_ms")},"commit_offsets":${f("commit_offsets_ms")},"add_batch":${f("add_batch_ms")}}"""
+        s"""{"n_batches":$n,"rows_per_batch":$rpb,"min_ms":${r.getAs[Long]("min_ms")},"max_ms":${r.getAs[Long]("max_ms")},"mean_ms":${r.getAs[Double]("avg_ms")},"phase_means_ms":$phases}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream latency probe skipped: ${e.getMessage}")
         "null"
@@ -163,7 +170,8 @@ object Bench {
     val probeSum = probeNames.map(best).sum
     val meanMs =
       if (streamPanel != "null")
-        "\"stream_batch_ms_mean\":" + streamPanel.split("\"mean_ms\":")(1).stripSuffix("}")
+        "\"stream_batch_ms_mean\":" + streamPanel.split("\"mean_ms\":")(1)
+          .takeWhile(c => c != ',' && c != '}')
       else "\"stream_batch_ms_mean\":null"
     println(s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()

@@ -208,6 +208,8 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q_ann_quantized"  -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q_knn_classify"   -> ((s, d) => Similarity.knnClassify(s, d)),
+    "q_ann_range"      -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "q_knn_centroid"   -> ((s, d) => Similarity.centroidClassify(s, d)),
     // the IVF scale path: centroids are Spark-trained (not DuckDB-
     // expressible) → rows-only + the hash-gated parity companion
     "q_knn_classify_ivf"       -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
@@ -1948,6 +1950,39 @@ object SparkEntry {
          SELECT vec_id, CAST(lab AS BIGINT) AS pred_label,
            CAST(true_label AS BIGINT) AS true_label, votes
          FROM pick WHERE pr = 1 ORDER BY vec_id""",
+    // threshold range search: exact, so the oracle is the same scan
+    "q_ann_range" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.q_id, e.vec_id AS n_id,
+           list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+         SELECT q_id, n_id, cos FROM scored
+         WHERE cos >= 0.2 ORDER BY q_id, n_id""",
+    // nearest-class-centroid classification: per-label mean embedding
+    // quantized to 6 decimals on both engines (distributed avg is
+    // summation-order sensitive in its last bits; the quantization
+    // absorbs it — the BM25 DECIMAL precedent), then cosines over the
+    // identical prototypes match bit-exactly
+    "q_knn_centroid" ->
+      """WITH lab AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+         pr AS (SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mq
+                FROM lab, unnest(generate_series(1, len(embedding))) t(i)
+                GROUP BY label, i),
+         proto AS (SELECT label, list(mq ORDER BY pos) AS c_emb FROM pr GROUP BY label),
+         q AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS true_label
+               FROM embeddings WHERE vec_id % 5 = 0),
+         scored AS (SELECT q.vec_id, q.true_label, CAST(p.label AS BIGINT) AS c_label,
+           list_sum(list_transform(generate_series(1, len(q.embedding)), i -> CAST(q.embedding[i] AS DOUBLE) * p.c_emb[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(p.c_emb)), i -> p.c_emb[i] * p.c_emb[i])))) AS cos
+           FROM q, proto p),
+         r AS (SELECT vec_id, true_label, c_label, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+               FROM scored)
+         SELECT vec_id, c_label AS pred_label, true_label, cos AS score
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          scored AS (SELECT q.q_id, e.vec_id AS n_id,

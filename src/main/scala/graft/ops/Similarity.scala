@@ -85,6 +85,74 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Threshold RANGE SEARCH — the "all neighbors above τ" dual of
+    * top-k: every corpus vector whose cosine with a query meets the
+    * threshold, exact. Same plan shape as [[bruteForceTopK]]: queries
+    * broadcast, ONE corpus scan, and — unlike top-k — no window at all;
+    * the τ-filter runs inside the scan projection, so the only rows
+    * that ever shuffle are the matches themselves (presentation sort).
+    * At 100 TB with a large query SET the same LSH/IVF candidate
+    * generators bound the scan (a τ-threshold maps to a probe radius);
+    * the exact form here is the truth this family's checks rerank
+    * against. */
+  def rangeSearch(s: SparkSession, d: String, nQueries: Int = 10,
+      minCos: Double = 0.2): DataFrame = {
+    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosineFromNorms(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
+  /** Nearest-CLASS-CENTROID classification (Rocchio / prototype
+    * classifier) — the cheap sibling of kNN every labeled-corpus
+    * pipeline keeps around: one mean embedding per label, each holdout
+    * query scored against the |labels| broadcast prototypes. Training
+    * is a single partial-aggregating (label, pos) average — map-side
+    * combined, |labels|×dim rows shuffle regardless of corpus size —
+    * and inference is one scan with a broadcast of |labels| rows; at
+    * any scale this is strictly lighter than kNN (no per-query
+    * candidate set at all).
+    *
+    * Centroid coordinates are quantized to 6 decimals on BOTH engines
+    * before scoring: a distributed double `avg` is summation-order
+    * sensitive in its last bits, and the quantization absorbs that
+    * (same DECIMAL-quantization precedent as BM25's per-term scores);
+    * cosines over the identical quantized prototypes then match
+    * bit-exactly. */
+  def centroidClassify(s: SparkSession, d: String,
+      holdoutMod: Int = 5): DataFrame = {
+    val e = corpus(s, d)
+    val protos = e.filter(col("vec_id") % holdoutMod =!= 0)
+      .select(col("label"), posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .withColumn("mq", round(col("m"), 6))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mq")))).as("pm"))
+      .select(col("label").cast(LongType).as("c_label"),
+        expr("transform(pm, x -> x.mq)").as("c_emb"))
+      .withColumn("c_nrm", l2norm(col("c_emb")))
+    val q = e.filter(col("vec_id") % holdoutMod === 0)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("label").cast(LongType).as("true_label"))
+    q.crossJoin(broadcast(protos))
+      .withColumn("cos", cosineFromNorms(col("embedding"), col("c_emb"),
+        col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(max_by(struct(col("c_label"), col("cos")),
+        struct(col("cos"), -col("c_label"))).as("w"))
+      .select(col("vec_id"), col("w.c_label").as("pred_label"),
+        col("true_label"), col("w.cos").as("score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Multi-table random-hyperplane LSH. Each table hashes to a short
     * m-bit signature; a pair is a candidate if ANY table agrees exactly
     * (OR-construction). Planes are derived from a fixed seed — fully

@@ -332,4 +332,68 @@ class SimilaritySpec extends SparkSpec {
         s"candidate $nid of query $qid came from an unprobed cell")
     }
   }
+
+  test("range search equals a plain-Scala threshold scan and contains the top-k above tau") {
+    val tau = 0.2
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 < 10)
+    val want = (for {
+      (qid, qe) <- queries; (nid, ne) <- vecs if nid != qid
+      c = cos(qe, ne) if c >= tau
+    } yield (qid, nid)).toSet
+    val got = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    assert(got.toSet == want && got.length == want.size)
+    // top-k rows above tau are range rows (family consistency)
+    val topAbove = q("q_ann_bruteforce").collect()
+      .filter(_.getAs[Double]("cos") >= tau)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+    assert(topAbove.forall(want.contains))
+  }
+
+  test("centroid classify: plain-Scala recompute of quantized prototypes and argmax agrees") {
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray,
+        r.getAs[Int]("label").toLong))
+    val labeled = rows.filter(_._1 % 5 != 0)
+    val dim = rows.head._2.length
+    val protos = labeled.groupBy(_._3).map { case (lab, members) =>
+      lab -> Array.tabulate(dim) { i =>
+        val m = members.map(_._2(i).toDouble).sum / members.size
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    def cosFD(a: Array[Float], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i).toDouble
+        nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.filter(_._1 % 5 == 0).map { case (id, e, trueLab) =>
+      val (bestLab, _) = protos.toSeq
+        .map { case (lab, c) => (lab, cosFD(e, c)) }
+        .minBy { case (lab, c) => (-c, lab) }
+      id -> (bestLab, trueLab)
+    }.toMap
+    val got = Similarity.centroidClassify(spark, sf).collect()
+    assert(got.length == want.size) // one row per holdout query
+    got.foreach { r =>
+      val (plab, tlab) = want(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("pred_label") == plab)
+      assert(r.getAs[Long]("true_label") == tlab)
+      assert(!r.getAs[Double]("score").isNaN)
+    }
+  }
 }

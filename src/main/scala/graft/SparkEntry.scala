@@ -174,6 +174,7 @@ object SparkEntry {
     "q_text_dupspans"    -> ((s, d) => TextOps.duplicatedSpans(s, d)),
     "q_budget_select"    -> ((s, d) => TextOps.budgetSelect(s, d)),
     "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
+    "q_text_pmi"         -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
@@ -891,6 +892,27 @@ object SparkEntry {
     // Good–Turing count-of-counts: N_c per count class c over multiset
     // bigram counts; c* only where the c+1 class exists (count classes
     // are gappy). One exact-integer multiply + one division — value-exact
+    // PMI collocations: everything inside the ln is integer-exact in
+    // IEEE doubles with identical association on both engines; the ln
+    // itself is only 1-ulp-reproducible across libms, so the PMI value
+    // is quantized to 6 decimals on BOTH sides (BM25/centroid precedent)
+    "q_text_pmi" ->
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         bgall AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i] || ' ' || toks[i+1] AS bigram
+                   FROM t, unnest(generate_series(1, greatest(0, len(toks) - 1))) u(i)),
+         bgc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS c_ab
+                 FROM bgall GROUP BY bigram),
+         uc AS (SELECT tok, count(*) AS c_tok FROM (
+                  SELECT unnest(toks) AS tok FROM t) u
+                WHERE length(tok) > 0 GROUP BY tok),
+         n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM bgc),
+         res AS (SELECT b.bigram, b.c_ab, a.c_tok AS c_a, c.c_tok AS c_b,
+                 round(ln(CAST(b.c_ab AS DOUBLE) * CAST(n.n_bg AS DOUBLE)
+                   / (CAST(a.c_tok AS DOUBLE) * CAST(c.c_tok AS DOUBLE))), 6) AS pmi
+                 FROM bgc b JOIN uc a ON a.tok = b.w1 JOIN uc c ON c.tok = b.w2, n
+                 WHERE b.c_ab >= 5)
+         SELECT bigram, c_ab, c_a, c_b, pmi FROM res
+         ORDER BY pmi DESC, bigram LIMIT 50""",
     "q_lm_counts" ->
       """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
          bg AS (SELECT arr[i] || ' ' || arr[i+1] AS bigram

@@ -614,6 +614,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PMI COLLOCATIONS — pointwise mutual information over corpus
+    * bigrams, the classic collocation-extraction / phrase-mining op
+    * (and the adjacency test behind learned tokenizer merges):
+    * PMI(a,b) = ln(c_ab·N / (c_a·c_b)) for bigram counts c_ab over N
+    * total bigram occurrences. Three partial-aggregating passes that
+    * all map-side combine (bigram counts, unigram counts, and the
+    * N scalar — whose groupBy exchange Catalyst REUSES from the bigram
+    * branch, so the corpus is bigram-parsed once), then two equi-joins
+    * on the token key and one broadcast of the 1-row N. The minCount
+    * support filter runs before the joins, so only surviving bigram
+    * TYPES (not occurrences) travel.
+    *
+    * The PMI value is quantized to 6 decimals on BOTH engines: ln is
+    * only 1-ulp-reproducible across libms, and the quantization
+    * absorbs that (the BM25/centroid precedent); everything inside the
+    * ln is integer-exact math in IEEE doubles with identical
+    * association on both sides. */
+  def pmiCollocations(s: SparkSession, d: String, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val toks = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val bgAll = toks.select(explode(bigramAllUdf(col("toks"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nDf = bgAll.agg(sum(col("c_ab")).as("n_bg"))
+    // tokens never contain whitespace, so the single space is an
+    // unambiguous separator
+    val bg = bgAll.filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bg
+      .join(uni.select(col("tok").as("w1"), col("c_tok").as("c_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c_tok").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("pmi", round(log(
+        col("c_ab").cast(DoubleType) * col("n_bg").cast(DoubleType) /
+          (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType))), 6))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** The once-per-corpus (doc_id, n_tokens, quality_score) table, for
     * operators in sibling objects that compose with quality/token
     * counts without re-parsing the corpus text. */

@@ -440,6 +440,34 @@ class TextMultimodalSpec extends SparkSpec {
     (0L until 40L by 3).foreach(i => assert(byId(i) >= 1L))
   }
 
+  test("PMI collocations: plain-Scala recompute agrees, top-k ordered") {
+    val texts = Tables.documents(spark, sf).collect()
+      .map(_.getAs[String]("text"))
+    val docToks = texts.map(t => t.trim.toLowerCase.split("\\s+").toSeq)
+    val bigrams = docToks.flatMap(ts =>
+      if (ts.length < 2) Nil else ts.sliding(2).map(_.mkString(" ")))
+    val cAb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cTok = docToks.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.length.toLong
+    val want = cAb.filter(_._2 >= 5L).map { case (bgm, ab) =>
+      val Array(w1, w2) = bgm.split(" ", 2)
+      val pmi = BigDecimal(math.log(ab.toDouble * n.toDouble /
+        (cTok(w1).toDouble * cTok(w2).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      bgm -> (ab, cTok(w1), cTok(w2), pmi)
+    }
+    val topWant = want.toSeq.sortBy { case (bgm, (_, _, _, p)) => (-p, bgm) }.take(50)
+    val got = graft.ops.TextOps.pmiCollocations(spark, sf).collect()
+    assert(got.length == topWant.length)
+    got.zip(topWant).foreach { case (r, (bgm, (ab, ca, cb, pmi))) =>
+      assert(r.getAs[String]("bigram") == bgm)
+      assert(r.getAs[Long]("c_ab") == ab && r.getAs[Long]("c_a") == ca &&
+        r.getAs[Long]("c_b") == cb)
+      assert(r.getAs[Double]("pmi") == pmi)
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * in the "errors" map. */
 object Bench {
 
+  /** Pull the numeric mean_ms out of the stream-panel JSON fragment for
+    * the short summary line. Pure and unit-tested (BenchFormatSpec):
+    * the summary line is the artifact the driver machine-parses when
+    * log-tail truncation eats the full line (rounds 6/7), so its
+    * formatting must never silently regress — e.g. when new fields land
+    * after mean_ms in the panel, as phase_means_ms did. */
+  private[graft] def extractMeanMs(panel: String): String =
+    if (panel == "null") "null"
+    else panel.split("\"mean_ms\":")(1).takeWhile(c => c != ',' && c != '}')
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"
@@ -168,11 +178,7 @@ object Bench {
     // SHORT summary line repeats only the totals; small enough that any
     // tail keeps it intact, and parseable on its own.
     val probeSum = probeNames.map(best).sum
-    val meanMs =
-      if (streamPanel != "null")
-        "\"stream_batch_ms_mean\":" + streamPanel.split("\"mean_ms\":")(1)
-          .takeWhile(c => c != ',' && c != '}')
-      else "\"stream_batch_ms_mean\":null"
+    val meanMs = "\"stream_batch_ms_mean\":" + extractMeanMs(streamPanel)
     println(s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
     // a run with zero successful timings must not read as success

@@ -175,6 +175,7 @@ object SparkEntry {
     "q_budget_select"    -> ((s, d) => TextOps.budgetSelect(s, d)),
     "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
     "q_text_pmi"         -> ((s, d) => TextOps.pmiCollocations(s, d)),
+    "q_rag_retrieve"     -> ((s, d) => TextOps.ragRetrieve(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
@@ -892,6 +893,51 @@ object SparkEntry {
     // Good–Turing count-of-counts: N_c per count class c over multiset
     // bigram counts; c* only where the c+1 class exists (count classes
     // are gappy). One exact-integer multiply + one division — value-exact
+    // multi-query BM25 retrieval + budgeted context packing: the oracle
+    // ranks with a window; Spark ranks with the bounded top-k aggregate
+    // (identical (score desc, doc_id) order); per-term scores quantize
+    // through DECIMAL(18,8) on both sides like q_bm25_topk
+    "q_rag_retrieve" ->
+      """WITH qm AS (SELECT CAST(v.query_id AS BIGINT) AS query_id, v.token
+                     FROM (VALUES (1, 'vector'), (1, 'hash'), (1, 'dup'),
+                                  (2, 'stream'), (2, 'batch'), (2, 'window'),
+                                  (3, 'customer'), (3, 'order'), (3, 'join'))
+                       AS v(query_id, token)),
+         ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                FROM documents),
+         t AS (SELECT doc_id, token FROM ex
+               WHERE length(token) > 0 AND token IN (SELECT token FROM qm)),
+         dl AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       x -> length(x) > 0)) AS BIGINT) AS dl
+                FROM documents),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         term AS (SELECT qm.query_id, tf.doc_id,
+             CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               AS DECIMAL(18,8)) AS tscore
+           FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats JOIN qm ON qm.token = tf.token),
+         sc AS (SELECT query_id, doc_id,
+                CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score
+                FROM term GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+                FROM sc),
+         nt AS (SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+                FROM documents),
+         packed AS (SELECT r.query_id, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id,
+                r.score, nt.n_tokens,
+                CAST(sum(nt.n_tokens) OVER (PARTITION BY r.query_id ORDER BY r.rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM rk r JOIN nt ON nt.doc_id = r.doc_id WHERE r.rnk <= 5)
+         SELECT query_id, rnk, doc_id, score, n_tokens, cum_tokens FROM packed
+         WHERE cum_tokens <= 300 ORDER BY query_id, rnk""",
     // PMI collocations: everything inside the ln is integer-exact in
     // IEEE doubles with identical association on both engines; the ln
     // itself is only 1-ulp-reproducible across libms, so the PMI value

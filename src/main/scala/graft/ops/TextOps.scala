@@ -614,6 +614,71 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG RETRIEVAL + CONTEXT ASSEMBLY — the serving-side composition a
+    * retrieval pipeline runs per batch of queries: multi-query BM25
+    * scoring (same constants and DECIMAL(18,8) per-term quantization as
+    * [[bm25TopK]], generalized with a query dimension), per-query top-k
+    * WITHOUT a per-query sort (the bounded [[graft.functions.TopKByAgg]]
+    * heap — k×partitions rows shuffle even when a common token matches
+    * the whole corpus), then greedy rank-order context packing under a
+    * token budget (the prefix of the ranked list whose cumulative
+    * n_tokens fits — read off the once-per-corpus scored table, never a
+    * re-parse). The query panel is a fixed literal table here (mirrored
+    * in the oracle); production passes any (query_id, token) DataFrame.
+    * Every join is an equi-join on token/doc_id with the tiny sides
+    * broadcast; the packing window runs over ≤ k rows per query. */
+  def ragRetrieve(s: SparkSession, d: String, k: Int = 5,
+      budget: Long = 300L): DataFrame = {
+    graft.functions.Native.register(s)
+    import s.implicits._
+    val panel: Seq[(Long, String)] = Seq(
+      1L -> "vector", 1L -> "hash", 1L -> "dup",
+      2L -> "stream", 2L -> "batch", 2L -> "window",
+      3L -> "customer", 3L -> "order", 3L -> "join")
+    val qmap = panel.toDF("query_id", "token")
+    val allTokens = panel.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(filter(tokens(col("text")), t => length(t) > 0))
+        .cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0 && col("token").isin(allTokens: _*))
+    val dfTok = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tscore = (idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .cast(DecimalType(18, 8))
+    val scored = tf.join(broadcast(dfTok), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qmap), Seq("token"))
+      .select(col("query_id"), col("doc_id"), tscore.as("tscore"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tscore")).cast(DecimalType(18, 8))
+        .cast(DoubleType).as("score"))
+    import graft.functions.Native
+    val top = scored.groupBy(col("query_id"))
+      .agg(Native.topKBy(Native.sortableDouble(col("score")),
+        -col("doc_id"), col("doc_id").cast(DoubleType), k).as("docs"))
+      .select(col("query_id"), posexplode(col("docs")).as(Seq("pos", "doc_d")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rnk"),
+        col("doc_d").cast(LongType).as("doc_id"))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.join(scored, Seq("query_id", "doc_id"))
+      .join(scoredDocs(s, d).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wc))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** PMI COLLOCATIONS — pointwise mutual information over corpus
     * bigrams, the classic collocation-extraction / phrase-mining op
     * (and the adjacency test behind learned tokenizer merges):

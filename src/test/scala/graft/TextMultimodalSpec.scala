@@ -440,6 +440,33 @@ class TextMultimodalSpec extends SparkSpec {
     (0L until 40L by 3).foreach(i => assert(byId(i) >= 1L))
   }
 
+  test("RAG retrieval: packing invariants hold and query-1 ranking equals bm25TopK") {
+    val budget = 300L
+    val rows = graft.ops.TextOps.ragRetrieve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.ops.TextOps.quality(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_tokens")).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_.getAs[Long]("rnk"))
+      // packed prefix: ranks contiguous from 1, cumsum true and under budget
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length.toLong))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("n_tokens") == toks(r.getAs[Long]("doc_id")))
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum && cum <= budget)
+      }
+    }
+    // query 1's panel IS bm25TopK's default query: identical scoring →
+    // the packed list must be a prefix of the bm25 ranking
+    val bm25Order = graft.ops.TextOps.bm25TopK(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val q1 = rows.filter(_.getAs[Long]("query_id") == 1L)
+      .sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(q1 == bm25Order.take(q1.length))
+  }
+
   test("PMI collocations: plain-Scala recompute agrees, top-k ordered") {
     val texts = Tables.documents(spark, sf).collect()
       .map(_.getAs[String]("text"))

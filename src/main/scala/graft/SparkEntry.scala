@@ -194,6 +194,7 @@ object SparkEntry {
     "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
     "q_dedup_keep_best"     -> ((s, d) => Dedup.keepBestPerCluster(s, d)),
     "q_decontaminate"       -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_contamination"       -> ((s, d) => Dedup.contaminationFraction(s, d)),
     "q_simjoin_prefix"      -> ((s, d) => Dedup.prefixSimJoin(s, d)),
     // north-star: similarity search
     "q_embed_cosine_pairs" -> ((s, d) => Similarity.cosineConsecutive(s, d)),
@@ -1023,6 +1024,32 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     // decontamination = hashSplit ⋈ content fingerprints ⋈ the exact
     // >=0.5-Jaccard pair set (same CTEs as q_dedup_minhash's oracle)
+    // per-test-doc k-gram contamination fraction: the oracle tests gram
+    // STRING membership; Spark tests the 128-bit hash pair of the same
+    // string — identical absent a 2^-129-scale collision (dupspans note)
+    "q_contamination" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sp AS (SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+                     ELSE 'test' END AS split
+                FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' ||
+                 arr[i+4] || ' ' || arr[i+5] || ' ' || arr[i+6] || ' ' || arr[i+7] AS gram
+               FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 7))) t(i)),
+         tr AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+         te AS (SELECT g.doc_id, g.gram FROM g JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+         agg AS (SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN gram IN (SELECT gram FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+                 FROM te GROUP BY doc_id)
+         SELECT s2.doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_matched, 0) AS BIGINT) AS n_matched,
+           CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(a.n_matched AS DOUBLE) / a.n_grams END AS contam_frac
+         FROM sp s2 LEFT JOIN agg a USING (doc_id)
+         WHERE s2.split = 'test' ORDER BY s2.doc_id""",
     "q_decontaminate" ->
       """WITH sp AS (SELECT doc_id,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'

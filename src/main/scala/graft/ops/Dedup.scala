@@ -285,6 +285,56 @@ object Dedup {
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** Per-test-document CONTAMINATION FRACTION — the standard n-gram
+    * overlap metric (the k-gram membership test of published LLM eval
+    * decontamination): for each test-split document, the fraction of
+    * its DISTINCT k-token grams that occur anywhere in the train
+    * split. [[decontaminate]] lists leaked pairs; this scores every
+    * test doc on the continuous [0,1] scale eval reports use.
+    *
+    * Scale shape: grams key as the dupspans 128-bit xxhash64 pair
+    * (fixed-width shuffle, gram strings never travel; collision-union
+    * bound W²/2¹²⁹). The train side reduces to ONE row per distinct
+    * gram before the join, so a corpus-hot boilerplate gram cannot
+    * amplify — the test⋈train semi-join is 1:≤1 per test gram row.
+    * Short test docs (no complete gram) surface with frac 0, not
+    * silently dropped. */
+  def contaminationFraction(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"contaminationFraction needs k >= 2, got $k")
+    val split = TextOps.hashSplit(s, d)
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_windows",
+        greatest(size(col("toks")) - (k - 1), lit(0)).cast(LongType))
+      .filter(col("n_windows") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("n_windows")),
+          i => array_join(slice(col("toks"), i.cast(IntegerType), lit(k)), " ")))
+          .as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(lit(17L), col("gram")).as("h2"))
+      .distinct() // membership is per distinct gram, per doc
+    val trainGrams = grams
+      .join(split.filter(col("split") === "train"), Seq("doc_id"), "left_semi")
+      .select(col("h1"), col("h2")).distinct()
+    val testGrams = grams
+      .join(split.filter(col("split") === "test"), Seq("doc_id"), "left_semi")
+    val matched = testGrams.join(trainGrams, Seq("h1", "h2"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    val totals = testGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    split.filter(col("split") === "test").select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contam_frac",
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("n_matched").cast(DoubleType) / col("n_grams")))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash per document: per bit j, sum ±1 weighted by whether
     * bit j of each shingle hash is set; bit j of the signature = sign.
     * One explode + one 64-column aggregate — no shuffle of text.

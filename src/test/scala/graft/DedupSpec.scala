@@ -182,6 +182,44 @@ class DedupSpec extends SparkSpec {
     assert(prefTok * 4 < allTok, s"prefix carries $prefTok of $allTok postings")
   }
 
+  test("contamination fraction: plain-Scala k-gram membership recompute agrees") {
+    val k = 8
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def splitOf(id: Long) = {
+      val h = md5hex(id.toString).head
+      if (h <= 'c') "train" else if (h <= 'e') "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < k) Set.empty else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val trainGrams = docs.filter(d => splitOf(d._1) == "train")
+      .flatMap(d => grams(d._2)).toSet
+    val want = docs.filter(d => splitOf(d._1) == "test").map { case (id, t) =>
+      val g = grams(t)
+      val m = g.count(trainGrams.contains)
+      id -> (g.size.toLong, m.toLong,
+        if (g.isEmpty) 0.0 else m.toDouble / g.size)
+    }.toMap
+    val got = Dedup.contaminationFraction(spark, sf).collect()
+    assert(got.length == want.size) // every test doc surfaces, incl. gram-less
+    got.foreach { r =>
+      val (ng, nm, frac) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == ng)
+      assert(r.getAs[Long]("n_matched") == nm)
+      assert(r.getAs[Double]("contam_frac") == frac)
+    }
+    // if the plain-Scala truth finds contamination in this fixture's
+    // splits, the operator must surface it too (sf0.001's 200-doc
+    // corpus may legitimately land no planted pair across train/test)
+    assert(got.exists(_.getAs[Double]("contam_frac") > 0.0) ==
+      want.values.exists(_._3 > 0.0))
+  }
+
   test("keep-best retention: argmax of (quality, -doc_id) per cluster, sizes conserved") {
     val comps = Dedup.nearDupComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap

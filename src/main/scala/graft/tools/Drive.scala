@@ -203,7 +203,8 @@ object Drive {
           "q_source_orc", "q_ann_quantized", "q_text_dupspans",
           "q_budget_select", "q_predict_lstm", "q_knn_classify_ivf",
           "q_mixture_sample", "q_shard_manifest", "q_dedup_keep_best",
-          "q_text_pmi", "q_ann_range", "q_knn_centroid", "q_rag_retrieve")
+          "q_text_pmi", "q_ann_range", "q_knn_centroid", "q_rag_retrieve",
+          "q_contamination")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

@@ -176,6 +176,7 @@ object SparkEntry {
     "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
     "q_text_pmi"         -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "q_rag_retrieve"     -> ((s, d) => TextOps.ragRetrieve(s, d)),
+    "q_split_balance"    -> ((s, d) => TextOps.splitBalance(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
@@ -894,6 +895,32 @@ object SparkEntry {
     // Good–Turing count-of-counts: N_c per count class c over multiset
     // bigram counts; c* only where the c+1 class exists (count classes
     // are gappy). One exact-integer multiply + one division — value-exact
+    // split-balance chi-square: o and all margins are exact integers;
+    // expected/contrib are fixed-association IEEE expressions of them
+    // (bit-exact both engines); only the cross-cell statistic sum is
+    // order-sensitive, so contributions quantize through DECIMAL(18,8).
+    // Cells with zero observed docs are absent from the table and the
+    // statistic on BOTH engines (observed-cell chi-square).
+    "q_split_balance" ->
+      """WITH sp AS (SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+                     ELSE 'test' END AS split
+                FROM documents),
+         cells AS (SELECT sp.split, d.source, count(*) AS o
+                   FROM documents d JOIN sp USING (doc_id) GROUP BY 1, 2),
+         m AS (SELECT split, source, o,
+               CAST(sum(o) OVER (PARTITION BY split) AS DOUBLE)
+                 * CAST(sum(o) OVER (PARTITION BY source) AS DOUBLE)
+                 / CAST(sum(o) OVER () AS DOUBLE) AS expected
+               FROM cells),
+         c2 AS (SELECT split, source, o, expected,
+                (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+                  / expected AS contrib
+                FROM m)
+         SELECT split, source, o, expected, contrib,
+           CAST(CAST(sum(CAST(contrib AS DECIMAL(18,8))) OVER () AS DECIMAL(18,8)) AS DOUBLE) AS chisq
+         FROM c2 ORDER BY split, source""",
     // multi-query BM25 retrieval + budgeted context packing: the oracle
     // ranks with a window; Spark ranks with the bounded top-k aggregate
     // (identical (score desc, doc_id) order); per-term scores quantize

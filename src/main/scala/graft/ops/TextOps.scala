@@ -614,6 +614,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SPLIT-BALANCE AUDIT — the distribution-shift check run after any
+    * dataset split: the split × source contingency table with each
+    * cell's chi-square contribution (observed vs expected under
+    * independence) and the global statistic. A skewed cell means the
+    * hash split accidentally under/over-sampled a domain in one split —
+    * the thing that silently biases eval. ONE partial-aggregating
+    * groupBy over the corpus builds the contingency table (splits ×
+    * sources rows — metadata scale), and every subsequent margin/
+    * expected/statistic step is a window over that tiny table, so the
+    * audit costs one scan at any corpus size.
+    *
+    * Determinism: o, row/col totals and N are exact integers; e and the
+    * per-cell contribution are fixed-association IEEE expressions of
+    * them (bit-exact on both engines); only the cross-cell SUM for the
+    * global statistic is order-sensitive, so contributions quantize
+    * through DECIMAL(18,8) before it (the BM25 precedent). */
+  def splitBalance(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(hashSplit(s, d), Seq("doc_id"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val wSplit = Window.partitionBy(col("split"))
+    val wSource = Window.partitionBy(col("source"))
+    val wAll = Window.partitionBy()
+    val e = sum(col("o")).over(wSplit).cast(DoubleType) *
+      sum(col("o")).over(wSource).cast(DoubleType) /
+      sum(col("o")).over(wAll).cast(DoubleType)
+    cells
+      .withColumn("expected", e)
+      .withColumn("contrib",
+        (col("o").cast(DoubleType) - col("expected")) *
+          (col("o").cast(DoubleType) - col("expected")) / col("expected"))
+      .withColumn("chisq",
+        sum(col("contrib").cast(DecimalType(18, 8))).over(wAll)
+          .cast(DecimalType(18, 8)).cast(DoubleType))
+      .select(col("split"), col("source"), col("o"), col("expected"),
+        col("contrib"), col("chisq"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** RAG RETRIEVAL + CONTEXT ASSEMBLY — the serving-side composition a
     * retrieval pipeline runs per batch of queries: multi-query BM25
     * scoring (same constants and DECIMAL(18,8) per-term quantization as

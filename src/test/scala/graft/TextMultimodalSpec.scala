@@ -440,6 +440,38 @@ class TextMultimodalSpec extends SparkSpec {
     (0L until 40L by 3).foreach(i => assert(byId(i) >= 1L))
   }
 
+  test("split balance: plain-Scala contingency chi-square recompute agrees") {
+    def md5h(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def splitOf(id: Long) = {
+      val h = md5h(id.toString).head
+      if (h <= 'c') "train" else if (h <= 'e') "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => splitOf(r.getAs[Long]("doc_id")) -> r.getAs[String]("source"))
+    val o = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val contrib = o.map { case ((sp, src), obs) =>
+      val e = rowT(sp).toDouble * colT(src).toDouble / n.toDouble
+      (sp, src) -> (obs, e, (obs.toDouble - e) * (obs.toDouble - e) / e)
+    }
+    val chisq = contrib.values
+      .map(c => BigDecimal(c._3).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.ops.TextOps.splitBalance(spark, sf).collect()
+    assert(got.length == o.size)
+    got.foreach { r =>
+      val (obs, e, c) = contrib((r.getAs[String]("split"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("o") == obs)
+      assert(r.getAs[Double]("expected") == e)
+      assert(r.getAs[Double]("contrib") == c)
+      assert(r.getAs[Double]("chisq") == chisq)
+    }
+  }
+
   test("RAG retrieval: packing invariants hold and query-1 ranking equals bm25TopK") {
     val budget = 300L
     val rows = graft.ops.TextOps.ragRetrieve(spark, sf).collect()

@@ -177,6 +177,7 @@ object SparkEntry {
     "q_text_pmi"         -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "q_rag_retrieve"     -> ((s, d) => TextOps.ragRetrieve(s, d)),
     "q_split_balance"    -> ((s, d) => TextOps.splitBalance(s, d)),
+    "q_sample_quality"   -> ((s, d) => TextOps.sampleByQuality(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
     "q_text_rarity"      -> ((s, d) => TextOps.tokenRarity(s, d)),
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
@@ -895,6 +896,31 @@ object SparkEntry {
     // Good–Turing count-of-counts: N_c per count class c over multiset
     // bigram counts; c* only where the c+1 class exists (count classes
     // are gappy). One exact-integer multiply + one division — value-exact
+    // quality-proportional sampling: the uniform draw is the first 52
+    // md5 bits of the doc_id (exactly representable in a double; /2^52
+    // is exact power-of-two scaling), so keep/drop is bit-deterministic
+    // on both engines against the bit-identical quality score
+    "q_sample_quality" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         FROM documents),
+         qual AS (SELECT doc_id, n_tokens,
+           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.5
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+             + (1.0 - CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END) * 0.2
+             AS quality_score
+         FROM b),
+         s AS (SELECT doc_id, n_tokens, quality_score,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+             / 4503599627370496.0 AS u
+           FROM qual)
+         SELECT doc_id, n_tokens, quality_score, u FROM s
+         WHERE u < quality_score ORDER BY doc_id""",
     // split-balance chi-square: o and all margins are exact integers;
     // expected/contrib are fixed-association IEEE expressions of them
     // (bit-exact both engines); only the cross-cell statistic sum is

@@ -614,6 +614,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** QUALITY-PROPORTIONAL sampling ("soft curation") — instead of the
+    * hard quality threshold of [[curateCorpus]], keep each document
+    * with probability equal to its quality score, the CCNet/FineWeb-
+    * style soft filter that preserves a long tail of lower-quality
+    * data at reduced rate. The "draw" is deterministic and
+    * coordination-free: u = the first 52 md5 bits of the doc_id as a
+    * uniform double in [0,1) (52 bits ⇒ exactly representable, and
+    * md5 keeps the draw independent of the xxhash64 family used by
+    * shuffles and samplers elsewhere); keep iff u < quality_score.
+    * Any worker recomputes a document's fate from its id alone — no
+    * RNG state, no sampling pass, reproducible across runs and
+    * engines. One scan, embarrassingly parallel. */
+  def sampleByQuality(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast(StringType)), 1, 13), 16, 10)
+      .cast(DoubleType) / lit(4503599627370496.0) // 2^52
+    scoredDocs(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("u", u)
+      .filter(col("u") < col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SPLIT-BALANCE AUDIT — the distribution-shift check run after any
     * dataset split: the split × source contingency table with each
     * cell's chi-square contribution (observed vs expected under

@@ -440,6 +440,28 @@ class TextMultimodalSpec extends SparkSpec {
     (0L until 40L by 3).foreach(i => assert(byId(i) >= 1L))
   }
 
+  test("quality-proportional sampling: deterministic draw, correct keep set, sane rate") {
+    val qual = graft.ops.TextOps.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    def u(id: Long): Double =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13), 16).toDouble / 4503599627370496.0
+    val want = qual.filter { case (id, q2) => u(id) < q2 }.keySet
+    val got = graft.ops.TextOps.sampleByQuality(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == want)
+    got.foreach { r =>
+      assert(r.getAs[Double]("u") == u(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Double]("u") < r.getAs[Double]("quality_score"))
+    }
+    // keep rate tracks mean quality (both in [0,1]; loose band — the
+    // draw is uniform and independent of the score)
+    val rate = got.length.toDouble / qual.size
+    val meanQ = qual.values.sum / qual.size
+    assert(math.abs(rate - meanQ) < 0.2, s"rate $rate vs mean quality $meanQ")
+  }
+
   test("split balance: plain-Scala contingency chi-square recompute agrees") {
     def md5h(x: String) =
       java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))

@@ -29,6 +29,7 @@ object SparkEntry {
     "q_sql_ship_priority" -> ((s, d) => Relational.sqlShippingPriority(s, d)),
     "q_sql_supplier_volume" -> ((s, d) => Relational.sqlLocalSupplierVolume(s, d)),
     "q_source_jsonl"     -> ((s, d) => Relational.jsonlSourceSummary(s, d)),
+    "q_source_evolution" -> ((s, d) => Relational.evolvedSourceSummary(s, d)),
     "q_count"         -> ((s, d) => Relational.countAll(s, d)),
     // §2.6 sorts / limits / top-k
     "q_orderby_limit" -> ((s, d) => Relational.orderByLimit(s, d)),
@@ -320,6 +321,15 @@ object SparkEntry {
           min(event_id) AS min_id, max(event_id) AS max_id,
           ${dsum("value")} AS total
           FROM events GROUP BY event_type ORDER BY event_type""",
+    // schema-evolution read: Spark merges a legacy 2-column parquet
+    // half with the evolved 3-column half (mergeSchema; legacy rows'
+    // missing event_type surfaces as NULL → '_legacy'); the oracle
+    // recomputes from the original table via the same parity split
+    "q_source_evolution" ->
+      s"""SELECT CASE WHEN event_id % 2 = 1 THEN event_type ELSE '_legacy' END AS etype,
+          count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id,
+          ${dsum("value")} AS total
+          FROM events GROUP BY 1 ORDER BY etype""",
     "q_orderby_limit" ->
       """SELECT event_id, value FROM
          (SELECT event_id, value FROM events ORDER BY ts DESC, event_id DESC LIMIT 5000) t

@@ -75,6 +75,46 @@ object Relational {
       out
     })
 
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage a SCHEMA-EVOLVED parquet dataset once per corpus: half the
+    * events written with a LEGACY 2-column schema (event_id, value),
+    * half with the evolved 3-column one (+event_type) — the shape every
+    * long-lived lake table reaches as writers upgrade. Deterministic
+    * split on event_id parity so the oracle can recompute from the
+    * original table. */
+  def evolvedEventsDirs(s: SparkSession, d: String): (String, String) = {
+    val root = evoCache.computeIfAbsent(d, { dir =>
+      val out = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      val e = Tables.events(s, dir)
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(out + "/legacy")
+      e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(out + "/evolved")
+      out
+    })
+    (root + "/legacy", root + "/evolved")
+  }
+
+  /** SCHEMA-EVOLUTION read: `mergeSchema` unions the per-file schemas,
+    * legacy rows surface the missing column as NULL (no rewrite of old
+    * files, no failure), and the query runs over the union — grouped
+    * here with NULLs bucketed as '_legacy' so the evolution is visible
+    * in the output. At 100 TB this is how a lake table adds a column:
+    * footer-merge at planning time, zero data movement. */
+  def evolvedSourceSummary(s: SparkSession, d: String): DataFrame = {
+    val (legacy, evolved) = evolvedEventsDirs(s, d)
+    s.read.option("mergeSchema", "true").parquet(legacy, evolved)
+      .groupBy(coalesce(col("event_type"), lit("_legacy")).as("etype"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        Aggregates.dsum(col("value")).as("total"))
+      .orderBy(col("etype"))
+  }
+
   def jsonlSourceSummary(s: SparkSession, d: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),

@@ -440,4 +440,29 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(fromOrc == fromParquet)
   }
+
+  test("schema-evolution read: legacy rows surface NULL type, union conserves the table") {
+    import graft.ops.Relational
+    val (legacy, evolved) = Relational.evolvedEventsDirs(spark, sf)
+    val merged = spark.read.option("mergeSchema", "true").parquet(legacy, evolved)
+    // the legacy half has no event_type column on disk, yet the merged
+    // schema carries it — NULL exactly on even ids
+    assert(merged.columns.toSet == Set("event_id", "event_type", "value"))
+    merged.collect().foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.isNullAt(r.fieldIndex("event_type")) == (id % 2 == 0))
+    }
+    // union conserves: every event exactly once, per-type counts match
+    val n = Tables.events(spark, sf).count()
+    assert(merged.count() == n)
+    assert(merged.select("event_id").distinct().count() == n)
+    val byType = q("q_source_evolution").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val wantTyped = Tables.events(spark, sf)
+      .filter(col("event_id") % 2 === 1)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    wantTyped.foreach { case (t, c) => assert(byType(t) == c) }
+    assert(byType("_legacy") == n - wantTyped.values.sum)
+  }
 }

@@ -73,6 +73,7 @@ object Bench {
     tryWarm(graft.streaming.Pipeline.prestageOrdered(spark, sfDir))
     tryWarm(graft.ops.Relational.partitionedEventsDir(spark, sfDir))
     tryWarm(graft.ops.Relational.jsonlEventsDir(spark, sfDir))
+    tryWarm(graft.ops.Relational.evolvedEventsDirs(spark, sfDir))
     tryWarm(graft.ops.Joins.bucketedTables(spark, sfDir))
 
     // optional subset (comma-separated names) — used by the scale-curve

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_market_drawdown" -> ((s, d) => Market.drawdown(s, d)),
     "q_market_bollinger" -> ((s, d) => Market.bollinger(s, d)),
     "q_market_returns" -> ((s, d) => Market.returnsQuery(s, d)),
+    "q_market_shift"   -> ((s, d) => Market.levelShift(s, d)),
     "q_market_rsi"     -> ((s, d) => Market.rsi(s, d)),
     "q_market_breakout" -> ((s, d) => Market.breakouts(s, d)),
     "q_market_ewma"    -> ((s, d) => Market.ewma(s, d)),
@@ -1383,6 +1384,29 @@ object SparkEntry {
            sx / 20 - 2.0 * sqrt((sxx - sx * sx / 20) / 19) AS bb_dn
          FROM f WHERE n = 20 ORDER BY event_id""",
     // complete 2-row frames == rows whose lag exists
+    // two-window level-shift detector: daily means from the exact
+    // DECIMAL(18,2) day sum; the sliding w-day sums accumulate
+    // DECIMAL(18,8)-quantized daily means (association-free — immune
+    // to segment-tree vs incremental frame evaluation); only the final
+    // divisions/subtraction are doubles, fixed-association both sides
+    "q_market_shift" ->
+      """WITH daily AS (
+           SELECT event_type AS symbol,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS dmean
+           FROM events GROUP BY 1, 2),
+         q AS (SELECT symbol, day, dmean, CAST(dmean AS DECIMAL(18,8)) AS dq FROM daily),
+         w AS (SELECT symbol, day, dmean,
+             count(*) OVER (PARTITION BY symbol ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev,
+             count(*) OVER (PARTITION BY symbol ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS n_next,
+             CAST(sum(dq) OVER (PARTITION BY symbol ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS sp,
+             CAST(sum(dq) OVER (PARTITION BY symbol ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS DOUBLE) AS sn
+           FROM q)
+         SELECT symbol, day, dmean,
+           sp / n_prev AS prev_mean, sn / n_next AS next_mean,
+           sn / n_next - sp / n_prev AS shift
+         FROM w WHERE n_prev = 7 AND n_next = 7
+         ORDER BY symbol, day""",
     "q_market_returns" ->
       """SELECT event_id, event_type,
            CAST(CAST(value AS DECIMAL(18,2)) - CAST(prev AS DECIMAL(18,2)) AS DOUBLE) AS diff,

@@ -63,6 +63,44 @@ object Market {
         sum(col("k")).as("size_sum"))
       .orderBy(col("symbol"), col("day"))
 
+  /** LEVEL-SHIFT (changepoint) detector per symbol: for each day, the
+    * difference between the mean daily price of the NEXT w days and the
+    * PREVIOUS w days — the two-window mean-shift statistic whose peaks
+    * locate regime changes. Emitted only where both windows are full.
+    *
+    * Determinism: daily means come from the exact DECIMAL(18,2) price
+    * sum over each day; the sliding w-day sums then accumulate the
+    * DECIMAL(18,8)-quantized daily means — decimal addition is
+    * association-free, so it does not matter that Spark evaluates
+    * sliding frames incrementally while other engines use segment
+    * trees. The only double ops are the final divisions and the
+    * subtraction, fixed-association on both engines. One shuffle to
+    * the (symbol, day) grain; the windows run over ~days rows per
+    * symbol — at any corpus scale the shuffled volume is symbols ×
+    * days, not ticks. */
+  def levelShift(s: SparkSession, d: String, w: Int = 7): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("symbol"), dayCol, col("value"))
+      .groupBy(col("symbol"), col("day"))
+      .agg((sum(col("value").cast(DecimalType(18, 2)))
+        .cast(DoubleType) / count(lit(1))).as("dmean"))
+      .withColumn("dq", col("dmean").cast(DecimalType(18, 8)))
+    val prevW = Window.partitionBy(col("symbol")).orderBy(col("day"))
+      .rowsBetween(-w, -1)
+    val nextW = Window.partitionBy(col("symbol")).orderBy(col("day"))
+      .rowsBetween(1, w)
+    daily
+      .withColumn("n_prev", count(lit(1)).over(prevW))
+      .withColumn("n_next", count(lit(1)).over(nextW))
+      .withColumn("prev_mean", sum(col("dq")).over(prevW).cast(DoubleType) / col("n_prev"))
+      .withColumn("next_mean", sum(col("dq")).over(nextW).cast(DoubleType) / col("n_next"))
+      .filter(col("n_prev") === w && col("n_next") === w)
+      .select(col("symbol"), col("day"), col("dmean"),
+        col("prev_mean"), col("next_mean"),
+        (col("next_mean") - col("prev_mean")).as("shift"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
   /** Volume-weighted average price per (symbol, day):
     * Σ(price·size) / Σ(size). The weighted sum accumulates in DECIMAL
     * (price at 2 dp × integer size — exact at any grouping), so the

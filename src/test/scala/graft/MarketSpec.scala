@@ -254,4 +254,39 @@ class MarketSpec extends SparkSpec {
         .as("rsi")).collect().map(_.getDouble(0))
     assert(rsis.nonEmpty && rsis.forall(_ == 100.0))
   }
+
+  test("level shift: plain-Scala two-window recompute agrees, full windows only") {
+    val w = 7
+    val daily = Market.levelShift(spark, sf).collect()
+    assert(daily.nonEmpty)
+    // independent recompute from the raw events via BigDecimal sums
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val dmeans: Map[String, Seq[(String, Double)]] = raw.groupBy(_._1).map { case (sym, rows) =>
+      sym -> rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (day, vs) =>
+        val dec = vs.map(v => BigDecimal(v._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        day -> dec.toDouble / vs.length
+      }
+    }
+    val want = dmeans.flatMap { case (sym, days) =>
+      days.indices.collect { case i if i >= w && i + w < days.length =>
+        def winSum(r: Range) = r.map(j =>
+          BigDecimal(days(j)._2).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val pm = winSum(i - w until i) / w
+        val nm = winSum(i + 1 to i + w) / w
+        (sym, days(i)._1) -> (days(i)._2, pm, nm, nm - pm)
+      }
+    }
+    assert(daily.length == want.size)
+    daily.foreach { r =>
+      val (dm, pm, nm, sh) = want((r.getString(0), r.getString(1)))
+      assert(r.getAs[Double]("dmean") == dm)
+      assert(r.getAs[Double]("prev_mean") == pm)
+      assert(r.getAs[Double]("next_mean") == nm)
+      assert(r.getAs[Double]("shift") == sh)
+    }
+  }
 }

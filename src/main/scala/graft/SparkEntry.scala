@@ -91,12 +91,18 @@ object SparkEntry {
     "q_ffill"          -> ((s, d) => Windows.forwardFill(s, d)),
     "q_resample"       -> ((s, d) => Windows.resampleGrid(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
+    "q_robust_scale"   -> ((s, d) => Windows.robustScale(s, d)),
     "q_corr_daily"     -> ((s, d) => Aggregates.corrDaily(s, d)),
+    "q_ts_acf"         -> ((s, d) => Aggregates.acfDaily(s, d)),
+    // drift monitors: reference half vs current half of each series
+    "q_ks_drift"       -> ((s, d) => Drift.ksDrift(s, d)),
+    "q_psi_drift"      -> ((s, d) => Drift.psiDrift(s, d)),
     // user-behavior analytics over the event log
     "q_retention"      -> ((s, d) => Behavior.retention(s, d)),
     "q_funnel"         -> ((s, d) => Behavior.funnel(s, d)),
     "q_scd2"           -> ((s, d) => Behavior.scd2(s, d)),
     "q_active_users"   -> ((s, d) => Behavior.activeUsers(s, d)),
+    "q_attribution"    -> ((s, d) => Behavior.attribution(s, d)),
     // table maintenance: merge/upsert + incremental rollup refresh +
     // snapshot-diff CDC + small-file compaction
     "q_merge_upsert"   -> ((s, d) => Maintain.mergeUpsert(s, d)),
@@ -190,6 +196,8 @@ object SparkEntry {
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
     "q_mixture_sample"   -> ((s, d) => TextOps.mixtureSample(s, d)),
     "q_shard_manifest"   -> ((s, d) => TextOps.shardManifest(s, d)),
+    "q_text_keywords"    -> ((s, d) => TextOps.tfidfKeywords(s, d)),
+    "q_source_entropy"   -> ((s, d) => TextOps.sourceEntropy(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
@@ -531,6 +539,18 @@ object SparkEntry {
          SELECT event_type AS from_type, to_type, count(*) AS n
          FROM t WHERE to_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // last-touch attribution: strictly-prior frame, integer gap
+    "q_attribution" ->
+      """SELECT purchase_id, user_id, attributed_click, gap_us FROM (
+           SELECT event_id AS purchase_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS attributed_click,
+             epoch_us(ts) - last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         WHERE event_type = 'purchase' ORDER BY purchase_id""",
     // co-purchase pair weights: the output-sensitive day-keyed join
     // (the sparse-regime sibling of the kNN build's all-pairs scorer;
     // both derivations must agree on every weight)
@@ -958,6 +978,41 @@ object SparkEntry {
          SELECT split, source, o, expected, contrib,
            CAST(CAST(sum(CAST(contrib AS DECIMAL(18,8))) OVER () AS DECIMAL(18,8)) AS DOUBLE) AS chisq
          FROM c2 ORDER BY split, source""",
+    // top-3 TF-IDF keywords: integer tf/df/N → one fixed-association
+    // double score; (score desc, token) rank order identical both
+    // engines, token breaking exact ties
+    "q_text_keywords" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           WHERE token <> '' GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 CAST(CAST(tf.tf * ln((n_docs + 1.0) / (df.df + 1.0))
+                   AS DECIMAL(18,8)) AS DOUBLE) AS score
+               FROM tf JOIN df USING (token), nd),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+               FROM sc)
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // per-source Shannon entropy: H = ln(N) − (Σ c·ln c)/N; the
+    // order-sensitive sum quantizes through DECIMAL(18,8)
+    "q_source_entropy" ->
+      """WITH ct AS (
+           SELECT source, token, count(*) AS c
+           FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                 FROM documents)
+           WHERE token <> '' GROUP BY source, token),
+         m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+                 CAST(CAST(sum(CAST(c * ln(c) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE) AS sclc
+               FROM ct GROUP BY source)
+         SELECT source, n_tokens, n_types,
+           CAST(CAST(ln(n_tokens) - sclc / n_tokens AS DECIMAL(18,8)) AS DOUBLE) AS entropy_nats
+         FROM m ORDER BY source""",
     // multi-query BM25 retrieval + budgeted context packing: the oracle
     // ranks with a window; Spark ranks with the bounded top-k aggregate
     // (identical (score desc, doc_id) order); per-term scores quantize
@@ -1321,6 +1376,71 @@ object SparkEntry {
          SELECT event_id, e.event_type,
            greatest(least(value, phi), plo) AS clipped
          FROM events e JOIN qx USING (event_type) ORDER BY event_id""",
+    "q_robust_scale" ->
+      """WITH qx AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, (value - med) / (q3 - q1) AS robust_z
+         FROM events e JOIN qx USING (event_type) ORDER BY event_id""",
+    // two-sample KS: the ECDF gap stays INTEGER to the final division
+    // (DuckDB's HUGEINT sums mirror Spark's DECIMAL(38,0)) — bit-exact
+    "q_ks_drift" ->
+      """WITH sp AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+         g AS (SELECT event_type, value,
+                 sum(CASE WHEN 2 * epoch_us(ts) <= mn + mx THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN 2 * epoch_us(ts) <= mn + mx THEN 0 ELSE 1 END) AS cb
+               FROM events, sp GROUP BY event_type, value),
+         w AS (SELECT event_type,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING) AS cuma,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING) AS cumb,
+                 sum(ca) OVER (PARTITION BY event_type) AS na,
+                 sum(cb) OVER (PARTITION BY event_type) AS nb
+               FROM g)
+         SELECT event_type, CAST(max(na) AS BIGINT) AS n_ref, CAST(max(nb) AS BIGINT) AS n_cur,
+           CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+             / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS ks_stat
+         FROM w GROUP BY event_type ORDER BY event_type""",
+    // PSI per bin: integer counts → fixed-association double formula;
+    // only the cross-bin total quantizes through DECIMAL(18,8) (the
+    // chi-square precedent)
+    "q_psi_drift" ->
+      """WITH sp AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+         t AS (SELECT event_type, value, (2 * epoch_us(ts) <= mn + mx) AS is_ref
+               FROM events, sp),
+         rg AS (SELECT event_type, min(value) AS vmn, max(value) AS vmx
+                FROM t WHERE is_ref GROUP BY event_type),
+         b AS (SELECT t.event_type, is_ref,
+                 CASE WHEN vmx > vmn
+                      THEN CAST(least(greatest(floor((value - vmn) / ((vmx - vmn) / 10.0)), 0), 9) AS BIGINT)
+                      ELSE 0 END AS bin
+               FROM t JOIN rg USING (event_type)),
+         cells AS (SELECT event_type, bin,
+                 sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cb
+               FROM b GROUP BY event_type, bin),
+         fr AS (SELECT rg.event_type, bb.bin
+                FROM rg, (SELECT unnest(generate_series(0, 9)) AS bin) bb),
+         tot AS (SELECT event_type,
+                 sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nb
+               FROM t GROUP BY event_type),
+         fl AS (SELECT fr.event_type, fr.bin,
+                 coalesce(ca, 0) AS c_ref, coalesce(cb, 0) AS c_cur, na, nb
+               FROM fr LEFT JOIN cells c ON fr.event_type = c.event_type AND fr.bin = c.bin
+               JOIN tot ON fr.event_type = tot.event_type),
+         p AS (SELECT event_type, bin, c_ref, c_cur,
+                 (c_ref + 0.5) / (na + 5.0) AS p_ref,
+                 (c_cur + 0.5) / (nb + 5.0) AS p_cur
+               FROM fl),
+         q AS (SELECT *, CAST(CAST((p_cur - p_ref) * ln(p_cur / p_ref)
+                 AS DECIMAL(18,8)) AS DOUBLE) AS psi_term FROM p)
+         SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+           p_ref, p_cur, psi_term,
+           CAST(CAST(sum(CAST(psi_term AS DECIMAL(18,8))) OVER (PARTITION BY event_type)
+             AS DECIMAL(18,8)) AS DOUBLE) AS psi
+         FROM q ORDER BY event_type, bin""",
     "q_corr_daily" ->
       """WITH daily AS (
            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
@@ -1340,6 +1460,35 @@ object SparkEntry {
            (n_days * sxy - sx * sy) /
              (sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy)) AS corr
          FROM m ORDER BY type_a, type_b""",
+    // ACF over the same daily-decimal series: lag columns in one
+    // window, then the corr_daily moment algebra per (type, lag)
+    "q_ts_acf" ->
+      """WITH daily AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+           FROM events GROUP BY day, event_type),
+         lagged AS (
+           SELECT event_type, v,
+             lag(v, 1) OVER w AS v_1, lag(v, 2) OVER w AS v_2,
+             lag(v, 3) OVER w AS v_3, lag(v, 4) OVER w AS v_4,
+             lag(v, 5) OVER w AS v_5
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         st AS (
+           SELECT event_type, 1 AS lag_k, v, v_1 AS vl FROM lagged WHERE v_1 IS NOT NULL
+           UNION ALL SELECT event_type, 2, v, v_2 FROM lagged WHERE v_2 IS NOT NULL
+           UNION ALL SELECT event_type, 3, v, v_3 FROM lagged WHERE v_3 IS NOT NULL
+           UNION ALL SELECT event_type, 4, v, v_4 FROM lagged WHERE v_4 IS NOT NULL
+           UNION ALL SELECT event_type, 5, v, v_5 FROM lagged WHERE v_5 IS NOT NULL),
+         m AS (
+           SELECT event_type, lag_k, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS sx, CAST(sum(vl) AS DOUBLE) AS sy,
+             CAST(sum(v * v) AS DOUBLE) AS sxx, CAST(sum(vl * vl) AS DOUBLE) AS syy,
+             CAST(sum(v * vl) AS DOUBLE) AS sxy
+           FROM st GROUP BY event_type, lag_k)
+         SELECT event_type, CAST(lag_k AS INT) AS lag_k, n,
+           (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
+         FROM m ORDER BY event_type, lag_k""",
     // market bars: open/close via arg_min/arg_max on the (unique) event
     // time; size parsed from props with the q_parse_json regex
     "q_market_ohlc" ->

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -262,6 +263,52 @@ object Aggregates {
           (sqrt(col("n_days") * col("sxx") - col("sx") * col("sx")) *
            sqrt(col("n_days") * col("syy") - col("sy") * col("sy")))).as("corr"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** AUTOCORRELATION FUNCTION of each per-type daily-revenue series at
+    * lags 1..maxLag — the stationarity probe run before fitting any
+    * forecaster (the reference fits its LSTM blind; a near-1 lag-1 ACF
+    * is exactly why its "prediction" shadows the last price). Pearson
+    * correlation between the series and its lag-shifted self over the
+    * aligned days.
+    *
+    * Shape: the corpus collapses to the same TINY daily table as
+    * [[corrDaily]] (partial/final aggregate, ~30 rows per type); ONE
+    * window per type computes all maxLag lag columns on a single sort;
+    * `stack` unpivots to (type, lag) rows; one aggregate per (type,
+    * lag) over ≤ n_days rows. Nothing downstream of the first
+    * aggregate scales with the corpus.
+    *
+    * Oracle-exact by the corrDaily technique: daily values and every
+    * moment (Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL —
+    * order-independent — and the final corr algebra is the identical
+    * double expression on both engines. */
+  def acfDaily(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, l) =>
+      df.withColumn(s"v_$l", lag(col("v"), l).over(w))
+    }
+    val stackArgs = (1 to maxLag).map(l => s"$l, v_$l").mkString(", ")
+    lagged
+      .select(col("event_type"), col("v"),
+        expr(s"stack($maxLag, $stackArgs) AS (lag_k, vl)"))
+      .filter(col("vl").isNotNull)
+      .groupBy(col("event_type"), col("lag_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(DoubleType).as("sx"),
+        sum(col("vl")).cast(DoubleType).as("sy"),
+        sum(col("v") * col("v")).cast(DoubleType).as("sxx"),
+        sum(col("vl") * col("vl")).cast(DoubleType).as("syy"),
+        sum(col("v") * col("vl")).cast(DoubleType).as("sxy"))
+      .select(col("event_type"), col("lag_k"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+      .orderBy(col("event_type"), col("lag_k"))
   }
 
   /** approx_count_distinct (HLL++) per group (SURVEY A7) — the 100 TB

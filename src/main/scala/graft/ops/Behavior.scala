@@ -468,4 +468,34 @@ object Behavior {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** LAST-TOUCH ATTRIBUTION: each purchase credits the user's most
+    * recent STRICTLY-PRIOR click (the marketing-analytics staple the
+    * funnel doesn't answer — which touch converted, and after how
+    * long). One user-keyed window with a `rowsBetween(-∞, −1)` frame
+    * carries the latest click id/timestamp forward; purchases project
+    * the credit and the integer-microsecond gap. Unattributed
+    * purchases (no prior click) surface with NULL credit rather than
+    * dropping. One shuffle on the high-cardinality user key, task
+    * width = one user's history; output is purchases-only. All
+    * integers — value-exact against the oracle. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id").as("attributed_click"),
+        (col("us") - col("click_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
 }

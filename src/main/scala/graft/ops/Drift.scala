@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Distribution-DRIFT monitors — the checks a production pipeline runs
+  * before trusting a model trained on yesterday's data with today's:
+  * has the per-series value distribution moved? The reference retrains
+  * its model on whatever the batch fetch returns with no drift gate at
+  * all (`batch_processor.py` trains unconditionally); these operators
+  * are that missing gate, built scale-first.
+  *
+  * Both monitors compare the EARLY time half of each series (the
+  * "reference" sample a model was trained on) against the LATE half
+  * (the "current" traffic). The split point is the integer-microsecond
+  * midpoint of the corpus span, evaluated as `2·us ≤ min+max` so no
+  * division ever happens — the same row lands on the same side on any
+  * engine.
+  */
+object Drift {
+
+  /** Per-series split tag: value rows labeled reference (early half)
+    * vs current (late half). One 1-row span aggregate broadcasts onto
+    * the scan (IdentityBroadcastMode — the minmax-scaler shape). */
+  private def tagged(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val span = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    e.crossJoin(broadcast(span))
+      .withColumn("is_ref", (col("us") * 2) <= (col("mn") + col("mx")))
+  }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic per series — the
+    * sup-norm distance between the reference and current ECDFs,
+    * the standard nonparametric "did the distribution move" test.
+    *
+    * Shape: one partial-aggregating groupBy collapses the corpus to
+    * one (series, value) row carrying both half-counts (map-side
+    * combine — duplicate values never travel twice), then ONE window
+    * per series (running + whole-partition sums ride the same sort
+    * over distinct values) and a final per-series max. The ECDF gap
+    * is kept INTEGER to the end: D's numerator is
+    * max|cumA·nB − cumB·nA| in DECIMAL(38,0) (DuckDB's HUGEINT sums
+    * mirror it exactly), divided once at the end — bit-exact on both
+    * engines, no tolerance.
+    *
+    * 100 TB: task width is one series' distinct values (the window
+    * key is the series). A series too wide for that sorts under the
+    * stride-1 family's chunked prefix-combine, or drops to the binned
+    * ECDF ([[psiDrift]]'s bins) — the statistic degrades gracefully
+    * to a 10-point sup-norm while this exact form stays the
+    * small-series path. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val g = tagged(s, d)
+      .groupBy(col("event_type"), col("value"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cb"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val dec = DecimalType(38, 0)
+    val w = g.select(col("event_type"),
+      sum(col("ca")).over(run).cast(dec).as("cuma"),
+      sum(col("cb")).over(run).cast(dec).as("cumb"),
+      sum(col("ca")).over(all).cast(dec).as("na"),
+      sum(col("cb")).over(all).cast(dec).as("nb"))
+    w.groupBy(col("event_type"))
+      .agg(
+        max(col("na")).cast(LongType).as("n_ref"),
+        max(col("nb")).cast(LongType).as("n_cur"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("dnum"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        (col("dnum").cast(DoubleType) /
+          (col("n_ref").cast(DoubleType) * col("n_cur").cast(DoubleType)))
+          .as("ks_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** POPULATION STABILITY INDEX per series — the binned drift score
+    * credit-risk pipelines run nightly: Σ (p_cur − p_ref)·ln(p_cur/p_ref)
+    * over 10 equal-width bins FROZEN from the reference half (current
+    * traffic outside the reference range clamps into the edge bins,
+    * exactly what a frozen production binning does). Counts are
+    * Laplace-smoothed (+0.5 per bin) so an empty bin contributes a
+    * finite term instead of ±∞.
+    *
+    * Emitted per-bin (series × 10 rows — metadata scale) with the
+    * per-series total riding a window; the order-sensitive double sum
+    * quantizes each term through DECIMAL(18,8) first (the chi-square /
+    * BM25 precedent), so the statistic hash-compares exactly.
+    *
+    * Shape: one scan → broadcast span → broadcast per-series reference
+    * ranges → partial-aggregating groupBy to (series, bin) cells; every
+    * later step runs over series×10 rows. The 10-bin ECDF is also the
+    * scale fallback for [[ksDrift]]'s exact form. */
+  def psiDrift(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val t = tagged(s, d)
+    val ranges = t.filter(col("is_ref"))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+    val binned = t.join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bin",
+        when(col("vmx") > col("vmn"),
+          least(greatest(
+            floor((col("value") - col("vmn")) /
+              ((col("vmx") - col("vmn")) / lit(nBins.toDouble))), lit(0L)),
+            lit(nBins - 1L)))
+          .otherwise(lit(0L)).cast(LongType))
+    val cells = binned.groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cb"))
+    // dense bin frame: every (series, bin) cell exists even when empty
+    val frame = ranges.select(col("event_type"))
+      .crossJoin(broadcast(
+        s.range(0, nBins).select(col("id").as("bin"))))
+    val totals = t.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("nb"))
+    val sm = lit(0.5)
+    val smTot = lit(nBins * 0.5)
+    val full = frame
+      .join(cells, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("p_ref", (col("ca") + sm) / (col("na") + smTot))
+      .withColumn("p_cur", (col("cb") + sm) / (col("nb") + smTot))
+      // ln differs by 1 ulp between the JVM and DuckDB's libm for some
+      // arguments — each term quantizes through DECIMAL(18,8) before
+      // output and the cross-bin sum (the chi-square precedent)
+      .withColumn("psi_term",
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .cast(DecimalType(18, 8)).cast(DoubleType))
+    full.select(col("event_type"), col("bin"),
+        col("ca").as("c_ref"), col("cb").as("c_cur"),
+        col("p_ref"), col("p_cur"), col("psi_term"),
+        sum(col("psi_term").cast(DecimalType(18, 8)))
+          .over(Window.partitionBy(col("event_type")))
+          .cast(DecimalType(18, 8)).cast(DoubleType).as("psi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+}

@@ -876,4 +876,81 @@ object TextOps {
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("shard"))
+
+  /** Top-k TF-IDF KEYWORDS per document — the classic salient-term
+    * extractor (tagging, retrieval snippets, topic seeds): score =
+    * tf · ln((N+1)/(df+1)), smoothed so corpus-universal terms score
+    * exactly 0 rather than dividing by anything.
+    *
+    * Shape: tf partial-aggregates on (doc_id, token) — a stop word
+    * contributes one row per (doc × partition), never a token-keyed
+    * funnel; df reduces THE TF TABLE (already one row per doc×token)
+    * on token with map-side combine and joins back broadcast — at
+    * 100 TB that broadcast carries the vocabulary head with the long
+    * tail coalesced to a default, the q_text_rarity shape; N is a
+    * 1-row broadcast. The per-doc keep-k plans as WindowGroupLimit
+    * partial → final: each map task truncates to k rows per doc
+    * BEFORE the window exchange.
+    *
+    * Determinism: tf, df, N are integers; the score is one
+    * fixed-association IEEE expression of them (identical bits both
+    * engines), so the (score desc, token asc) rank order — token
+    * breaking exact-score ties — is identical too. */
+  def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      // ln differs by 1 ulp between the JVM and DuckDB's libm for some
+      // arguments — the score quantizes through DECIMAL(18,8) (the BM25
+      // precedent) so ranking and hash compare exactly
+      .withColumn("score",
+        (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+          .cast(DecimalType(18, 8)).cast(DoubleType))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** Per-source unigram SHANNON ENTROPY — the corpus-diversity probe a
+    * data-mixing pipeline reads before weighting sources: a source
+    * whose token distribution has collapsed (boilerplate, template
+    * spam) shows low entropy and gets down-weighted. H = ln(N) −
+    * (Σ c·ln c)/N over the source's token counts — the algebraically
+    * equivalent form of −Σ p·ln p that needs only integer counts and
+    * one corrective term.
+    *
+    * Shape: ONE partial-aggregating groupBy on (source, token) — the
+    * only corpus-wide shuffle, hot tokens pre-combined map-side — then
+    * a per-source reduction over distinct-token rows. The
+    * order-sensitive Σ c·ln c quantizes each term through
+    * DECIMAL(18,8) (the chi-square / BM25 precedent) so the statistic
+    * hash-compares exactly. */
+  def sourceEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") * log(col("c"))).cast(DecimalType(18, 8)))
+          .cast(DecimalType(18, 8)).cast(DoubleType).as("sclc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        // ln(N) quantizes like the terms (1-ulp JVM/libm divergence)
+        (log(col("n_tokens")) - col("sclc") / col("n_tokens"))
+          .cast(DecimalType(18, 8)).cast(DoubleType).as("entropy_nats"))
+      .orderBy(col("source"))
 }

@@ -250,6 +250,30 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** ROBUST (median/IQR) scaling per group — the outlier-immune
+    * sibling of the z-score scaler: (x − median) / (q3 − q1). A
+    * heavy-tailed series wrecks mean/stddev scaling (one spike shifts
+    * every scaled value); the median and interquartile range ignore
+    * the tails entirely, which is why sklearn's RobustScaler is the
+    * default for sensor-style data like the reference's price feed.
+    * Same plan shape as [[winsorize]]: three exact interpolated
+    * percentiles per group (bitwise equal to DuckDB's quantile_cont),
+    * broadcast onto the fact rows, one codegen'd projection —
+    * hash-compares with no tolerance. At 100 TB the cuts come from
+    * approx_percentile and freeze like the min-max scaler. */
+  def robustScale(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val cuts = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+    e.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("med")) / (col("q3") - col("q1")))
+          .as("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward fill (last-observation-carried-forward) — the standard
     * missing-data imputation for event streams: each row takes the most
     * recent non-null observation of its user's series. One shuffle on

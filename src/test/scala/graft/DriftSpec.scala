@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the drift monitors and the round-8c statistics wave
+  * (KS / PSI / robust scale / ACF / attribution / TF-IDF keywords /
+  * source entropy). The DuckDB oracle pins exact values; these pin
+  * the mathematical contracts that must hold at ANY scale. */
+class DriftSpec extends SparkSpec {
+
+  test("ks_drift: statistic is a [0,1] sup-norm and both halves are populated") {
+    val rows = q("q_ks_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks_stat")
+      assert(ks >= 0.0 && ks <= 1.0)
+      assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cur") > 0)
+    }
+  }
+
+  test("psi_drift: dense 10-bin frame, probabilities in (0,1), psi = Σ terms") {
+    val rows = q("q_psi_drift").collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("bin")).sorted.toSeq == (0L to 9L))
+      rs.foreach { r =>
+        assert(r.getAs[Double]("p_ref") > 0.0 && r.getAs[Double]("p_ref") < 1.0)
+        assert(r.getAs[Double]("p_cur") > 0.0 && r.getAs[Double]("p_cur") < 1.0)
+      }
+      // the per-type psi column is the quantized sum of the 10 terms
+      val total = rs.map(r => BigDecimal(r.getAs[Double]("psi_term"))).sum
+      rs.foreach(r =>
+        assert((BigDecimal(r.getAs[Double]("psi")) - total).abs < BigDecimal("1e-7")))
+    }
+  }
+
+  test("robust_scale: per-group median lands on 0 and IQR on 1") {
+    val st = q("q_robust_scale").groupBy(col("event_type"))
+      .agg(expr("percentile(robust_z, 0.5)").as("med"),
+        (expr("percentile(robust_z, 0.75)") - expr("percentile(robust_z, 0.25)"))
+          .as("iqr"))
+      .collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      assert(math.abs(r.getAs[Double]("med")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("iqr") - 1.0) < 1e-9)
+    }
+  }
+
+  test("ts_acf: correlations bounded, aligned-pair count shrinks by one per lag") {
+    val rows = q("q_ts_acf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => {
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12)
+    })
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byLag = rs.map(r => r.getAs[Int]("lag_k") -> r.getAs[Long]("n")).toMap
+      (2 to 5).foreach(l => assert(byLag(l) == byLag(l - 1) - 1))
+    }
+  }
+
+  test("attribution: one row per purchase; credited click strictly precedes it") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase").count()
+    val out = q("q_attribution")
+    assert(out.count() == purchases)
+    // re-derive each credited click's position: it must be a click of the
+    // same user with a strictly smaller (ts, event_id)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("attributed_click"),
+        col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+    val attributed = out.filter(col("attributed_click").isNotNull)
+    val joined = attributed.join(clicks, Seq("attributed_click")).collect()
+    assert(joined.length == attributed.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cu") == r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("gap_us") > 0)
+    }
+  }
+
+  test("text_keywords: ≤3 ranked keywords per doc, scores non-increasing") {
+    val rows = q("q_text_keywords").collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(ranked.map(_.getAs[Int]("rnk")).toSeq == (1 to ranked.length))
+      assert(ranked.length <= 3)
+      ranked.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+        case _ =>
+      }
+    }
+  }
+
+  test("source_entropy: 0 ≤ H ≤ ln(distinct tokens) per source") {
+    val rows = q("q_source_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val cap = math.log(r.getAs[Long]("n_types").toDouble)
+      assert(h >= -1e-8 && h <= cap + 1e-8)
+    }
+  }
+}

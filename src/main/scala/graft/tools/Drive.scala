@@ -204,7 +204,9 @@ object Drive {
           "q_budget_select", "q_predict_lstm", "q_knn_classify_ivf",
           "q_mixture_sample", "q_shard_manifest", "q_dedup_keep_best",
           "q_text_pmi", "q_ann_range", "q_knn_centroid", "q_rag_retrieve",
-          "q_contamination", "q_split_balance", "q_sample_quality")
+          "q_contamination", "q_split_balance", "q_sample_quality",
+          "q_ks_drift", "q_psi_drift", "q_robust_scale", "q_ts_acf",
+          "q_attribution", "q_text_keywords", "q_source_entropy")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

@@ -97,6 +97,7 @@ object SparkEntry {
     // drift monitors: reference half vs current half of each series
     "q_ks_drift"       -> ((s, d) => Drift.ksDrift(s, d)),
     "q_psi_drift"      -> ((s, d) => Drift.psiDrift(s, d)),
+    "q_embed_drift"    -> ((s, d) => Drift.embedCentroidDrift(s, d)),
     // user-behavior analytics over the event log
     "q_retention"      -> ((s, d) => Behavior.retention(s, d)),
     "q_funnel"         -> ((s, d) => Behavior.funnel(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_shard_manifest"   -> ((s, d) => TextOps.shardManifest(s, d)),
     "q_text_keywords"    -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "q_source_entropy"   -> ((s, d) => TextOps.sourceEntropy(s, d)),
+    "q_lm_perplexity"    -> ((s, d) => TextOps.lmPerplexity(s, d)),
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
@@ -1013,6 +1015,29 @@ object SparkEntry {
          SELECT source, n_tokens, n_types,
            CAST(CAST(ln(n_tokens) - sclc / n_tokens AS DECIMAL(18,8)) AS DOUBLE) AS entropy_nats
          FROM m ORDER BY source""",
+    // bigram-LM perplexity: integer counts → fixed-association double
+    // p; NLL terms and the final exp quantize through DECIMAL(18,8)
+    "q_lm_perplexity" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         occ AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+                 FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 1))) t(i)),
+         docbg AS (SELECT doc_id, bigram, count(*) AS k FROM occ GROUP BY doc_id, bigram),
+         c12 AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c12 FROM docbg GROUP BY bigram),
+         c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+                FROM c12 GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vocab FROM (
+                 SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                 FROM documents) WHERE tok <> ''),
+         sc AS (SELECT doc_id, k,
+                 CAST(k * -ln((c12 + 1.0) / (c1 + vocab)) AS DECIMAL(18,8)) AS nll_term
+               FROM docbg JOIN c12 USING (bigram)
+               JOIN c1 ON split_part(docbg.bigram, ' ', 1) = c1.w1, v),
+         agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                 CAST(CAST(sum(nll_term) AS DECIMAL(18,8)) AS DOUBLE) AS nll_sum
+               FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, nll_sum / n_bigrams AS avg_nll,
+           CAST(CAST(exp(nll_sum / n_bigrams) AS DECIMAL(18,8)) AS DOUBLE) AS ppl
+         FROM agg ORDER BY doc_id""",
     // multi-query BM25 retrieval + budgeted context packing: the oracle
     // ranks with a window; Spark ranks with the bounded top-k aggregate
     // (identical (score desc, doc_id) order); per-term scores quantize
@@ -1441,6 +1466,28 @@ object SparkEntry {
            CAST(CAST(sum(CAST(psi_term AS DECIMAL(18,8))) OVER (PARTITION BY event_type)
              AS DECIMAL(18,8)) AS DOUBLE) AS psi
          FROM q ORDER BY event_type, bin""",
+    // embedding-centroid drift: per-element DECIMAL(18,8) quantization
+    // before every order-sensitive sum; means and cosine are
+    // fixed-association IEEE on identical operands
+    "q_embed_drift" ->
+      """WITH ex AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v,
+                 (vec_id % 2 = 0) AS is_ref
+               FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+         m AS (SELECT label, pos,
+                 sum(CASE WHEN is_ref THEN CAST(v AS DECIMAL(18,8)) ELSE CAST(0.0 AS DECIMAL(18,8)) END) AS sref,
+                 sum(CASE WHEN is_ref THEN CAST(0.0 AS DECIMAL(18,8)) ELSE CAST(v AS DECIMAL(18,8)) END) AS scur,
+                 sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cref,
+                 sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ccur
+               FROM ex GROUP BY label, pos),
+         mm AS (SELECT label, cref, ccur,
+                 CAST(sref AS DOUBLE) / cref AS mref,
+                 CAST(scur AS DOUBLE) / ccur AS mcur
+               FROM m)
+         SELECT label, CAST(max(cref) AS BIGINT) AS n_ref, CAST(max(ccur) AS BIGINT) AS n_cur,
+           CAST(CAST(sum(CAST(mref * mcur AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE)
+             / (sqrt(CAST(CAST(sum(CAST(mref * mref AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE))
+              * sqrt(CAST(CAST(sum(CAST(mcur * mcur AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE))) AS centroid_cos
+         FROM mm GROUP BY label ORDER BY label""",
     "q_corr_daily" ->
       """WITH daily AS (
            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,

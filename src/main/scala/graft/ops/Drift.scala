@@ -145,4 +145,52 @@ object Drift {
           .cast(DecimalType(18, 8)).cast(DoubleType).as("psi"))
       .orderBy(col("event_type"), col("bin"))
   }
+
+  /** EMBEDDING-CENTROID drift per label — the vector-space version of
+    * the scalar monitors: has each class's mean embedding moved
+    * between the reference sample (even ids — embeddings carry no
+    * time axis, so the split is the deterministic id parity any
+    * worker recomputes) and the current sample (odd ids)? The cosine
+    * between the two per-label centroids is the standard "did the
+    * representation shift" check run before reusing a trained
+    * classifier head.
+    *
+    * Shape: `posexplode` → ONE partial-aggregating groupBy on
+    * (label, pos) — labels × dim rows shuffle regardless of corpus
+    * size — then a labels-keyed reduction over dim rows. Exactness:
+    * each float element quantizes to DECIMAL(18,8) before the
+    * order-sensitive sum (exact, both engines), centroid means and
+    * the final cosine are fixed-association IEEE expressions, and the
+    * cross-position products re-quantize before the 64-term sums. */
+  def embedCentroidDrift(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        col("v").cast(DoubleType).as("v"),
+        (pmod(col("vec_id"), lit(2)) === 0).as("is_ref"))
+    val m = e.groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("is_ref"), col("v")).otherwise(lit(0.0)).cast(dec)).as("sref"),
+        sum(when(col("is_ref"), lit(0.0)).otherwise(col("v")).cast(dec)).as("scur"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("ccur"))
+      .select(col("label"), col("cref"), col("ccur"),
+        (col("sref").cast(DoubleType) / col("cref")).as("mref"),
+        (col("scur").cast(DoubleType) / col("ccur")).as("mcur"))
+    m.groupBy(col("label"))
+      .agg(
+        max(col("cref")).as("n_ref"), max(col("ccur")).as("n_cur"),
+        sum((col("mref") * col("mcur")).cast(dec)).cast(dec)
+          .cast(DoubleType).as("dot"),
+        sum((col("mref") * col("mref")).cast(dec)).cast(dec)
+          .cast(DoubleType).as("nref2"),
+        sum((col("mcur") * col("mcur")).cast(dec)).cast(dec)
+          .cast(DoubleType).as("ncur2"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        (col("dot") / (sqrt(col("nref2")) * sqrt(col("ncur2"))))
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
 }

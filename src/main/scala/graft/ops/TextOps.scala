@@ -922,6 +922,56 @@ object TextOps {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Per-document BIGRAM-LM PERPLEXITY — the CCNet-style quality
+    * filter: score each document under an add-one-smoothed bigram
+    * language model trained on the corpus itself, p(w₂|w₁) =
+    * (C(w₁w₂)+1)/(C(w₁)+V). Boilerplate and in-domain text scores low
+    * perplexity; noise, wrong-language and shuffled text score high —
+    * the standard pretraining-corpus triage signal.
+    *
+    * Shape: occurrences reduce DOC-SIDE first (groupBy (doc_id,
+    * bigram) — doc id in the key, so a corpus-hot bigram never
+    * funnels); the LM tables derive from that already-reduced table
+    * with map-side combine and join back BROADCAST (bigram-type
+    * scale; at 100 TB the broadcast carries the LM head with the long
+    * tail coalesced to the unseen-bigram default — the q_text_rarity
+    * shape, and exactly how production LM filters ship a pruned
+    * model); V is a 1-row broadcast. Per-doc NLL terms quantize
+    * through DECIMAL(18,8) before the order-sensitive sum, and the
+    * final exp quantizes too (1-ulp JVM/libm divergence). */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val occ = docs.select(col("doc_id"),
+      explode(bigramAllUdf(tokens(col("text")))).as("bigram"))
+    val docBg = occ.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("k"))
+    val c12 = docBg.groupBy(col("bigram")).agg(sum(col("k")).as("c12"))
+    val c1 = c12
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("vocab"))
+    docBg
+      .join(broadcast(c12), Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll_term",
+        (col("k") * -log((col("c12") + 1.0) / (col("c1") + col("vocab"))))
+          .cast(DecimalType(18, 8)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("nll_term")).cast(DecimalType(18, 8))
+          .cast(DoubleType).as("nll_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_sum") / col("n_bigrams")).as("avg_nll"),
+        exp(col("nll_sum") / col("n_bigrams"))
+          .cast(DecimalType(18, 8)).cast(DoubleType).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source unigram SHANNON ENTROPY — the corpus-diversity probe a
     * data-mixing pipeline reads before weighting sources: a source
     * whose token distribution has collapsed (boilerplate, template

@@ -93,6 +93,35 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("embed_drift: one row per label, cosine bounded, halves partition the label") {
+    val e = Tables.embeddings(spark, sf)
+    val perLabel = e.groupBy(col("label")).count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val rows = q("q_embed_drift").collect()
+    assert(rows.length == perLabel.size)
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("centroid_cos")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") ==
+        perLabel(r.getAs[Int]("label")))
+    }
+  }
+
+  test("lm_perplexity: one row per multi-token doc, ppl ≥ 1, n_bigrams = tokens − 1") {
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (size(split(lower(trim(col("text"))), "\\s+")) - 1).as("nb"))
+      .filter(col("nb") >= 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nb")).toMap
+    val rows = q("q_lm_perplexity").collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == expected(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Double]("avg_nll") >= 0.0)
+      assert(r.getAs[Double]("ppl") >= 1.0 - 1e-9)
+    }
+  }
+
   test("source_entropy: 0 ≤ H ≤ ln(distinct tokens) per source") {
     val rows = q("q_source_entropy").collect()
     assert(rows.nonEmpty)

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_join_asof"      -> ((s, d) => Joins.asofLastClickBeforePurchase(s, d)),
     "q_join_bucketed"  -> ((s, d) => Joins.bucketedJoinRevenue(s, d)),
     "q_agg_salted"     -> ((s, d) => Aggregates.saltedUserTotals(s, d)),
+    "q_join_bloom"     -> ((s, d) => Joins.bloomPrunedJoin(s, d)),
     "q_join_skew_salted" -> ((s, d) => Joins.saltedSkewJoinTypeAvg(s, d)),
     "q_sql_correlated"   -> ((s, d) => Relational.sqlCorrelatedCustomer(s, d)),
     // §2.5 windows
@@ -1234,6 +1235,14 @@ object SparkEntry {
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    // the bloom bitset is transparent to the RESULT (the exact join
+    // removes false positives), so the oracle is the plain join
+    "q_join_bloom" ->
+      s"""SELECT o_orderpriority, $revenue AS revenue, count(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1995-04-01'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

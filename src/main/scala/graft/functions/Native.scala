@@ -241,8 +241,12 @@ object Native {
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
     "graft_sortable_double" -> (exprs => DoubleSortableLong(exprs.head)),
+    "graft_bloom_contains" -> (exprs => BloomMightContain(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Int])),
     // aggregates: the analyzer wraps the AggregateFunction itself
     "graft_minhash" -> (exprs => MinHashAgg(exprs.head, 64)),
+    "graft_bloom" -> (exprs => BloomAgg(exprs(0),
+      exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
     "graft_topk_by" -> (exprs => TopKByAgg(exprs(0), exprs(1), exprs(2),
       exprs(3).eval().asInstanceOf[Int])))
 
@@ -267,6 +271,17 @@ object Native {
 
   /** 64-slot MinHash signature aggregate over a base-hash column. */
   def minhash(c: Column): Column = call_function("graft_minhash", c)
+
+  /** Bloom bitset aggregate over a 64-bit hash column (binary). */
+  def bloom(c: Column, numBits: Int = 1 << 20, numHashes: Int = 4): Column =
+    call_function("graft_bloom", c,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Membership probe of a hash against a [[BloomAgg]] bitset. */
+  def bloomContains(bloom: Column, hash: Column, numHashes: Int = 4): Column =
+    call_function("graft_bloom_contains", bloom, hash,
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** Signed-long key with the same total order as the double input. */
   def sortableDouble(c: Column): Column =

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Join operators (SURVEY.md §2.3 J1-J5).
   *
@@ -182,5 +183,43 @@ object Joins {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("n_clicks_1h"))
       .orderBy(col("event_id"))
+  }
+
+  /** BLOOM-PRUNED selective join — the runtime-filter pattern owned as
+    * an operator ([[graft.functions.BloomAgg]]): a selective dim-side
+    * predicate (one quarter of order dates) reduces to a 128 KiB bitset
+    * of the surviving join keys, the bitset broadcasts onto the fact
+    * scan (1-row cross join, the minmax-scaler shape), and a codegen'd
+    * membership probe drops ~96% of fact rows BEFORE they reach the
+    * exact join. Spark's optimizer injects this same shape only when
+    * statistics allow (`runtime.bloomFilter.enabled`); building it
+    * explicitly makes the pruning unconditional and source-agnostic.
+    *
+    * At 100 TB this is THE lever for selective fact⋈dim joins: the
+    * fact side never shuffles unjoinable rows — the shuffle shrinks by
+    * the selectivity (false-positive rate ~1%) while the exact join
+    * afterwards keeps the result provably identical (the oracle is the
+    * plain join; a wrong bitset could only show up as a hash mismatch
+    * or a lost row, both gated). */
+  def bloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val sel = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloomDf = sel.agg(
+      graft.functions.Native.bloom(xxhash64(col("o_orderkey"))).as("bf"))
+    val pruned = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloomDf))
+      .filter(graft.functions.Native.bloomContains(
+        col("bf"), xxhash64(col("l_orderkey"))))
+      .drop("bf")
+    pruned.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Aggregates.revenueTerm(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
   }
 }

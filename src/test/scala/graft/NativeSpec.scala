@@ -171,4 +171,47 @@ class NativeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(salted == plain)
   }
+
+  test("bloom bits: no false negatives ever, FP rate near theory on a 2^14 filter") {
+    val words = new Array[Long](1 << 14 >> 6)
+    val keys = (1L to 1000L).map(k => k * 0x9E3779B97F4A7C15L)
+    keys.foreach(graft.functions.BloomBits.set(words, _, 4))
+    val bytes = {
+      val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+      words.foreach(bb.putLong); bb.array()
+    }
+    // every inserted key answers true — the safety law pruning rests on
+    keys.foreach(k => assert(graft.functions.BloomBits.contains(bytes, k, 4)))
+    // non-members: FPR ≈ (1-e^{-kn/m})^k ≈ 0.3% at n=1000, m=16384, k=4
+    val fps = (100001L to 110000L)
+      .map(k => k * 0x9E3779B97F4A7C15L + 17L)
+      .count(graft.functions.BloomBits.contains(bytes, _, 4))
+    assert(fps < 200, s"false-positive count $fps out of theoretical ~30")
+  }
+
+  test("bloom-pruned join: probe drops most fact rows, result equals the plain join") {
+    import graft.functions.Native
+    Native.register(spark)
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val sel = orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(org.apache.spark.sql.types.TimestampType) &&
+        col("o_orderdate") < lit("1995-04-01").cast(org.apache.spark.sql.types.TimestampType))
+      .select(col("o_orderkey"))
+    val bloomDf = sel.agg(Native.bloom(xxhash64(col("o_orderkey"))).as("bf"))
+    val kept = li.crossJoin(broadcast(bloomDf))
+      .filter(Native.bloomContains(col("bf"), xxhash64(col("l_orderkey"))))
+    val joined = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    // safety: the probe keeps a superset of the true matches...
+    assert(kept.count() >= joined)
+    // ...and actually prunes (selectivity ~ one quarter of 80 months)
+    assert(kept.count() < li.count() / 2)
+    // the registered query's result is gated by the plain-join oracle;
+    // here just re-assert the bloom path loses no group
+    assert(q("q_join_bloom").count() ==
+      li.join(orders.filter(col("o_orderdate") < lit("1995-04-01").cast(org.apache.spark.sql.types.TimestampType))
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast(org.apache.spark.sql.types.TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority")).distinct().count())
+  }
 }

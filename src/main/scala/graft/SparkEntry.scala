@@ -260,6 +260,7 @@ object SparkEntry {
     }),
     "q_stream_pipeline"  -> ((s, d) => graft.streaming.Pipeline.streamPipeline(s, d)),
     "q_event_window"     -> ((s, d) => graft.streaming.Pipeline.eventTimeWindow(s, d)),
+    "q_stream_drift"     -> ((s, d) => graft.streaming.Pipeline.streamDrift(s, d)),
     "q_stream_dedup"     -> ((s, d) => graft.streaming.Pipeline.streamDedup(s, d)),
     "q_stream_dedup_wm"  -> ((s, d) => graft.streaming.Pipeline.streamDedupBounded(s, d)),
     "q_stateful_predict" -> ((s, d) => graft.streaming.Pipeline.statefulPredictions(s, d)),
@@ -1475,6 +1476,50 @@ object SparkEntry {
            CAST(CAST(sum(CAST(psi_term AS DECIMAL(18,8))) OVER (PARTITION BY event_type)
              AS DECIMAL(18,8)) AS DOUBLE) AS psi
          FROM q ORDER BY event_type, bin""",
+    // streaming PSI: the drained per-(day, series, bin) integer counts
+    // equal the batch windowed counts (the q_event_window guarantee),
+    // so the oracle recomputes the same daily PSI from events directly
+    "q_stream_drift" ->
+      """WITH sp AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+         t AS (SELECT event_type, value, ts, (2 * epoch_us(ts) <= mn + mx) AS is_ref
+               FROM events, sp),
+         rg AS (SELECT event_type, min(value) AS vmn, max(value) AS vmx
+                FROM t WHERE is_ref GROUP BY event_type),
+         rbin AS (SELECT t.event_type,
+                 CASE WHEN vmx > vmn
+                      THEN CAST(least(greatest(floor((value - vmn) / ((vmx - vmn) / 10.0)), 0), 9) AS BIGINT)
+                      ELSE 0 END AS bin
+               FROM t JOIN rg USING (event_type) WHERE is_ref),
+         rcells AS (SELECT event_type, bin, count(*) AS ca FROM rbin GROUP BY 1, 2),
+         rtot AS (SELECT event_type, count(*) AS na FROM t WHERE is_ref GROUP BY 1),
+         pref AS (SELECT fr.event_type, fr.bin,
+                 (coalesce(ca, 0) + 0.5) / (na + 5.0) AS p_ref
+               FROM (SELECT rg.event_type, bb.bin
+                     FROM rg, (SELECT unnest(generate_series(0, 9)) AS bin) bb) fr
+               LEFT JOIN rcells c ON fr.event_type = c.event_type AND fr.bin = c.bin
+               JOIN rtot ON fr.event_type = rtot.event_type),
+         cbin AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, t.event_type,
+                 CASE WHEN vmx > vmn
+                      THEN CAST(least(greatest(floor((value - vmn) / ((vmx - vmn) / 10.0)), 0), 9) AS BIGINT)
+                      ELSE 0 END AS bin
+               FROM t JOIN rg USING (event_type)),
+         cells AS (SELECT day, event_type, bin, count(*) AS n FROM cbin GROUP BY 1, 2, 3),
+         fr2 AS (SELECT dt.day, dt.event_type, bb.bin
+               FROM (SELECT DISTINCT day, event_type FROM cells) dt,
+                    (SELECT unnest(generate_series(0, 9)) AS bin) bb),
+         tot AS (SELECT day, event_type, CAST(sum(n) AS BIGINT) AS nd FROM cells GROUP BY 1, 2),
+         fl AS (SELECT fr2.day, fr2.event_type, fr2.bin, coalesce(n, 0) AS n, nd, p_ref
+               FROM fr2
+               LEFT JOIN cells c ON fr2.day = c.day AND fr2.event_type = c.event_type AND fr2.bin = c.bin
+               JOIN tot ON fr2.day = tot.day AND fr2.event_type = tot.event_type
+               JOIN pref ON fr2.event_type = pref.event_type AND fr2.bin = pref.bin),
+         q AS (SELECT day, event_type, nd,
+                 CAST((((n + 0.5) / (nd + 5.0)) - p_ref)
+                   * ln(((n + 0.5) / (nd + 5.0)) / p_ref) AS DECIMAL(18,8)) AS psi_term
+               FROM fl)
+         SELECT day, event_type, CAST(max(nd) AS BIGINT) AS n_day,
+           CAST(CAST(sum(psi_term) AS DECIMAL(18,8)) AS DOUBLE) AS psi
+         FROM q GROUP BY day, event_type ORDER BY day, event_type""",
     // embedding-centroid drift: per-element DECIMAL(18,8) quantization
     // before every order-sensitive sum; means and cosine are
     // fixed-association IEEE on identical operands

@@ -98,19 +98,52 @@ object Drift {
     * ranges → partial-aggregating groupBy to (series, bin) cells; every
     * later step runs over series×10 rows. The 10-bin ECDF is also the
     * scale fallback for [[ksDrift]]'s exact form. */
-  def psiDrift(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
-    val t = tagged(s, d)
-    val ranges = t.filter(col("is_ref"))
+  /** Shared frozen-bin expression — ONE definition so the batch
+    * monitor and the streaming monitor ([[graft.streaming.Pipeline]]'s
+    * drift drain) can never bin differently: 10 equal-width bins over
+    * the frozen [vmn, vmx], out-of-range traffic clamped to the edge
+    * bins, degenerate ranges collapsed to bin 0. */
+  def binCol(value: org.apache.spark.sql.Column,
+      vmn: org.apache.spark.sql.Column, vmx: org.apache.spark.sql.Column,
+      nBins: Int): org.apache.spark.sql.Column =
+    when(vmx > vmn,
+      least(greatest(
+        floor((value - vmn) / ((vmx - vmn) / lit(nBins.toDouble))), lit(0L)),
+        lit(nBins - 1L)))
+      .otherwise(lit(0L)).cast(LongType)
+
+  /** Per-series frozen bin RANGES from the reference half — the static
+    * side of the streaming monitor's stream-static join. */
+  def psiRanges(s: SparkSession, d: String): DataFrame =
+    tagged(s, d).filter(col("is_ref"))
       .groupBy(col("event_type"))
       .agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+
+  /** Frozen smoothed reference proportions per (series, bin) — what a
+    * production monitor persists when the model ships, recomputed here
+    * deterministically from the corpus's early half. */
+  def psiReference(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val t = tagged(s, d).filter(col("is_ref"))
+    val ranges = psiRanges(s, d)
+    val cells = t.join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bin", binCol(col("value"), col("vmn"), col("vmx"), nBins))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("ca"))
+    val totals = t.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+    ranges.select(col("event_type"))
+      .crossJoin(broadcast(s.range(0, nBins).select(col("id").as("bin"))))
+      .join(cells, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("ca"))
+      .join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("bin"),
+        ((col("ca") + lit(0.5)) / (col("na") + lit(nBins * 0.5))).as("p_ref"))
+  }
+
+  def psiDrift(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val t = tagged(s, d)
+    val ranges = psiRanges(s, d)
     val binned = t.join(broadcast(ranges), Seq("event_type"))
-      .withColumn("bin",
-        when(col("vmx") > col("vmn"),
-          least(greatest(
-            floor((col("value") - col("vmn")) /
-              ((col("vmx") - col("vmn")) / lit(nBins.toDouble))), lit(0L)),
-            lit(nBins - 1L)))
-          .otherwise(lit(0L)).cast(LongType))
+      .withColumn("bin", binCol(col("value"), col("vmn"), col("vmx"), nBins))
     val cells = binned.groupBy(col("event_type"), col("bin"))
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),

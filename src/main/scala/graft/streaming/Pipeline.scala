@@ -224,6 +224,7 @@ object Pipeline {
   private val drainLaunchers: Seq[(String, (SparkSession, String) => (String, StreamingQuery))] = Seq(
     "pipeline"     -> (launchPipeline(_, _)),
     "event_window" -> (launchEventWindow(_, _)),
+    "drift"        -> (launchDriftMonitor(_, _)),
     "sliding"      -> (launchSliding(_, _)),
     "vwap"         -> (launchVwap(_, _)),
     "enrich"       -> (launchEnrich(_, _)),
@@ -376,6 +377,68 @@ object Pipeline {
       }
       .start()
     (sinkDir, q)
+  }
+
+  /** STREAMING DRIFT MONITOR (the drift family's production shape):
+    * per-day, per-series PSI against the FROZEN reference bins of
+    * [[graft.ops.Drift]] — computed as a streaming query so the score
+    * exists the moment a day's traffic lands, not at the next batch
+    * job. The frozen ranges arrive as a stream-static broadcast join
+    * (what a deployed monitor does with the constants persisted at
+    * model-ship time), the per-(day, series, bin) counts maintain
+    * incrementally under the watermark, and the same update-log sink
+    * as the window drains keeps state off the driver. The PSI algebra
+    * itself runs on the drained counts at read time — integer counts
+    * stream; the transcendental scoring stays a batch projection. */
+  private def launchDriftMonitor(s: SparkSession, d: String): (String, StreamingQuery) = {
+    val sinkDir = tmp("graft_drm_")
+    val ranges = graft.ops.Drift.psiRanges(s, d)
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", watermarkDelay(s, d))
+      .join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bin",
+        graft.ops.Drift.binCol(col("value"), col("vmn"), col("vmx"), 10))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("bin"), col("n"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.upsertAppend(batch, sinkDir, batchId)
+        ()
+      }
+      .start()
+    (sinkDir, q)
+  }
+
+  def streamDrift(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = drainGroup(s, d)("drift")
+    val counts = graft.sources.Sinks
+      .readLatest(s, sinkDir, Seq("day", "event_type", "bin"))
+      .select(col("day"), col("event_type"), col("bin"), col("n"))
+    // dense 10-bin frame per DRAINED (day, series): a bin no event hit
+    // still contributes its smoothed term, exactly like the batch PSI
+    val frame = counts.select(col("day"), col("event_type")).distinct()
+      .crossJoin(broadcast(s.range(0, 10).select(col("id").as("bin"))))
+    val totals = counts.groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("nd"))
+    val pref = graft.ops.Drift.psiReference(s, d)
+    frame
+      .join(counts, Seq("day", "event_type", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(totals, Seq("day", "event_type"))
+      .join(broadcast(pref), Seq("event_type", "bin"))
+      .withColumn("p_cur", (col("n") + lit(0.5)) / (col("nd") + lit(5.0)))
+      .withColumn("psi_term",
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .cast(DecimalType(18, 8)))
+      .groupBy(col("day"), col("event_type"))
+      .agg(max(col("nd")).as("n_day"),
+        sum(col("psi_term")).cast(DecimalType(18, 8))
+          .cast(DoubleType).as("psi"))
+      .orderBy(col("day"), col("event_type"))
   }
 
   def eventTimeWindow(s: SparkSession, d: String): DataFrame = {

@@ -106,7 +106,7 @@ class StreamingSpec extends SparkSpec {
     // cross-batch test into a one-batch run: the shared listener's
     // per-run progress counts prove each member drained ≥2 micro-batches
     val counts = graft.streaming.Pipeline.groupBatchCounts(spark, sf)
-    assert(counts.size == 12, s"expected 12 group drains, got ${counts.keys.toSeq.sorted}")
+    assert(counts.size == 13, s"expected 13 group drains, got ${counts.keys.toSeq.sorted}")
     counts.foreach { case (name, c) =>
       assert(c >= 2L, s"drain '$name' ran only $c micro-batch(es)")
     }
@@ -244,5 +244,19 @@ class StreamingSpec extends SparkSpec {
     assert(matchless.intersect(matched).isEmpty)
     assert((matchless ++ matched).size == allPurchases,
       "every purchase appears: matched with clicks or null-extended")
+  }
+
+  test("streaming drift: one PSI per (day, series), psi ≥ 0, day totals conserve") {
+    val rows = q("q_stream_drift").collect()
+    val e = Tables.events(spark, sf)
+    val dayTypes = e.select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type")).distinct().count()
+    assert(rows.length == dayTypes)
+    // (x−y)·ln(x/y) ≥ 0 termwise, so the drained statistic is too
+    // (up to the DECIMAL(18,8) term quantization)
+    rows.foreach(r => assert(r.getAs[Double]("psi") >= -1e-7))
+    // the drained per-day totals conserve the corpus: Σ n_day == rows
+    assert(rows.map(_.getAs[Long]("n_day")).sum == e.count())
   }
 }

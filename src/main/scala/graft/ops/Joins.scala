@@ -207,14 +207,22 @@ object Joins {
       .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
         col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val bloomDf = sel.agg(
-      graft.functions.Native.bloom(xxhash64(col("o_orderkey"))).as("bf"))
+    // the bitset becomes a plan LITERAL — exactly how Spark's own
+    // InjectRuntimeFilter ships its bloom (a scalar subquery evaluated
+    // to a literal before the probe side runs). The driver collect is
+    // bounded at the filter's fixed 128 KiB (the k-means-centroid
+    // class of collect). A 1-row broadcast-join formulation is the
+    // trap here: the probe would re-read the 128 KiB binary from the
+    // joined row PER FACT ROW (~75 GB of array copies at sf0.1 —
+    // measured 24 s); as a literal it lives in the codegen references
+    // array, read once per task.
+    val bfBytes = sel
+      .agg(graft.functions.Native.bloom(xxhash64(col("o_orderkey"))).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     val pruned = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .crossJoin(broadcast(bloomDf))
       .filter(graft.functions.Native.bloomContains(
-        col("bf"), xxhash64(col("l_orderkey"))))
-      .drop("bf")
+        lit(bfBytes), xxhash64(col("l_orderkey"))))
     pruned.join(sel, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(

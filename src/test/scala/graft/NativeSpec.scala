@@ -198,9 +198,10 @@ class NativeSpec extends SparkSpec {
       .filter(col("o_orderdate") >= lit("1995-01-01").cast(org.apache.spark.sql.types.TimestampType) &&
         col("o_orderdate") < lit("1995-04-01").cast(org.apache.spark.sql.types.TimestampType))
       .select(col("o_orderkey"))
-    val bloomDf = sel.agg(Native.bloom(xxhash64(col("o_orderkey"))).as("bf"))
-    val kept = li.crossJoin(broadcast(bloomDf))
-      .filter(Native.bloomContains(col("bf"), xxhash64(col("l_orderkey"))))
+    val bfBytes = sel.agg(Native.bloom(xxhash64(col("o_orderkey"))).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val kept = li
+      .filter(Native.bloomContains(lit(bfBytes), xxhash64(col("l_orderkey"))))
     val joined = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
     // safety: the probe keeps a superset of the true matches...
     assert(kept.count() >= joined)

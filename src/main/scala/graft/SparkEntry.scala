@@ -113,6 +113,7 @@ object SparkEntry {
     "q_compact"        -> ((s, d) => Maintain.compactedEvents(s, d)),
     // weight-proportional sampling, groupwise skyline, CSV quarantine source
     "q_sample_weighted" -> ((s, d) => Relational.weightedSample(s, d)),
+    "q_group_sample"   -> ((s, d) => Relational.groupSampleK(s, d)),
     "q_negative_sample" -> ((s, d) => Relational.negativeSample(s, d)),
     "q_skyline"        -> ((s, d) => Relational.skylineByBrand(s, d)),
     "q_source_csv"     -> ((s, d) => Relational.csvSourceSummary(s, d)),
@@ -204,6 +205,7 @@ object SparkEntry {
     // north-star: deduplication
     "q_dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardConsecutive(s, d)),
+    "q_dedup_containment"   -> ((s, d) => Dedup.containmentConsecutive(s, d)),
     "q_dedup_minhash"       -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
@@ -688,6 +690,14 @@ object SparkEntry {
          WHERE (h.hu >> 32) * CAST(km.k_max AS HUGEINT) * 2
              < CAST(h.k AS HUGEINT) * 4294967296
          ORDER BY event_id""",
+    // per-stratum fixed-k: md5-ordered row_number, identical hex order
+    "q_group_sample" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+           SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+           FROM documents)
+         WHERE rnk <= 5 ORDER BY source, rnk""",
     // negative sampling: hash-generated candidate parts (same HUGEINT
     // mirror of graft_rolling_hash as q_sample_weighted), dedup per
     // (customer, part) on min slot, anti-join observed pairs, k by slot
@@ -2202,6 +2212,25 @@ object SparkEntry {
                    GROUP BY 1, 2)
          SELECT p.id_a, p.id_b, coalesce(i.ni, 0) AS n_common, sa.ns AS n_a, sb.ns AS n_b,
            CAST(coalesce(i.ni, 0) AS DOUBLE) / (sa.ns + sb.ns - coalesce(i.ni, 0)) AS jaccard
+         FROM pairs p
+         LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         JOIN sizes sa ON sa.doc_id = p.id_a
+         JOIN sizes sb ON sb.doc_id = p.id_b
+         ORDER BY p.id_a""",
+    // asymmetric containment on the same consecutive-pair shingle sets
+    "q_dedup_containment" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id = ta.doc_id + 1
+                   GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b, coalesce(i.ni, 0) AS n_common, sa.ns AS n_a, sb.ns AS n_b,
+           CAST(coalesce(i.ni, 0) AS DOUBLE) / sa.ns AS contain_ab,
+           CAST(coalesce(i.ni, 0) AS DOUBLE) / sb.ns AS contain_ba
          FROM pairs p
          LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
          JOIN sizes sa ON sa.doc_id = p.id_a

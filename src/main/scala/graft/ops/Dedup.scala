@@ -68,6 +68,31 @@ object Dedup {
       .orderBy(col("id_a"))
   }
 
+  /** Asymmetric CONTAINMENT between consecutive doc pairs — the
+    * quote/sub-document detector Jaccard misses: a short doc fully
+    * embedded in a long one scores containment(A→B) = |A∩B|/|A| ≈ 1
+    * while its Jaccard stays near |A|/|B| ≈ 0. Both directions emitted
+    * (the asymmetry IS the signal: which side is the fragment). Same
+    * plan as the Jaccard calibration query — one id-equi-join of
+    * shingle ARRAYS, array_intersect per pair, no shingle-keyed
+    * shuffle; at scale the pair stream comes from the LSH blocker and
+    * this scoring runs on survivors only. */
+  def containmentConsecutive(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        col("id_b") === col("id_a") + 1)
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("n_common"),
+        size(col("sh_a")).cast(LongType).as("n_a"),
+        size(col("sh_b")).cast(LongType).as("n_b"))
+      .withColumn("contain_ab", col("n_common").cast(DoubleType) / col("n_a"))
+      .withColumn("contain_ba", col("n_common").cast(DoubleType) / col("n_b"))
+      .orderBy(col("id_a"))
+  }
+
   /** MinHash signatures: NUM_HASHES permutations simulated by seeded
     * xxhash64 re-hashes of each shingle; signature slot i = min hash
     * under seed i. One pass over the shingle rows with NUM_HASHES min

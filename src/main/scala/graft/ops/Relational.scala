@@ -408,6 +408,29 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Per-stratum FIXED-k sample: exactly k documents per source, chosen
+    * by md5(doc_id) order — the "k examples from every domain" draw an
+    * eval-set builder needs where a fractional sampler gives the wrong
+    * guarantee (a rare stratum must still yield exactly k, a huge one
+    * no more). The md5 order is a coordination-free uniform permutation
+    * any worker recomputes from the id alone (the sampler-family rule),
+    * and the keep-k plans as WindowGroupLimit partial → final: each map
+    * task truncates to k rows per stratum BEFORE the exchange, so the
+    * shuffle carries ≤ k·partitions rows per stratum at any corpus
+    * size. */
+  def groupSampleK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("u",
+        md5(col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** GROUPWISE SKYLINE (Pareto frontier): per brand, the parts for which
     * no same-brand part is both cheaper-or-equal AND larger-or-equal
     * (with one strict) — the "best trade-off" query of catalog/candidate

@@ -465,4 +465,32 @@ class RelationalSpec extends SparkSpec {
     wantTyped.foreach { case (t, c) => assert(byType(t) == c) }
     assert(byType("_legacy") == n - wantTyped.values.sum)
   }
+
+  test("group sample: exactly k per stratum (capped by stratum size), ids distinct") {
+    val rows = q("q_group_sample").collect()
+    val perSource = Tables.documents(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val got = rows.groupBy(_.getAs[String]("source"))
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, rs) =>
+      assert(rs.length == math.min(5L, perSource(src)))
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == rs.length)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("containment: bounded by 1, ≥ jaccard, and exact on a containing pair") {
+    val cont = q("q_dedup_containment").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("contain_ab"), r.getAs[Double]("contain_ba"))).toMap
+    val jac = q("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(cont.keySet == jac.keySet)
+    cont.foreach { case (k, (ab, ba)) =>
+      assert(ab >= jac(k) - 1e-12 && ba >= jac(k) - 1e-12,
+        "containment dominates jaccard (denominator is one set, not the union)")
+      assert(ab <= 1.0 + 1e-12 && ba <= 1.0 + 1e-12)
+    }
+  }
 }

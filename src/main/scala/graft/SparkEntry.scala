@@ -138,6 +138,8 @@ object SparkEntry {
     "q_market_rsi"     -> ((s, d) => Market.rsi(s, d)),
     "q_market_breakout" -> ((s, d) => Market.breakouts(s, d)),
     "q_market_ewma"    -> ((s, d) => Market.ewma(s, d)),
+    "q_market_macd"    -> ((s, d) => Market.macd(s, d)),
+    "q_market_stochastic" -> ((s, d) => Market.stochastic(s, d)),
     "q_market_atr"     -> ((s, d) => Market.atr(s, d)),
     "q_market_beta"    -> ((s, d) => Market.beta(s, d)),
     "q_stream_vwap"    -> ((s, d) => graft.streaming.Pipeline.streamingVwap(s, d)),
@@ -1733,6 +1735,67 @@ object SparkEntry {
            list_reduce(list_transform(generate_series(1, 10),
              i -> xs[i] * ($ws::DOUBLE[])[i]), (a, b) -> a + b) AS ewma
          FROM f WHERE n = 10 ORDER BY event_id"""
+    },
+    // MACD: the same literal-weight truncated-EWMA folds as
+    // q_market_ewma, composed twice (close → macd → signal)
+    "q_market_macd" -> {
+      def ws(k: Int) = graft.ops.Market.ewmaWeights(k)
+        .map(w => f"$w%.17e").mkString("[", ", ", "]")
+      val (w12, w26, w9) = (ws(12), ws(26), ws(9))
+      s"""WITH bars AS (
+           SELECT event_type AS symbol,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             arg_max(value, ts) AS close
+           FROM events GROUP BY symbol, day),
+         f AS (
+           SELECT symbol, day, count(*) OVER w26 AS n,
+             list(close) OVER w12 AS xf, list(close) OVER w26 AS xs
+           FROM bars
+           WINDOW w12 AS (PARTITION BY symbol ORDER BY day ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+                  w26 AS (PARTITION BY symbol ORDER BY day ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+         m AS (
+           SELECT symbol, day,
+             list_reduce(list_transform(generate_series(1, 12), i -> xf[i] * ($w12::DOUBLE[])[i]), (a, b) -> a + b)
+             - list_reduce(list_transform(generate_series(1, 26), i -> xs[i] * ($w26::DOUBLE[])[i]), (a, b) -> a + b) AS macd
+           FROM f WHERE n = 26),
+         g AS (
+           SELECT symbol, day, macd, count(*) OVER w9 AS nm, list(macd) OVER w9 AS xm
+           FROM m
+           WINDOW w9 AS (PARTITION BY symbol ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+         h AS (
+           SELECT symbol, day, macd,
+             CASE WHEN nm = 9 THEN
+               list_reduce(list_transform(generate_series(1, 9), i -> xm[i] * ($w9::DOUBLE[])[i]), (a, b) -> a + b)
+             END AS signal
+           FROM g)
+         SELECT symbol, day, macd, signal, macd - signal AS hist
+         FROM h ORDER BY symbol, day"""
+    },
+    // stochastic %K/%D: rolling channel + uniform-weight fold
+    "q_market_stochastic" -> {
+      val u = f"${1.0 / 3}%.17e"
+      s"""WITH bars AS (
+           SELECT event_type AS symbol,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             max(value) AS high, min(value) AS low, arg_max(value, ts) AS close
+           FROM events GROUP BY symbol, day),
+         f AS (
+           SELECT symbol, day, close,
+             min(low) OVER wk AS lo, max(high) OVER wk AS hi, count(*) OVER wk AS n
+           FROM bars
+           WINDOW wk AS (PARTITION BY symbol ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         p AS (
+           SELECT symbol, day, 100.0 * (close - lo) / (hi - lo) AS pct_k
+           FROM f WHERE n = 14 AND hi > lo),
+         g AS (
+           SELECT symbol, day, pct_k, count(*) OVER wd AS nd, list(pct_k) OVER wd AS xd
+           FROM p
+           WINDOW wd AS (PARTITION BY symbol ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         SELECT symbol, day, pct_k,
+           CASE WHEN nd = 3 THEN
+             list_reduce(list_transform(generate_series(1, 3), i -> xd[i] * $u), (a, b) -> a + b)
+           END AS pct_d
+         FROM g ORDER BY symbol, day"""
     },
     "q_market_atr" ->
       """WITH bars AS (

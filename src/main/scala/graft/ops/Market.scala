@@ -278,6 +278,73 @@ object Market {
       .orderBy(col("event_id"))
   }
 
+  /** MACD (moving-average convergence/divergence) over the daily bar
+    * closes — the classic trend-following indicator triple: macd =
+    * EWMA₁₂(close) − EWMA₂₆(close), signal = EWMA₉(macd), histogram =
+    * macd − signal. All three EWMAs use the truncated-window weighted
+    * fold of [[ewma]] (normalized decay weights inlined as literals,
+    * the codegen'd DotProduct doing one left-to-right multiply-add per
+    * element — bit-identical to the oracle's list fold). Runs on the
+    * BAR table, so the per-symbol windows are calendar-bounded (the
+    * ATR contract), and rows emit once the slow window is complete,
+    * with signal NULL until 9 macd values exist — the same warm-up
+    * semantics a charting library shows. */
+  def macd(s: SparkSession, d: String,
+      kFast: Int = 12, kSlow: Int = 26, kSig: Int = 9): DataFrame = {
+    graft.functions.Native.register(s)
+    def wLit(k: Int) = array(ewmaWeights(k).map(lit): _*)
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    def over(k: Int) = w.rowsBetween(-(k - 1), 0)
+    val withMacd = ohlcBars(s, d)
+      .select(col("symbol"), col("day"), col("close"))
+      .withColumn("_n", count(lit(1)).over(over(kSlow)))
+      .withColumn("_xf", collect_list(col("close")).over(over(kFast)))
+      .withColumn("_xs", collect_list(col("close")).over(over(kSlow)))
+      .filter(col("_n") === kSlow)
+      .withColumn("macd",
+        graft.functions.Native.dot(col("_xf"), wLit(kFast)) -
+          graft.functions.Native.dot(col("_xs"), wLit(kSlow)))
+    withMacd
+      .withColumn("_nm", count(lit(1)).over(over(kSig)))
+      .withColumn("_xm", collect_list(col("macd")).over(over(kSig)))
+      .withColumn("signal",
+        when(col("_nm") === kSig,
+          graft.functions.Native.dot(col("_xm"), wLit(kSig))))
+      .select(col("symbol"), col("day"), col("macd"), col("signal"),
+        (col("macd") - col("signal")).as("hist"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  /** STOCHASTIC OSCILLATOR %K/%D over the daily bars: %K = 100·(close −
+    * low₁₄)/(high₁₄ − low₁₄) against the rolling k-day channel, %D =
+    * the 3-day average of %K (computed as a uniform-weight DotProduct
+    * fold — fixed association, bit-identical both engines). Rows with
+    * a FLAT channel (high₁₄ == low₁₄ — %K undefined) drop before the
+    * %D stage in both engines, so the %D window always sees defined
+    * neighbors. Bar-table windows: calendar-bounded per symbol. */
+  def stochastic(s: SparkSession, d: String,
+      k: Int = 14, dAvg: Int = 3): DataFrame = {
+    graft.functions.Native.register(s)
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val wk = w.rowsBetween(-(k - 1), 0)
+    val wd = w.rowsBetween(-(dAvg - 1), 0)
+    val uni = array(Seq.fill(dAvg)(lit(1.0 / dAvg)): _*)
+    ohlcBars(s, d)
+      .select(col("symbol"), col("day"), col("close"),
+        min(col("low")).over(wk).as("lo"),
+        max(col("high")).over(wk).as("hi"),
+        count(lit(1)).over(wk).as("_n"))
+      .filter(col("_n") === k && col("hi") > col("lo"))
+      .withColumn("pct_k",
+        lit(100.0) * (col("close") - col("lo")) / (col("hi") - col("lo")))
+      .withColumn("_nd", count(lit(1)).over(wd))
+      .withColumn("_xd", collect_list(col("pct_k")).over(wd))
+      .withColumn("pct_d",
+        when(col("_nd") === dAvg, graft.functions.Native.dot(col("_xd"), uni)))
+      .select(col("symbol"), col("day"), col("pct_k"), col("pct_d"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
   /** Normalized oldest→newest decay weights, computed once driver-side.
     * Shared with the oracle builder so both engines fold the SAME
     * doubles. */

@@ -289,4 +289,37 @@ class MarketSpec extends SparkSpec {
       assert(r.getAs[Double]("shift") == sh)
     }
   }
+
+  test("macd: rows start at the slow window, hist = macd − signal, warm-up NULLs") {
+    val rows = q("q_market_macd").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getString(1))
+      // signal needs 9 macd rows: the first min(8, n) rows are NULL
+      ordered.take(8).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+      ordered.drop(8).foreach { r =>
+        assert(!r.isNullAt(3))
+        assert(r.getAs[Double]("hist") ==
+          r.getAs[Double]("macd") - r.getAs[Double]("signal"))
+      }
+    }
+  }
+
+  test("stochastic: %K in [0,100], %D is the mean of the last 3 %K values") {
+    val rows = q("q_market_stochastic").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getString(1))
+      ordered.foreach { r =>
+        val k = r.getAs[Double]("pct_k")
+        assert(k >= 0.0 && k <= 100.0)
+      }
+      ordered.sliding(3).zipWithIndex.foreach { case (win, _) =>
+        if (win.length == 3 && !win.last.isNullAt(3)) {
+          val mean = win.map(_.getAs[Double]("pct_k") / 3).sum
+          assert(math.abs(win.last.getAs[Double]("pct_d") - mean) < 1e-9)
+        }
+      }
+    }
+  }
 }

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_session_window" -> ((s, d) => Windows.sessionWindowNative(s, d)),
     "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
     "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
+    "q_typed_moments"  -> ((s, d) => Typed.tickMoments(s, d)),
     "q_ffill"          -> ((s, d) => Windows.forwardFill(s, d)),
     "q_resample"       -> ((s, d) => Windows.resampleGrid(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
@@ -1373,6 +1374,15 @@ object SparkEntry {
          SELECT e.event_id, e.event_type,
            (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN st USING (event_type) ORDER BY e.event_id""",
+    // typed-Aggregator moments: same decimal-moment algebra as zscore
+    "q_typed_moments" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+           (CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1) AS variance
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_ffill" ->
       """SELECT event_id, reading,
            last_value(reading IGNORE NULLS) OVER (

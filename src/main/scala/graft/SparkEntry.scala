@@ -90,6 +90,7 @@ object SparkEntry {
     "q_window_pctrank" -> ((s, d) => Windows.percentRankDist(s, d)),
     "q_zscore_group"   -> ((s, d) => Windows.zscoreScale(s, d)),
     "q_typed_moments"  -> ((s, d) => Typed.tickMoments(s, d)),
+    "q_typed_cogroup"  -> ((s, d) => Typed.cogroupAttribution(s, d)),
     "q_ffill"          -> ((s, d) => Windows.forwardFill(s, d)),
     "q_resample"       -> ((s, d) => Windows.resampleGrid(s, d)),
     "q_winsorize"      -> ((s, d) => Windows.winsorize(s, d)),
@@ -173,6 +174,7 @@ object SparkEntry {
     // §2.8 scalar functions
     "q_string_date_math" -> ((s, d) => Scalars.stringDateMath(s, d)),
     "q_parse_json"       -> ((s, d) => Scalars.parseJson(s, d)),
+    "q_parse_variant"    -> ((s, d) => Scalars.parseVariant(s, d)),
     "q_array_funcs"      -> ((s, d) => Scalars.arrayFunctions(s, d)),
     // north-star: text analysis
     "q_text_quality"     -> ((s, d) => TextOps.quality(s, d)),
@@ -1374,6 +1376,25 @@ object SparkEntry {
          SELECT e.event_id, e.event_type,
            (e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
          FROM events e JOIN st USING (event_type) ORDER BY e.event_id""",
+    // VARIANT parse: typed path extraction mirrors json_extract; the
+    // discovered schema is constant because every props is {"k": int}
+    "q_parse_variant" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS k_missing,
+           'OBJECT<k: BIGINT>' AS v_schema
+         FROM events ORDER BY event_id""",
+    // typed cogroup attribution counts: the window formulation in SQL
+    "q_typed_cogroup" ->
+      """WITH a AS (
+           SELECT user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ac
+           FROM events)
+         SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(CASE WHEN ac IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+         FROM a WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
     // typed-Aggregator moments: same decimal-moment algebra as zscore
     "q_typed_moments" ->
       """SELECT event_type, count(*) AS n,

@@ -64,4 +64,22 @@ object Scalars {
       .select(col("event_id"), col("data.k").as("k"))
       .orderBy(col("event_id"))
   }
+
+  /** Semi-structured parse through Spark 4's VARIANT type — the
+    * schema-on-read path for payloads whose shape is NOT known up
+    * front (from_json needs the schema; parse_json needs nothing):
+    * props parses once to a binary variant and fields extract lazily
+    * with typed paths. At 100 TB this is the ingestion pattern for
+    * heterogeneous event payloads — store the variant column, extract
+    * per query, never re-parse strings per field. Emits the typed
+    * extraction, a missing-path probe (try_variant_get → NULL, the
+    * error-free path), and the discovered schema string. */
+  def parseVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.missing", "bigint").as("k_missing"),
+        schema_of_variant(col("v")).as("v_schema"))
+      .orderBy(col("event_id"))
 }

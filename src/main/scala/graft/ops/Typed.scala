@@ -57,6 +57,45 @@ object Typed {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
   }
 
+  /** One timed user event for the cogroup path. */
+  case class UserEvent(user_id: Long, us: Long)
+
+  /** Per-user attribution counts via typed COGROUP — the two-sided
+    * per-key merge the Column API has no direct shape for: each user's
+    * clicks and purchases arrive as two iterators and reduce in one
+    * pass (a purchase is attributed iff the user's EARLIEST click
+    * strictly precedes it). Task memory is one user's history (the
+    * window-operator bound); the shuffle is the cogroup's two
+    * co-partitioned exchanges.
+    *
+    * Deliberately the SAME semantics as the window-based
+    * [[Behavior.attribution]] — TypedSpec pins the two derivations
+    * equal, so the typed surface is checked against the relational one
+    * (and both against the DuckDB oracle). (user_id, ts) is unique in
+    * the fixture, so strictly-prior on the microsecond key equals the
+    * window's (ts, event_id) frame. */
+  def cogroupAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    def side(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), col("us")).as[UserEvent]
+      .groupByKey(_.user_id)
+    val out = side("click").cogroup(side("purchase")) { (uid, clicks, purchases) =>
+      val minClick = clicks.foldLeft(Long.MaxValue)((m, c) => math.min(m, c.us))
+      val ps = purchases.map(_.us).toArray
+      if (ps.isEmpty) Iterator.empty
+      else {
+        // attributed ⇔ at least one click strictly before the purchase
+        // ⇔ the earliest click strictly precedes it
+        val attributed = ps.count(_ > minClick)
+        Iterator.single((uid, ps.length.toLong, attributed.toLong))
+      }
+    }
+    out.toDF("user_id", "n_purchases", "n_attributed")
+      .orderBy(col("user_id"))
+  }
+
   /** Per-series exact moments through the fully TYPED pipeline:
     * `as[Tick]` → `groupByKey(_.event_type)` → custom Aggregator →
     * typed result. Plans as ObjectHashAggregate with partial + final

@@ -27,4 +27,14 @@ class TypedSpec extends SparkSpec {
       .toMap
     assert(typed == untyped)
   }
+
+  test("typed cogroup attribution == the window-operator derivation") {
+    val cg = q("q_typed_cogroup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val win = q("q_attribution").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("np"),
+        sum(when(col("attributed_click").isNotNull, 1L).otherwise(0L)).as("na"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cg == win)
+  }
 }

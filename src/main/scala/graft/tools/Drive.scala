@@ -207,7 +207,9 @@ object Drive {
           "q_contamination", "q_split_balance", "q_sample_quality",
           "q_ks_drift", "q_psi_drift", "q_robust_scale", "q_ts_acf",
           "q_attribution", "q_text_keywords", "q_source_entropy",
-          "q_embed_drift", "q_lm_perplexity", "q_join_bloom")
+          "q_embed_drift", "q_lm_perplexity", "q_join_bloom",
+          "q_group_sample", "q_typed_moments", "q_typed_cogroup",
+          "q_parse_variant", "q_market_macd")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

@@ -246,6 +246,41 @@ class StreamingSpec extends SparkSpec {
       "every purchase appears: matched with clicks or null-extended")
   }
 
+  test("checkpoint recovery (T8): a crashed stream resumes from offsets, no loss, no dupes") {
+    import org.apache.spark.sql.streaming.Trigger
+    def dir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val src = dir("ckpt_src_")
+    val ckpt = dir("ckpt_ck_")
+    val sink = dir("ckpt_sink_")
+    val n = 400
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(n)
+      .repartition(4).write.mode("overwrite").parquet(src)
+    def start(failFromBatch: Long) = spark.readStream
+      .schema(graft.Tables.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // crash BEFORE the sink write, so the failed batch leaves no
+        // partial output — the restart must re-deliver it exactly once
+        if (id >= failFromBatch) sys.error(s"injected crash at batch $id")
+        graft.sources.Sinks.parquetAppend(batch, sink)
+        ()
+      }
+      .start()
+    val q1 = start(failFromBatch = 1L)
+    intercept[Exception] { q1.awaitTermination() } // crashed at batch 1
+    val mid = spark.read.parquet(sink).count()
+    assert(mid > 0 && mid < n, s"first run committed a strict prefix, got $mid")
+    val q2 = start(failFromBatch = Long.MaxValue)
+    q2.awaitTermination() // resumes from the checkpoint, drains the rest
+    val fin = spark.read.parquet(sink)
+    assert(fin.count() == n, "no loss across the crash/restart boundary")
+    assert(fin.select(col("event_id")).distinct().count() == n,
+      "no duplicates: the crashed batch re-delivered exactly once")
+  }
+
   test("streaming drift: one PSI per (day, series), psi ≥ 0, day totals conserve") {
     val rows = q("q_stream_drift").collect()
     val e = Tables.events(spark, sf)

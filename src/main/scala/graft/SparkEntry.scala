@@ -27,6 +27,7 @@ object SparkEntry {
     "q_scan_partitioned" -> ((s, d) => Relational.partitionPrunedDaily(s, d)),
     "q_sql_yr_priority"  -> ((s, d) => Relational.sqlRevenueByYearPriority(s, d)),
     "q_sql_ship_priority" -> ((s, d) => Relational.sqlShippingPriority(s, d)),
+    "q_sql_disjunctive" -> ((s, d) => Relational.sqlDisjunctiveRevenue(s, d)),
     "q_sql_supplier_volume" -> ((s, d) => Relational.sqlLocalSupplierVolume(s, d)),
     "q_source_jsonl"     -> ((s, d) => Relational.jsonlSourceSummary(s, d)),
     "q_source_evolution" -> ((s, d) => Relational.evolvedSourceSummary(s, d)),
@@ -335,6 +336,7 @@ object SparkEntry {
     // deliberately the IDENTICAL string Spark executes via spark.sql
     "q_sql_yr_priority" -> graft.ops.Relational.RevenueByYearPrioritySql,
     "q_sql_ship_priority" -> graft.ops.Relational.ShippingPrioritySql,
+    "q_sql_disjunctive" -> graft.ops.Relational.DisjunctiveRevenueSql,
     "q_sql_supplier_volume" -> graft.ops.Relational.LocalSupplierVolumeSql,
     "q_source_jsonl" ->
       s"""SELECT event_type, count(*) AS n,

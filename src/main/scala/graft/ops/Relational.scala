@@ -181,6 +181,32 @@ object Relational {
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.region(s, d).createOrReplaceTempView("region")
+    Tables.part(s, d).createOrReplaceTempView("part")
+  }
+
+  /** TPC-H Q19 shape (disjunctive discounted revenue): a fact⋈dim join
+    * whose predicate is an OR of brand/size/quantity conjunct triples —
+    * the classic disjunctive-pushdown test. Catalyst must (a) extract
+    * the COMMON conjuncts of the disjunction for scan pushdown (every
+    * branch bounds p_size ≥ 1 and l_quantity ≤ 30, so both scans get a
+    * residual range filter even though no single branch applies to all
+    * rows) and (b) keep the join an equi-join on partkey with the OR as
+    * a post-join residual — a naive planner degrades to a cartesian
+    * with the whole predicate as a filter. Same SQL text both engines;
+    * the spec asserts the physical join stayed keyed. */
+  val DisjunctiveRevenueSql: String =
+    """SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 30))
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  def sqlDisjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(DisjunctiveRevenueSql)
   }
 
   def sqlShippingPriority(s: SparkSession, d: String): DataFrame = {

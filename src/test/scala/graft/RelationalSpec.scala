@@ -466,6 +466,14 @@ class RelationalSpec extends SparkSpec {
     assert(byType("_legacy") == n - wantTyped.values.sum)
   }
 
+  test("disjunctive join stays keyed: equi-join on partkey, no cartesian") {
+    val plan = q("q_sql_disjunctive").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the OR-of-conjuncts must remain a residual on a keyed join:\n$plan")
+    assert(plan.contains("p_partkey") && plan.contains("Join"))
+  }
+
   test("group sample: exactly k per stratum (capped by stratum size), ids distinct") {
     val rows = q("q_group_sample").collect()
     val perSource = Tables.documents(spark, sf).groupBy(col("source")).count()

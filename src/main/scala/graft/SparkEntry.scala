@@ -215,6 +215,7 @@ object SparkEntry {
     "q_dedup_minhash"       -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_dedup_simhash"       -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q_dedup_clusters"      -> ((s, d) => Dedup.nearDupComponents(s, d)),
+    "q_source_overlap"      -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q_dedup_keep_best"     -> ((s, d) => Dedup.keepBestPerCluster(s, d)),
     "q_decontaminate"       -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_contamination"       -> ((s, d) => Dedup.contaminationFraction(s, d)),
@@ -2368,6 +2369,24 @@ object SparkEntry {
                   GROUP BY d.doc_id)
          SELECT doc_id, component, (doc_id = component) AS is_keeper
          FROM comp ORDER BY doc_id""",
+    // cross-source duplication matrix over the same exact-threshold
+    // pair set the cluster oracles use
+    "q_source_overlap" ->
+      """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5)
+         SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
+         FROM pairs JOIN documents da ON da.doc_id = id_a
+         JOIN documents db ON db.doc_id = id_b
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // cluster retention: same transitive closure as q_dedup_clusters,
     // survivor = argmax (quality_score, -doc_id) per component via a
     // window; Spark computes it with a partial-aggregating max_by

@@ -242,6 +242,27 @@ object Dedup {
     * fixtures — see minhashLshPairs), components via min-label
     * propagation, keeper = the cluster's minimum doc_id. Oracle: the
     * same pair set from exact SQL + a recursive-CTE transitive closure. */
+  /** Cross-source DUPLICATION MATRIX — the curation dashboard built on
+    * the near-dup pair index: how many verified near-dup pairs join
+    * each (source, source) cell. A hot off-diagonal cell means one
+    * domain is mirroring another (scraped mirrors, syndication) and
+    * its mixture weight is overstated; a hot diagonal means intra-site
+    * boilerplate. Reads the cached pair index (ids only), joins the
+    * doc→source map twice, reduces to a sources² matrix — everything
+    * after the index is metadata scale. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLshPairs(s, d).select(col("id_a"), col("id_b"))
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(srcs.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def nearDupComponents(s: SparkSession, d: String): DataFrame =
     components(
       Tables.documents(s, d).select(col("doc_id")),

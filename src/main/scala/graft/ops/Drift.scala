@@ -113,31 +113,44 @@ object Drift {
       .otherwise(lit(0L)).cast(LongType)
 
   /** Per-series frozen bin RANGES from the reference half — the static
-    * side of the streaming monitor's stream-static join. */
+    * side of the streaming monitor's stream-static join. Checkpointed
+    * per corpus: the frozen constants are a ship-time artifact (a
+    * production monitor persists them when the model ships), so every
+    * consumer — the batch PSI, the streaming drain, the drained-table
+    * reader — reads one build. */
+  private val rangesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def psiRanges(s: SparkSession, d: String): DataFrame =
-    tagged(s, d).filter(col("is_ref"))
-      .groupBy(col("event_type"))
-      .agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+    rangesCache.computeIfAbsent(d, _ =>
+      tagged(s, d).filter(col("is_ref"))
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+        .localCheckpoint(true))
 
   /** Frozen smoothed reference proportions per (series, bin) — what a
     * production monitor persists when the model ships, recomputed here
-    * deterministically from the corpus's early half. */
-  def psiReference(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
-    val t = tagged(s, d).filter(col("is_ref"))
-    val ranges = psiRanges(s, d)
-    val cells = t.join(broadcast(ranges), Seq("event_type"))
-      .withColumn("bin", binCol(col("value"), col("vmn"), col("vmx"), nBins))
-      .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("ca"))
-    val totals = t.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
-    ranges.select(col("event_type"))
-      .crossJoin(broadcast(s.range(0, nBins).select(col("id").as("bin"))))
-      .join(cells, Seq("event_type", "bin"), "left")
-      .na.fill(0L, Seq("ca"))
-      .join(broadcast(totals), Seq("event_type"))
-      .select(col("event_type"), col("bin"),
-        ((col("ca") + lit(0.5)) / (col("na") + lit(nBins * 0.5))).as("p_ref"))
-  }
+    * deterministically from the corpus's early half (checkpointed per
+    * (corpus, bins) like the ranges). */
+  private val refCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+  def psiReference(s: SparkSession, d: String, nBins: Int = 10): DataFrame =
+    refCache.computeIfAbsent((d, nBins), _ => {
+      val t = tagged(s, d).filter(col("is_ref"))
+      val ranges = psiRanges(s, d)
+      val cells = t.join(broadcast(ranges), Seq("event_type"))
+        .withColumn("bin", binCol(col("value"), col("vmn"), col("vmx"), nBins))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("ca"))
+      val totals = t.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+      ranges.select(col("event_type"))
+        .crossJoin(broadcast(s.range(0, nBins).select(col("id").as("bin"))))
+        .join(cells, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("ca"))
+        .join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("bin"),
+          ((col("ca") + lit(0.5)) / (col("na") + lit(nBins * 0.5))).as("p_ref"))
+        .localCheckpoint(true)
+    })
 
   def psiDrift(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
     val t = tagged(s, d)

@@ -108,6 +108,8 @@ object SparkEntry {
     "q_scd2"           -> ((s, d) => Behavior.scd2(s, d)),
     "q_active_users"   -> ((s, d) => Behavior.activeUsers(s, d)),
     "q_attribution"    -> ((s, d) => Behavior.attribution(s, d)),
+    "q_funnel_time"    -> ((s, d) => Behavior.funnelTime(s, d)),
+    "q_embed_outliers" -> ((s, d) => Drift.embedNormOutliers(s, d)),
     // table maintenance: merge/upsert + incremental rollup refresh +
     // snapshot-diff CDC + small-file compaction
     "q_merge_upsert"   -> ((s, d) => Maintain.mergeUpsert(s, d)),
@@ -553,6 +555,31 @@ object SparkEntry {
          SELECT event_type AS from_type, to_type, count(*) AS n
          FROM t WHERE to_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // time-to-convert: integer-micros gaps, exact interpolated pctls
+    "q_funnel_time" ->
+      """WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS tvus FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         tp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tpus
+                FROM events e JOIN tv ON e.user_id = tv.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tvus
+                GROUP BY 1),
+         g AS (SELECT (tpus - tvus) / 3600000000.0 AS gap_h
+               FROM tv JOIN tp ON tv.user_id = tp.user_id)
+         SELECT count(*) AS n_converted,
+           quantile_cont(gap_h, 0.5) AS median_hours,
+           quantile_cont(gap_h, 0.9) AS p90_hours
+         FROM g""",
+    // unit-norm QA: the dot self-fold mirrors list_sum's
+    // left-to-right order; |norm² − 1| ranks normalization error
+    "q_embed_outliers" ->
+      """WITH n2 AS (SELECT vec_id,
+             list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS norm2
+           FROM embeddings)
+         SELECT vec_id, norm2, unit_err FROM (
+           SELECT vec_id, norm2, abs(norm2 - 1.0) AS unit_err
+           FROM n2 ORDER BY unit_err DESC, vec_id LIMIT 10)
+         ORDER BY vec_id""",
     // last-touch attribution: strictly-prior frame, integer gap
     "q_attribution" ->
       """SELECT purchase_id, user_id, attributed_click, gap_us FROM (

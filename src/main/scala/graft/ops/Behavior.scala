@@ -478,6 +478,32 @@ object Behavior {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** TIME-TO-CONVERT distribution — the funnel's missing axis (the
+    * ordered funnel counts WHO converts; this measures HOW LONG):
+    * per user, hours from the first view to the first strictly-later
+    * purchase, reduced to exact median/p90 via the interpolated
+    * percentile (bitwise equal to DuckDB's quantile_cont — the
+    * winsorize precedent). Two partial-aggregating reductions (first
+    * view per user, first qualifying purchase per user) joined on the
+    * unique user key; the gap is integer microseconds divided once —
+    * value-exact. Output is one summary row; the per-user gaps never
+    * leave the executors except as two percentile buffers. */
+  def funnelTime(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val tv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tvus"))
+    val tp = e.filter(col("event_type") === "purchase")
+      .join(tv, Seq("user_id"))
+      .filter(col("us") > col("tvus"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("tpus"))
+    tv.join(tp, Seq("user_id"))
+      .select(((col("tpus") - col("tvus")) / lit(3600000000.0)).as("gap_h"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(gap_h, 0.5)").as("median_hours"),
+        expr("percentile(gap_h, 0.9)").as("p90_hours"))
+  }
+
   /** LAST-TOUCH ATTRIBUTION: each purchase credits the user's most
     * recent STRICTLY-PRIOR click (the marketing-analytics staple the
     * funnel doesn't answer — which touch converted, and after how

@@ -192,6 +192,29 @@ object Drift {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** UNIT-NORM DRIFT — the vector QA gate for a store that is SUPPOSED
+    * to be L2-normalized (this one is: every fixture vector folds to
+    * norm² = 1 ± 2e-7): rank vectors by |norm² − 1|, the normalization
+    * error. A vector that drifted (truncated write, wrong scale, a
+    * zero vector whose norm² is 0) surfaces at the top and would
+    * otherwise silently bias every cosine ranking that assumes the
+    * denominator away. Norm² per vector is the codegen'd left-to-right
+    * [[graft.functions.Native.dot]] self-fold (the cosine-family
+    * determinism contract), so the error and the ranked set are
+    * bit-exact on both engines. One scan; top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def embedNormOutliers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    graft.functions.Native.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.Native.dot(col("embedding"), col("embedding")).as("norm2"))
+      .withColumn("unit_err", abs(col("norm2") - lit(1.0)))
+      .orderBy(col("unit_err").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("norm2"), col("unit_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** EMBEDDING-CENTROID drift per label — the vector-space version of
     * the scalar monitors: has each class's mean embedding moved
     * between the reference sample (even ids — embeddings carry no

@@ -122,6 +122,24 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("embed_outliers: top-10 by unit error, kept set is the extreme tail") {
+    val rows = q("q_embed_outliers").collect()
+    assert(rows.length == math.min(10L, Tables.embeddings(spark, sf).count()))
+    rows.foreach(r => assert(r.getAs[Double]("unit_err") ==
+      math.abs(r.getAs[Double]("norm2") - 1.0)))
+    val kept = rows.map(_.getAs[Double]("unit_err"))
+    val all = graft.ops.Drift.embedNormOutliers(spark, sf, k = Int.MaxValue)
+      .collect().map(_.getAs[Double]("unit_err")).sorted.reverse
+    assert(kept.min >= all.drop(rows.length).headOption.getOrElse(0.0) - 1e-15)
+  }
+
+  test("funnel_time: gaps positive, median ≤ p90, converted ≤ funnel purchasers") {
+    val r = q("q_funnel_time").head()
+    assert(r.getAs[Long]("n_converted") > 0)
+    assert(r.getAs[Double]("median_hours") > 0.0)
+    assert(r.getAs[Double]("median_hours") <= r.getAs[Double]("p90_hours"))
+  }
+
   test("source_entropy: 0 ≤ H ≤ ln(distinct tokens) per source") {
     val rows = q("q_source_entropy").collect()
     assert(rows.nonEmpty)

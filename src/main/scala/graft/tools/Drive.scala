@@ -209,7 +209,8 @@ object Drive {
           "q_attribution", "q_text_keywords", "q_source_entropy",
           "q_embed_drift", "q_lm_perplexity", "q_join_bloom",
           "q_group_sample", "q_typed_moments", "q_typed_cogroup",
-          "q_parse_variant", "q_market_macd")
+          "q_parse_variant", "q_market_macd", "q_sql_disjunctive",
+          "q_source_overlap", "q_funnel_time", "q_embed_outliers")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

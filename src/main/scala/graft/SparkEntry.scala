@@ -29,6 +29,25 @@ object SparkEntry {
     "q_sql_ship_priority" -> ((s, d) => Relational.sqlShippingPriority(s, d)),
     "q_sql_disjunctive" -> ((s, d) => Relational.sqlDisjunctiveRevenue(s, d)),
     "q_sql_supplier_volume" -> ((s, d) => Relational.sqlLocalSupplierVolume(s, d)),
+    "q_sql_late_orders"     -> ((s, d) => Relational.sqlLateOrders(s, d)),
+    "q_sql_nation_value"    -> ((s, d) => Relational.sqlNationValue(s, d)),
+    "q_sql_promo_share"     -> ((s, d) => Relational.sqlPromoShare(s, d)),
+    "q_sql_supplier_parts"  -> ((s, d) => Relational.sqlSupplierParts(s, d)),
+    "q_sql_waiting_supplier" -> ((s, d) => Relational.sqlWaitingSupplier(s, d)),
+    // feature-preparation surface (ops.TrainPrep): target encoding,
+    // the hashing trick, bipartite degrees, calendar seasonality
+    "q_target_encode" -> ((s, d) => TrainPrep.targetEncode(s, d)),
+    "q_feature_hash"  -> ((s, d) => TrainPrep.featureHash(s, d)),
+    "q_degree_dist"   -> ((s, d) => TrainPrep.degreeDist(s, d)),
+    "q_seasonality"   -> ((s, d) => TrainPrep.seasonality(s, d)),
+    "q_text_tfidf"    -> ((s, d) => TextOps.tfidfTop(s, d)),
+    // statistics / diagnostics wave 2: experiment t-test, OLS trend,
+    // sequence paths, watermark lateness, join-key skew audit
+    "q_ab_ttest"      -> ((s, d) => Drift.abTtest(s, d)),
+    "q_trend_ols"     -> ((s, d) => TimeSeries.trendOls(s, d)),
+    "q_funnel_paths"  -> ((s, d) => Behavior.funnelPaths(s, d)),
+    "q_lateness"      -> ((s, d) => Drift.latenessAudit(s, d)),
+    "q_key_skew"      -> ((s, d) => Relational.keySkew(s, d)),
     "q_source_jsonl"     -> ((s, d) => Relational.jsonlSourceSummary(s, d)),
     "q_source_evolution" -> ((s, d) => Relational.evolvedSourceSummary(s, d)),
     "q_count"         -> ((s, d) => Relational.countAll(s, d)),
@@ -341,6 +360,150 @@ object SparkEntry {
     "q_sql_ship_priority" -> graft.ops.Relational.ShippingPrioritySql,
     "q_sql_disjunctive" -> graft.ops.Relational.DisjunctiveRevenueSql,
     "q_sql_supplier_volume" -> graft.ops.Relational.LocalSupplierVolumeSql,
+    "q_sql_late_orders" -> graft.ops.Relational.LateOrdersSql,
+    "q_sql_nation_value" -> graft.ops.Relational.NationValueSql,
+    "q_sql_promo_share" -> graft.ops.Relational.PromoShareSql,
+    "q_sql_supplier_parts" -> graft.ops.Relational.SupplierPartsSql,
+    "q_sql_waiting_supplier" -> graft.ops.Relational.WaitingSupplierSql,
+    // leave-one-out target encoding: exact decimal sums on both sides,
+    // one double division — bit-deterministic cross-engine
+    "q_target_encode" ->
+      """WITH rows AS (
+           SELECT o_orderkey, c_mktsegment AS segment,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders, customer WHERE o_custkey = c_custkey),
+         enc AS (SELECT segment, sum(price) AS seg_sum, count(*) AS seg_n
+                 FROM rows GROUP BY segment)
+         SELECT o_orderkey, r.segment,
+           CAST(seg_sum - price AS DOUBLE) / CAST(seg_n - 1 AS DOUBLE) AS loo_enc
+         FROM rows r, enc e WHERE r.segment = e.segment
+         ORDER BY o_orderkey""",
+    // hashing trick: md5 is the engine-portable hash (native hash
+    // functions differ); bucket = two leading hex chars mod 64
+    "q_feature_hash" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         t2 AS (SELECT source,
+                  (ascii(substr(md5(token), 1, 1)) * 256 +
+                   ascii(substr(md5(token), 2, 1))) % 64 AS bucket
+                FROM toks WHERE token <> '')
+         SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_tokens
+         FROM t2 GROUP BY source, bucket ORDER BY source, bucket""",
+    "q_degree_dist" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey, l_partkey
+                        FROM lineitem, orders WHERE l_orderkey = o_orderkey),
+         deg AS (SELECT o_custkey, count(*) AS degree FROM pairs GROUP BY o_custkey)
+         SELECT degree, count(*) AS n_customers FROM deg
+         GROUP BY degree ORDER BY degree""",
+    // weekday seasonal index: decimal-exact sums, double divisions;
+    // DuckDB strftime('%A') == Spark date_format('EEEE') (UTC, full name)
+    "q_seasonality" ->
+      """WITH ev AS (SELECT strftime(ts, '%A') AS dow,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                     FROM events WHERE event_type = 'purchase'),
+         bd AS (SELECT dow, count(*) AS n, sum(v) AS dow_sum FROM ev GROUP BY dow),
+         g AS (SELECT count(*) AS g_n, sum(v) AS g_sum FROM ev)
+         SELECT dow, n, CAST(dow_sum AS DOUBLE) / CAST(n AS DOUBLE) AS dow_mean,
+           (CAST(dow_sum AS DOUBLE) / CAST(n AS DOUBLE)) /
+           (CAST(g_sum AS DOUBLE) / CAST(g_n AS DOUBLE)) AS seasonal_index
+         FROM bd, g ORDER BY dow""",
+    // smooth-idf TF-IDF, DECIMAL(18,8)-quantized before ranking (BM25
+    // precedent) so the per-doc top-3 tie-break matches exactly
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         dfv AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk GROUP BY token),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+                WHERE doc_id < 200 GROUP BY doc_id, token),
+         sc AS (SELECT doc_id, t.token,
+                  CAST(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS DECIMAL(18,8)) AS score
+                FROM tf t, dfv f, nd WHERE t.token = f.token),
+         rk AS (SELECT doc_id, token, score,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+                FROM sc)
+         SELECT doc_id, rnk, token, CAST(score AS DOUBLE) AS score
+         FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // Welch t-test over the user-parity A/B split: decimal moments →
+    // one double closed form, the same IEEE tree both engines
+    "q_ab_ttest" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS is_a,
+             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         g AS (SELECT event_type,
+           sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b,
+           sum(CASE WHEN is_a THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS sa,
+           sum(CASE WHEN is_a THEN CAST(0 AS DECIMAL(18,2)) ELSE v END) AS sb,
+           sum(CASE WHEN is_a THEN CAST(v * v AS DECIMAL(38,4)) ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
+           sum(CASE WHEN is_a THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(v * v AS DECIMAL(38,4)) END) AS qb
+           FROM e GROUP BY event_type),
+         m AS (SELECT event_type, n_a, n_b,
+           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+           CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd FROM g),
+         v AS (SELECT event_type, n_a, n_b, na, nb,
+           sad / na AS mean_a, sbd / nb AS mean_b,
+           ((qad - sad * sad / na) / (na - 1.0)) / na AS sea,
+           ((qbd - sbd * sbd / nb) / (nb - 1.0)) / nb AS seb FROM m)
+         SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+           ((sea + seb) * (sea + seb)) /
+           (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS df_welch
+         FROM v ORDER BY event_type""",
+    // OLS normal equations on per-day means held at a fixed 1e-6 tick
+    // (integer division — structurally deterministic; see trendOls doc);
+    // all moments exact integers, one shared IEEE closed form
+    "q_trend_ols" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT) AS x,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 1000000 AS BIGINT) // count(*) AS y
+           FROM events GROUP BY event_type, CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)),
+         g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+           sum(y) AS sy, sum(x * y) AS sxy,
+           sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+           FROM daily GROUP BY event_type),
+         m AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+           CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM g),
+         f AS (SELECT event_type, n, nd * sxyd - sxd * syd AS covn,
+           nd * sxxd - sxd * sxd AS varx, nd * syyd - syd * syd AS vary,
+           sxd, syd, nd FROM m)
+         SELECT event_type, n AS n_days, covn / varx / 1000000.0 AS slope,
+           (syd - covn / varx * sxd) / nd / 1000000.0 AS intercept,
+           covn * covn / (varx * vary) AS r2
+         FROM f ORDER BY event_type""",
+    "q_funnel_paths" ->
+      """WITH seq AS (SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+           FROM events)
+         SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+         FROM seq WHERE e3 IS NOT NULL
+         GROUP BY path ORDER BY n DESC, path LIMIT 10""",
+    // watermark lateness vs the deterministic md5-draw arrival order
+    // (the simulated hash-split replay); integer micros to the bucket
+    "q_lateness" ->
+      """WITH t AS (SELECT user_id, event_id,
+             md5(CAST(event_id AS VARCHAR)) AS arr, epoch_us(ts) AS us
+           FROM events),
+         r AS (SELECT CAST(floor((max(us) OVER (PARTITION BY user_id
+                ORDER BY arr, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) / 3600000000.0) AS BIGINT) AS late_hr
+           FROM t)
+         SELECT late_hr, count(*) AS n FROM r GROUP BY late_hr ORDER BY late_hr""",
+    "q_key_skew" ->
+      """WITH cnts AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+         stats AS (SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt FROM cnts),
+         top AS (SELECT l_partkey, cnt FROM cnts ORDER BY cnt DESC, l_partkey LIMIT 5)
+         SELECT l_partkey, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew_vs_mean,
+           n_keys, max_cnt
+         FROM top, stats ORDER BY cnt DESC, l_partkey""",
     "q_source_jsonl" ->
       s"""SELECT event_type, count(*) AS n,
           min(event_id) AS min_id, max(event_id) AS max_id,

@@ -533,4 +533,25 @@ object Behavior {
         (col("us") - col("click_us")).as("gap_us"))
       .orderBy(col("purchase_id"))
   }
+
+  /** Top event-type TRIGRAM paths — sequence mining over per-user
+    * event streams (the "what do users actually do" product-analytics
+    * staple): two lead() windows per user in deterministic
+    * (ts, event_id) order turn each position into its 3-step path,
+    * then one partial-aggregating count and a TakeOrderedAndProject
+    * top-k. Per-user windows bound the sort tasks by user activity —
+    * no global sequence materializes, and the path space (|types|³)
+    * keeps the aggregate map-side-combinable at any corpus size. */
+  def funnelPaths(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
 }

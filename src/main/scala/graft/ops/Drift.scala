@@ -262,4 +262,81 @@ object Drift {
           .as("centroid_cos"))
       .orderBy(col("label"))
   }
+
+  /** WELCH two-sample t-test per series between the deterministic
+    * user-parity A/B split (`user_id % 2` — the hash-split experiment
+    * assignment every A/B platform runs): t statistic and
+    * Welch–Satterthwaite degrees of freedom from exact decimal
+    * moments. The experiment-analysis primitive completing the
+    * statistics family (chi-square, KS, PSI).
+    *
+    * Shape: ONE partial-aggregating groupBy — each series reduces to
+    * a single row of (n, Σv, Σv²) per arm, exact in DECIMAL, cast to
+    * double once, and the t/df closed forms evaluate the SAME IEEE
+    * expression tree on both engines (sum/quotient/sqrt are all
+    * correctly rounded — no tolerance needed). */
+  def abTtest(s: SparkSession, d: String): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val d4 = DecimalType(38, 4)
+    val zero2 = lit(0).cast(d2)
+    val zero4 = lit(0).cast(d4)
+    val e = Tables.events(s, d).select(col("event_type"),
+      (pmod(col("user_id"), lit(2)) === 0).as("is_a"),
+      col("value").cast(d2).as("v"))
+    val g = e.groupBy(col("event_type")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"),
+      sum(when(col("is_a"), col("v")).otherwise(zero2)).as("sa"),
+      sum(when(col("is_a"), zero2).otherwise(col("v"))).as("sb"),
+      sum(when(col("is_a"), (col("v") * col("v")).cast(d4)).otherwise(zero4)).as("qa"),
+      sum(when(col("is_a"), zero4).otherwise((col("v") * col("v")).cast(d4))).as("qb"))
+    val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+    val sa = col("sa").cast(DoubleType);  val sb = col("sb").cast(DoubleType)
+    val qa = col("qa").cast(DoubleType);  val qb = col("qb").cast(DoubleType)
+    val ma = sa / na; val mb = sb / nb
+    val va = (qa - sa * sa / na) / (na - lit(1.0))
+    val vb = (qb - sb * sb / nb) / (nb - lit(1.0))
+    val sea = va / na; val seb = vb / nb
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        ((ma - mb) / sqrt(sea + seb)).as("t_stat"),
+        (((sea + seb) * (sea + seb)) /
+          (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))))
+          .as("df_welch"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Event-time LATENESS audit — the watermark-sizing input for every
+    * streaming deployment: per user (the stream's key), how far behind
+    * the running event-time high-water mark does each event arrive,
+    * bucketed to hours. An undersized watermark silently drops
+    * exactly the rows this histogram counts past its bound (the repo's
+    * own streaming gotcha, now measured as an operator).
+    *
+    * Arrival order is the DETERMINISTIC md5 draw over event_id — the
+    * same simulated hash-split replay the staged streaming source
+    * performs physically (repartition → per-file triggers: a later
+    * batch can carry older events than any prior max). The fixture's
+    * event_id order is perfectly sorted, so auditing THAT would read
+    * an all-zero histogram; the hash order measures the disorder the
+    * stream actually sees, and is mirrorable in SQL (unlike the
+    * round-robin file split itself).
+    *
+    * Shape: one per-user window (bounded per key), integer
+    * microsecond arithmetic to the hour bucket, then a bounded histogram
+    * aggregate. The division to hours happens in double on exact
+    * integer operands (< 2⁵³) — deterministic. */
+  def latenessAudit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        md5(col("event_id").cast("string").cast("binary")).as("arr"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("mx", max(col("us")).over(w))
+      .select(floor((col("mx") - col("us")) / lit(3600000000.0)).as("late_hr"))
+      .groupBy(col("late_hr")).agg(count(lit(1)).as("n"))
+      .orderBy(col("late_hr"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Core relational operators: scan/filter/project, sort, top-k, set ops,
   * distinct (SURVEY.md §2.2, §2.6, §2.7).
@@ -241,9 +242,136 @@ object Relational {
     s.sql(CorrelatedCustomerSql)
   }
 
+  /** TPC-H Q4 shape (late orders by priority): an aggregation over a
+    * correlated EXISTS whose predicate compares an inner column against
+    * an OUTER-derived expression (`l_shipdate > o_orderdate + 60 days`)
+    * — decorrelation must carry the non-equi condition into the semi
+    * join, not just the orderkey equality. At scale the semi join
+    * shuffles only (orderkey, shipdate) off the fact table and the date
+    * range prunes orders at the scan. Same text both engines. */
+  val LateOrdersSql: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority ORDER BY priority"""
+
+  def sqlLateOrders(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(LateOrdersSql)
+  }
+
+  /** TPC-H Q11 shape (important-nation value): a grouped aggregate
+    * filtered against an UNCORRELATED scalar subquery over the same
+    * fact table — the global sum plans as its own one-row subplan,
+    * broadcast into the HAVING-style filter. Both sums route through
+    * DECIMAL(18,2) so the threshold comparison is exact on both
+    * engines. Same text both engines. */
+  val NationValueSql: String =
+    """SELECT n_name, value FROM (
+         SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         GROUP BY n_name) t
+       WHERE value > (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem) * 0.04
+       ORDER BY value DESC, n_name"""
+
+  def sqlNationValue(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(NationValueSql)
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): conditional aggregation —
+    * one pass computes both the CASE-gated numerator and the total, so
+    * the ratio costs a single fact⋈dim join, not two. Numerator and
+    * denominator are exact decimals cast to DOUBLE before the one
+    * double division (bit-deterministic given identical operands);
+    * no decimal-division scale rules are relied on cross-engine. */
+  val PromoShareSql: String =
+    """SELECT CAST(promo_revenue AS DOUBLE) AS promo_revenue,
+         CAST(total_revenue AS DOUBLE) AS total_revenue,
+         100.0 * CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS promo_pct
+       FROM (
+         SELECT sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-12-01') t"""
+
+  def sqlPromoShare(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(PromoShareSql)
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): COUNT
+    * DISTINCT over a NOT IN anti-join — the distinct plans as a
+    * two-level aggregate (group ∪ suppkey first, then count), so no
+    * per-group distinct set survives in memory; the NOT IN side is a
+    * broadcast null-aware anti join against the tiny supplier slice.
+    * Same text both engines. */
+  val SupplierPartsSql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  def sqlSupplierParts(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(SupplierPartsSql)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept others waiting): the
+    * hardest decorrelation in the TPC-H suite — a correlated EXISTS
+    * (another supplier on the same order) AND a correlated NOT EXISTS
+    * with a non-equi inner predicate (no LATER ship on the same order
+    * from someone else) over the same fact table, three logical scans
+    * of lineitem meeting on orderkey. Catalyst plans semi + anti joins
+    * keyed on orderkey with the inequality as residual; the per-order
+    * row groups are bounded (7 lines max), so no skew. Same text both
+    * engines. */
+  val WaitingSupplierSql: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > l1.l_shipdate)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  def sqlWaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    tpchViews(s, d); s.sql(WaitingSupplierSql)
+  }
+
   /** count(*) — reference A1 (`batch_processor.py:82`). */
   def countAll(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** JOIN-KEY SKEW audit — the diagnostic you run BEFORE choosing
+    * between the plain and the salted join (`q_join_skew_salted`):
+    * top-k hottest values of a join key with each key's share of the
+    * table and its ratio to the mean key load. One partial-aggregating
+    * groupBy to per-key counts, a TakeOrderedAndProject top-k, and a
+    * one-row broadcast of the global stats — nothing scales with the
+    * key cardinality except the count table itself. */
+  def keySkew(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val cnts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+      max(col("cnt")).as("max_cnt"))
+    cnts.orderBy(col("cnt").desc, col("l_partkey")).limit(k)
+      .crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("cnt"),
+        (col("cnt").cast(DoubleType) / col("total").cast(DoubleType)).as("share"),
+        (col("cnt").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+          col("total").cast(DoubleType)).as("skew_vs_mean"),
+        col("n_keys"), col("max_cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+  }
 
   /** Top-k by time desc, emitted ascending — the reference's composed
     * "latest 10000, ascending" semantics (`batch_processor.py:76,114`).

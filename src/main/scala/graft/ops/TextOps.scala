@@ -1003,4 +1003,42 @@ object TextOps {
         (log(col("n_tokens")) - col("sclc") / col("n_tokens"))
           .cast(DecimalType(18, 8)).cast(DoubleType).as("entropy_nats"))
       .orderBy(col("source"))
+
+  /** Top TF-IDF terms per document (smooth idf: ln((N+1)/(df+1)) + 1,
+    * the sklearn formulation) for a bounded slice of documents, with
+    * document frequencies computed over the WHOLE corpus — the
+    * standard keyword-extraction / retrieval-feature op.
+    *
+    * Join direction is the 100 TB decision: df is per-VOCABULARY-term
+    * (unbounded — never broadcast it; the SSJoin family's rule), while
+    * the tf side here is bounded by the requested doc slice, so tf
+    * broadcasts into the streaming df table. Scores quantize through
+    * DECIMAL(18,8) before ranking (BM25 precedent) so the per-doc
+    * row_number tie-break (score desc, token asc) picks identical
+    * terms on both engines. */
+  def tfidfTop(s: SparkSession, d: String, perDoc: Int = 3,
+      maxDoc: Long = 200): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val dfTok = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("doc_id") < maxDoc)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val score = (col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .cast(DecimalType(18, 8))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    dfTok.join(broadcast(tf), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"), score.as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perDoc)
+      .select(col("doc_id"), col("rnk"), col("token"),
+        col("score").cast(DoubleType).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
 }

@@ -143,4 +143,52 @@ object TimeSeries {
         }
     }
   }
+
+  /** Closed-form OLS trend per series — slope / intercept / R² of the
+    * daily mean against the epoch-day index, the linear-trend fit the
+    * reference's forecaster implies but never states.
+    *
+    * Determinism is STRUCTURAL, not probabilistic: the daily mean is
+    * held at a fixed 10⁻⁶ tick via INTEGER division (exact-decimal sum
+    * × 10⁶ `div` count — truncating integral division is bit-identical
+    * on both engines, unlike a double→decimal quantization whose
+    * shortest-repr vs binary rounding CAN split at a .5·10⁻⁸ boundary
+    * — one 'view' day hit exactly that in testing). All five moment
+    * sums are then exact integers (Σy², whose terms can pass 2⁶³,
+    * rides DECIMAL(38,0)), and the closed form evaluates one shared
+    * IEEE tree on micro-unit moments, rescaling slope/intercept by
+    * 10⁻⁶ at the end (R² is scale-invariant). Everything map-side
+    * combines; no windows, no per-series sort. */
+  def trendOls(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_micros(date_trunc("DAY", col("ts"))) / lit(86400000000L))
+          .cast(LongType).as("x"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nd"))
+      .select(col("event_type"), col("x"),
+        expr("CAST(sv * 1000000 AS BIGINT) DIV nd").as("y"))
+    val d38 = DecimalType(38, 0)
+    val g = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+    val n = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType); val sxx = col("sxx").cast(DoubleType)
+    val sy = col("sy").cast(DoubleType); val sxy = col("sxy").cast(DoubleType)
+    val syy = col("syy").cast(DoubleType)
+    val covn = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    g.select(col("event_type"), col("n").as("n_days"),
+        (covn / varx / lit(1000000.0)).as("slope"),
+        ((sy - covn / varx * sx) / n / lit(1000000.0)).as("intercept"),
+        (covn * covn / (varx * vary)).as("r2"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -119,6 +119,29 @@ object Drive {
         println(s"RUN1=$a RUN2=$b")
         spark.range(1).toDF("x")
       case "arrayEdge" => graft.ops.Scalars.arrayFunctions(spark, sfDir)
+      case "olsMoments" =>
+        // moment-parity probe for q_trend_ols: dump the five sums the
+        // closed form consumes, for eyeball diff against the oracle's m
+        // CTE (this probe caught the long×decimal(18,8) precision-loss
+        // trap — Spark drops to scale 7 past precision 38)
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val d8 = DecimalType(18, 8)
+        val daily = graft.Tables.events(spark, sfDir)
+          .select(col("event_type"),
+            (unix_micros(date_trunc("DAY", col("ts"))) / lit(86400000000L))
+              .cast(LongType).as("x"),
+            col("value").cast(DecimalType(18, 2)).as("v"))
+          .groupBy(col("event_type"), col("x"))
+          .agg((sum(col("v")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+            .as("y"))
+        daily.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast(d8)).as("sy"),
+          sum((col("x").cast(DoubleType) * col("y")).cast(d8)).as("sxy"),
+          sum((col("y") * col("y")).cast(d8)).as("syy"))
+          .orderBy(col("event_type"))
       case "frames" =>
         import org.apache.spark.sql.functions._
         graft.ops.Multimodal.frameSample(spark, sfDir)
@@ -210,7 +233,13 @@ object Drive {
           "q_embed_drift", "q_lm_perplexity", "q_join_bloom",
           "q_group_sample", "q_typed_moments", "q_typed_cogroup",
           "q_parse_variant", "q_market_macd", "q_sql_disjunctive",
-          "q_source_overlap", "q_funnel_time", "q_embed_outliers")
+          "q_source_overlap", "q_funnel_time", "q_embed_outliers",
+          "q_sql_late_orders", "q_sql_nation_value", "q_sql_promo_share",
+          "q_sql_supplier_parts", "q_sql_waiting_supplier",
+          "q_target_encode", "q_feature_hash", "q_degree_dist",
+          "q_seasonality", "q_text_tfidf",
+          "q_ab_ttest", "q_trend_ols", "q_funnel_paths", "q_lateness",
+          "q_key_skew")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

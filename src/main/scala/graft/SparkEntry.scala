@@ -44,6 +44,10 @@ object SparkEntry {
     // statistics / diagnostics wave 2: experiment t-test, OLS trend,
     // sequence paths, watermark lateness, join-key skew audit
     "q_ab_ttest"      -> ((s, d) => Drift.abTtest(s, d)),
+    "q_equidepth_bins" -> ((s, d) => Aggregates.equidepthBins(s, d)),
+    "q_skew_kurtosis"  -> ((s, d) => Aggregates.skewKurtosis(s, d)),
+    "q_gini"           -> ((s, d) => Aggregates.giniValue(s, d)),
+    "q_zipf_fit"       -> ((s, d) => TextOps.zipfFit(s, d)),
     "q_trend_ols"     -> ((s, d) => TimeSeries.trendOls(s, d)),
     "q_funnel_paths"  -> ((s, d) => Behavior.funnelPaths(s, d)),
     "q_lateness"      -> ((s, d) => Drift.latenessAudit(s, d)),
@@ -427,6 +431,79 @@ object SparkEntry {
                 FROM sc)
          SELECT doc_id, rnk, token, CAST(score AS DOUBLE) AS score
          FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // equi-depth bins: ntile is SQL-standard and tie-broken, so cell
+    // boundaries hash-compare with no percentile-interpolation parity
+    "q_equidepth_bins" ->
+      """WITH b AS (SELECT event_type, value,
+             CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bin
+           FROM events)
+         SELECT event_type, bin, count(*) AS n, min(value) AS lo, max(value) AS hi
+         FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
+    // skew/kurtosis from exact decimal power sums; 3/2 power spelled
+    // sqrt(c2*c2*c2) (pow is not cross-libm deterministic, sqrt is)
+    "q_skew_kurtosis" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS v2
+           FROM events),
+         g AS (SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v2) AS s2,
+             sum(CAST(CAST(v2 AS DECIMAL(19,4)) * v AS DECIMAL(38,6))) AS s3,
+             sum(CAST(CAST(v2 AS DECIMAL(19,4)) * CAST(v2 AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s4 FROM e GROUP BY event_type),
+         -- s3/s4 carry > 2^53 unscaled digits: DuckDB's decimal→double
+         -- double-rounds (int128→double, then /10^scale) where the JVM
+         -- rounds once; the VARCHAR hop makes the conversion a single
+         -- correctly-rounded strtod on the exact digits
+         m AS (SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM g),
+         c AS (SELECT event_type, n, mu, r2 - mu * mu AS c2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS c3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS c4 FROM m)
+         SELECT event_type, n, mu AS mean,
+           c3 / sqrt(c2 * c2 * c2) AS skewness,
+           c4 / (c2 * c2) - 3.0 AS kurtosis_excess
+         FROM c ORDER BY event_type""",
+    // Gini from the sorted-rank identity over integer cents;
+    // rank*cents products in DECIMAL(38,0) (sums pass 2^63 at 100x)
+    "q_gini" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+         r AS (SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS i FROM e),
+         g AS (SELECT event_type, count(*) AS n, sum(vc) AS sv,
+             sum(CAST(i AS DECIMAL(19,0)) * CAST(vc AS DECIMAL(19,0))) AS siv
+           FROM r GROUP BY event_type)
+         SELECT event_type, n AS n_events,
+           2.0 * CAST(siv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+         FROM g ORDER BY event_type""",
+    // Zipf fit: ln terms quantized DECIMAL(18,8), pairwise products
+    // EXACT at DECIMAL(38,16), one shared IEEE closed form
+    "q_zipf_fit" ->
+      """WITH cn AS (SELECT token, count(*) AS c FROM
+             (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+           WHERE token <> '' GROUP BY token),
+         rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r FROM cn),
+         t AS (SELECT CAST(ln(r) AS DECIMAL(18,8)) AS x, CAST(ln(c) AS DECIMAL(18,8)) AS y
+             FROM rk WHERE r <= 1000),
+         g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(CAST(x AS DECIMAL(19,8)) * CAST(x AS DECIMAL(19,8)) AS DECIMAL(38,16))) AS sxx,
+             sum(CAST(CAST(x AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)) AS DECIMAL(38,16))) AS sxy,
+             sum(CAST(CAST(y AS DECIMAL(19,8)) * CAST(y AS DECIMAL(19,8)) AS DECIMAL(38,16))) AS syy FROM t),
+         -- scale-16 sums can exceed 2^53 unscaled on a natural
+         -- vocabulary: VARCHAR hop = single correctly-rounded strtod
+         -- (the skew/kurtosis precedent)
+         m AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+             CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+             CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd FROM g),
+         f AS (SELECT n, nd * sxyd - sxd * syd AS covn,
+             nd * sxxd - sxd * sxd AS varx, nd * syyd - syd * syd AS vary FROM m)
+         SELECT n AS n_ranks, covn / varx AS slope,
+           covn * covn / (varx * vary) AS r2
+         FROM f""",
     // Welch t-test over the user-parity A/B split: decimal moments →
     // one double closed form, the same IEEE tree both engines
     "q_ab_ttest" ->

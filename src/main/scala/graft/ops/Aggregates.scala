@@ -420,4 +420,92 @@ object Aggregates {
       .select(col("check_name"), col("metric"), (col("metric") >= 1.0).as("passed"))
       .orderBy(col("check_name"))
   }
+
+  /** EQUI-DEPTH (quantile) bins per series — the complement of the
+    * equal-WIDTH [[histogram]]: every bin holds (near-)equal row
+    * count, so the bin EDGES are the data summary (where an equi-width
+    * histogram piles everything into two hot bins on skewed data).
+    * `ntile` is SQL-standard — earlier buckets absorb the remainder,
+    * and the (value, event_id) tie-break makes the assignment
+    * identical on both engines, so the n/lo/hi cells hash-compare
+    * exactly with no percentile-interpolation parity question.
+    *
+    * Shape: one per-series sort window (the ksDrift task-width
+    * caveat applies: a series too wide for one sort task drops to the
+    * chunked prefix-combine family), then a series×bins aggregate. */
+  def equidepthBins(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bin", ntile(nBins).over(w).cast(LongType))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Skewness and excess kurtosis per series from EXACT raw power
+    * sums — the shape moments completing [[metricsSummary]]'s
+    * mean/min/max and the z-score/winsorize scalers' second moment.
+    * Σv, Σv², Σv³, Σv⁴ stay decimal-exact (v has 2 decimals, so each
+    * power is a FINITE decimal: v² at scale 4, v³ at 6, v⁴ at 8 —
+    * widened before multiplying so no product exceeds precision 38,
+    * the trendOls precision-loss trap), cast to double once; the
+    * central-moment algebra then runs one shared IEEE tree, with
+    * skew's 3/2 power spelled sqrt(c2·c2·c2) — pow() is NOT
+    * correctly-rounded across libms, sqrt is. One map-side-combined
+    * aggregate; no second pass, no window. */
+  def skewKurtosis(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 2))
+    val e = Tables.events(s, d).select(col("event_type"), v.as("v"),
+      (v * v).cast(DecimalType(18, 4)).as("v2"))
+    val g = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s1"),
+      sum(col("v2")).as("s2"),
+      sum((col("v2") * col("v")).cast(DecimalType(38, 6))).as("s3"),
+      sum((col("v2") * col("v2")).cast(DecimalType(38, 8))).as("s4"))
+    val n = col("n").cast(DoubleType)
+    val m = col("s1").cast(DoubleType) / n
+    val r2 = col("s2").cast(DoubleType) / n
+    val r3 = col("s3").cast(DoubleType) / n
+    val r4 = col("s4").cast(DoubleType) / n
+    val c2 = r2 - m * m
+    val c3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+    val c4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
+      lit(3.0) * m * m * m * m
+    g.select(col("event_type"), col("n"), m.as("mean"),
+        (c3 / sqrt(c2 * c2 * c2)).as("skewness"),
+        (c4 / (c2 * c2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GINI coefficient of value concentration per series — the
+    * inequality audit (is 1% of events carrying 90% of the value?)
+    * that sizes sampling and skew-mitigation decisions, same family
+    * as [[graft.ops.Relational.keySkew]]. Formula: the sorted-rank
+    * identity G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n with values held as
+    * exact integer CENTS (rank·cents products ride DECIMAL(38,0) —
+    * their sum passes 2⁶³ at 100× fixtures). Deterministic tie-break
+    * (value, event_id) pins rank assignment; one per-series sort
+    * window (ksDrift task-width caveat), one aggregate. */
+  def giniValue(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vc"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+      .withColumn("i", row_number().over(w))
+    val g = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("vc")).as("sv"),
+      sum(col("i").cast(d38) * col("vc").cast(d38)).as("siv"))
+    val n = col("n").cast(DoubleType)
+    g.select(col("event_type"), col("n").as("n_events"),
+        (lit(2.0) * col("siv").cast(DoubleType) /
+          (n * col("sv").cast(DoubleType)) - (n + lit(1.0)) / n).as("gini"))
+      .orderBy(col("event_type"))
+  }
 }

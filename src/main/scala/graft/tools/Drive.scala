@@ -239,7 +239,8 @@ object Drive {
           "q_target_encode", "q_feature_hash", "q_degree_dist",
           "q_seasonality", "q_text_tfidf",
           "q_ab_ttest", "q_trend_ols", "q_funnel_paths", "q_lateness",
-          "q_key_skew")
+          "q_key_skew", "q_equidepth_bins", "q_skew_kurtosis", "q_gini",
+          "q_zipf_fit")
           .foreach { name =>
           println(s"===== $name")
           println(graft.SparkEntry.queries(name)(spark, sfDir)

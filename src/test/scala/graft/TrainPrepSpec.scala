@@ -236,6 +236,71 @@ class TrainPrepSpec extends SparkSpec {
       "first row must be the hottest key")
   }
 
+  test("equi-depth bins: near-equal counts, monotone edges, conservation") {
+    val rows = q("q_equidepth_bins").collect()
+    val byType = rows.groupBy(_.getString(0))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val counts = sorted.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, s"ntile balance: ${counts.toSeq}")
+      // hi of bin k <= lo of bin k+1 (edges partition the sorted order)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3))
+        case _ =>
+      }
+    }
+  }
+
+  test("skewness/kurtosis: one series recomputed exactly in plain scala") {
+    val rows = q("q_skew_kurtosis").collect()
+    val et = rows.head.getString(0)
+    val vs = Tables.events(spark, sf).filter(col("event_type") === et)
+      .select(col("value")).collect()
+      .map(r => BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val n = vs.length.toDouble
+    val m = (vs.sum.toDouble) / n
+    val r2 = vs.map(v => (v * v).toDouble).sum / n
+    val r3 = vs.map(v => (v * v * v).toDouble).sum / n
+    val r4 = vs.map(v => (v * v * v * v).toDouble).sum / n
+    val c2 = r2 - m * m
+    val skew = (r3 - 3.0 * m * r2 + 2.0 * m * m * m) / math.sqrt(c2 * c2 * c2)
+    val kurt = (r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m) / (c2 * c2) - 3.0
+    assert(math.abs(rows.head.getDouble(3) - skew) < 1e-9,
+      s"skew ${rows.head.getDouble(3)} vs $skew")
+    assert(math.abs(rows.head.getDouble(4) - kurt) < 1e-9,
+      s"kurt ${rows.head.getDouble(4)} vs $kurt")
+  }
+
+  test("gini: bounded in [0,1) and recomputed from sorted cents") {
+    val rows = q("q_gini").collect()
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    val et = rows.head.getString(0)
+    val cents = Tables.events(spark, sf).filter(col("event_type") === et)
+      .select(col("value"), col("event_id")).collect()
+      .map(r => ((BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact, r.getLong(1)))
+      .sortBy(identity).map(_._1)
+    val n = cents.length.toDouble
+    val siv = cents.zipWithIndex.map { case (v, i) => BigInt(i + 1) * v }.sum
+    val gini = 2.0 * siv.toDouble / (n * cents.map(BigInt(_)).sum.toDouble) - (n + 1.0) / n
+    assert(math.abs(rows.head.getDouble(2) - gini) < 1e-12,
+      s"gini ${rows.head.getDouble(2)} vs $gini")
+  }
+
+  test("zipf fit: rank count pinned, r2 in [0,1], flat slope on the uniform fixture") {
+    val r = q("q_zipf_fit").head
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "").distinct().count()
+    assert(r.getLong(0) == math.min(vocab, 1000L))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    // the fixture vocabulary is uniform by construction — the fit must
+    // read nearly flat (natural text would sit near -1; the deviation
+    // is the corpus-health signal)
+    assert(math.abs(r.getDouble(1)) < 0.5, s"slope ${r.getDouble(1)}")
+  }
+
   test("tfidf: ranks are 1..3 per doc, scores non-increasing, df joined unbroadcast") {
     val df = q("q_text_tfidf")
     val plan = df.queryExecution.executedPlan.toString

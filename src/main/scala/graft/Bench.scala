@@ -99,7 +99,16 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // execute the COMMITTED physical plan, not a count() on top:
+          // Catalyst's column pruning under count(1) deletes value-only
+          // aggregate expressions AND whatever feeds them (measured at
+          // gen100x: q_gini "0.38 s" under .count() vs 8.7 s for the
+          // real rank-window plan — the window's only consumers were
+          // aggregate VALUES, so the whole sort vanished from the
+          // timing). toRdd.count() runs the query exactly as a consumer
+          // of its rows would — final presentation sort included —
+          // without collecting rows to the driver.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           val sec = (System.nanoTime() - t0) / 1e9
           if (it == 1) cold(name) = sec
           if (!best.contains(name) || sec < best(name)) best(name) = sec

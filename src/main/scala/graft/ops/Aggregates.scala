@@ -318,7 +318,10 @@ object Aggregates {
     Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        // rsd 0.02 — matched to the companion check's sizing rule: HLL
+        // register state is per-group-per-partition memory (3 KB at
+        // 0.02 vs 16 KB at 0.01; see Checks.approxDistinctCheck)
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_items"))
       .orderBy(col("l_suppkey"))
 
@@ -425,20 +428,38 @@ object Aggregates {
     * equal-WIDTH [[histogram]]: every bin holds (near-)equal row
     * count, so the bin EDGES are the data summary (where an equi-width
     * histogram piles everything into two hot bins on skewed data).
-    * `ntile` is SQL-standard — earlier buckets absorb the remainder,
-    * and the (value, event_id) tie-break makes the assignment
-    * identical on both engines, so the n/lo/hi cells hash-compare
-    * exactly with no percentile-interpolation parity question.
+    * Semantics are SQL-standard `ntile` — earlier buckets absorb the
+    * remainder, (value, event_id) tie-break — so the n/lo/hi cells
+    * hash-compare exactly with no percentile-interpolation parity
+    * question (the DuckDB oracle literally runs ntile).
     *
-    * Shape: one per-series sort window (the ksDrift task-width
-    * caveat applies: a series too wide for one sort task drops to the
-    * chunked prefix-combine family), then a series×bins aggregate. */
+    * Spark-side the bucket is the CLOSED FORM of ntile over a
+    * streaming row_number + a broadcast per-series count: Spark's
+    * `ntile` window function must BUFFER the whole partition (bucket
+    * width needs the partition size), which measured 9.0 s at the 10M
+    * -row gen100x fixture versus 0.25 s for the row_number-shaped
+    * gini on the SAME sort — a 36× cliff that only widens with
+    * series width. row_number streams the sorted run, the series
+    * count is a 5-row broadcast, and integer arithmetic reproduces
+    * ntile's large-buckets-first assignment bit-for-bit
+    * (a TrainPrepSpec test pins equality against Spark's own ntile).
+    * The per-series sort task-width caveat (ksDrift) still applies. */
   def equidepthBins(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
-    Tables.events(s, d)
+    val e = Tables.events(s, d)
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("bin", ntile(nBins).over(w).cast(LongType))
+    val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("nn"))
+    // ntile's assignment in pure INTEGER arithmetic (Column./ is double
+    // division — a rounded quotient under floor() mis-bins near exact
+    // multiples once divisors pass ~2^26; DIV never does): first
+    // nn % b buckets take nn DIV b + 1 rows, the rest nn DIV b
+    e.join(broadcast(counts), "event_type")
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("bin", expr(
+        s"""CASE WHEN i <= (nn % $nBins) * (nn DIV $nBins + 1)
+            THEN (i - 1) DIV (nn DIV $nBins + 1) + 1
+            ELSE (nn % $nBins) + (i - (nn % $nBins) * (nn DIV $nBins + 1) - 1) DIV (nn DIV $nBins) + 1 END"""))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))

@@ -32,16 +32,29 @@ object Checks {
     * both, and the register-max merge is order-independent, so the
     * boolean is deterministic. `n_parts` (exact) hash-checks
     * value-for-value. */
-  def approxDistinctCheck(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_suppkey"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
-        count_distinct(col("l_partkey")).as("n_parts"))
+  /** Exact-vs-HLL++ distinct band per supplier. Two deliberate plan
+    * choices after the hardened bench exposed the first cut at 17 s:
+    * (1) exact and approx run as SEPARATE aggregates joined on the
+    * 2k-row group key — mixing count_distinct with any other aggregate
+    * plans an Expand that doubles the scan; (2) rsd 0.02, not 0.01 —
+    * HLL++ register arrays are per-GROUP per-partition state
+    * (≈16 KB/group at rsd 0.01 → gigabytes of partial-agg buffers
+    * fleet-wide; ≈3 KB at 0.02), and the band re-widened to 4σ of the
+    * looser rsd (max(2, 10%)) stays oracle-pinned TRUE with margin.
+    * The same sizing rule is the 100 TB design note: HLL precision is
+    * a per-group MEMORY knob, not a free accuracy knob. */
+  def approxDistinctCheck(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey"))
+    val exact = li.groupBy(col("l_suppkey"), col("l_partkey")).agg(Map.empty[String, String])
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    val approx = li.groupBy(col("l_suppkey"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+    exact.join(approx, "l_suppkey")
       .select(col("l_suppkey"), col("n_parts"),
         (abs(col("approx") - col("n_parts")) <=
-          greatest(lit(1.0), col("n_parts") * lit(0.05))).as("within_band"))
+          greatest(lit(2.0), col("n_parts") * lit(0.10))).as("within_band"))
       .orderBy(col("l_suppkey"))
+  }
 
   /** approx_percentile rank-error band per group. The GK sketch at
     * accuracy a guarantees the returned value is an ELEMENT whose rank

@@ -119,6 +119,62 @@ object Drive {
         println(s"RUN1=$a RUN2=$b")
         spark.range(1).toDF("x")
       case "arrayEdge" => graft.ops.Scalars.arrayFunctions(spark, sfDir)
+      case "eqdPhases" =>
+        // phase probe for q_equidepth_bins vs q_gini at scale fixtures
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        def time[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val e = graft.Tables.events(spark, sfDir)
+          .select(col("event_type"), col("value"), col("event_id"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        time("scan-only")(e.count())
+        time("window-rownum-only")(
+          e.withColumn("i", row_number().over(w)).filter(col("i") === 1).count())
+        time("window-rownum-agg")(
+          e.withColumn("i", row_number().over(w))
+            .groupBy(col("event_type")).agg(max(col("i"))).count())
+        val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("nn"))
+        time("join-window")(
+          e.join(broadcast(counts), "event_type")
+            .withColumn("i", row_number().over(w)).filter(col("i") === 1).count())
+        time("full-op")(graft.ops.Aggregates.equidepthBins(spark, sfDir).count())
+        time("full-op-again")(graft.ops.Aggregates.equidepthBins(spark, sfDir).count())
+        time("gini")(graft.ops.Aggregates.giniValue(spark, sfDir).count())
+        val joined = e.join(broadcast(counts), "event_type")
+          .withColumn("i", row_number().over(w).cast("long"))
+        time("join-window-bin-filter")(
+          joined.withColumn("bin", expr(
+            """CASE WHEN i <= (nn % 10) * (nn DIV 10 + 1)
+               THEN (i - 1) DIV (nn DIV 10 + 1) + 1
+               ELSE (nn % 10) + (i - (nn % 10) * (nn DIV 10 + 1) - 1) DIV (nn DIV 10) + 1 END"""))
+            .filter(col("bin") === 1).count())
+        time("window-agg-minmax")(
+          e.withColumn("i", row_number().over(w))
+            .groupBy(col("event_type"), col("i") % 10)
+            .agg(count(lit(1)), min(col("value")), max(col("value"))).count())
+        val eL = e.withColumn("vl", (col("value") * 100).cast("long"))
+        val wL = Window.partitionBy(col("event_type"))
+          .orderBy(col("vl"), col("event_id"))
+        time("window-long-keys")(
+          eL.withColumn("i", row_number().over(wL)).filter(col("i") === 1).count())
+        time("window-long-keys-agg")(
+          eL.withColumn("i", row_number().over(wL))
+            .groupBy(col("event_type"), col("i") % 10)
+            .agg(count(lit(1)), min(col("value")), max(col("value"))).count())
+        graft.functions.Native.register(spark)
+        val eS = e.withColumn("vs",
+          graft.functions.Native.sortableDouble(col("value") + lit(0.0)))
+        val wS = Window.partitionBy(col("event_type"))
+          .orderBy(col("vs"), col("event_id"))
+        time("window-sortable-agg")(
+          eS.withColumn("i", row_number().over(wS))
+            .groupBy(col("event_type"), col("i") % 10)
+            .agg(count(lit(1)), min(col("value")), max(col("value"))).count())
+        spark.range(1).toDF("x")
       case "olsMoments" =>
         // moment-parity probe for q_trend_ols: dump the five sums the
         // closed form consumes, for eyeball diff against the oracle's m

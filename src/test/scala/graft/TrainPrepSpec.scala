@@ -253,6 +253,25 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth closed form equals Spark's own ntile bit-for-bit") {
+    // the operator streams a row_number + integer closed form instead
+    // of ntile's whole-partition buffer (36x at gen100x); semantics
+    // must stay EXACTLY ntile's large-buckets-first assignment
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val viaNtile = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bin"))
+      .collect().toSeq
+    val viaClosedForm = q("q_equidepth_bins").collect().toSeq
+    assert(viaClosedForm == viaNtile)
+  }
+
   test("skewness/kurtosis: one series recomputed exactly in plain scala") {
     val rows = q("q_skew_kurtosis").collect()
     val et = rows.head.getString(0)

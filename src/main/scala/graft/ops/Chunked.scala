@@ -216,4 +216,58 @@ object Chunked {
       .select(outCols: _*)
     mainOut.unionByName(tinyOut)
   }
+
+  /** Exact 1-based RANK of every row within its series under
+    * (value asc, id asc) — the scalable replacement for
+    * `row_number().over(partitionBy(series).orderBy(value, id))`,
+    * which funnels each series through ONE sort task (the frames
+    * family's scale-killer, here for the RANKED window family:
+    * measured 19–21 s for gini/equi-depth at the 10M-row gen100x
+    * fixture because 5 series = 5 busy tasks on 32 cores).
+    *
+    * Mechanism (the zipWithIndex offset pattern, kept declarative):
+    *   1. `percentile_approx` per series → ≈`chunks` value boundaries
+    *      (approximate values steer BALANCE only, never correctness);
+    *   2. chunk id = count of boundaries strictly below the value —
+    *      ties share one chunk by construction, so chunk order is
+    *      consistent with (value, id) order;
+    *   3. per-(series, chunk) counts → running offsets via a window
+    *      over series×chunks METADATA rows;
+    *   4. local row_number within (series, chunk) + offset = the exact
+    *      global rank. Per-task work is one chunk's bounded sort.
+    *
+    * Series at or under `threshold` rows take the plain single-window
+    * path (the chunked plan costs two extra tiny jobs — pointless when
+    * one task handles the series comfortably); a spec forces
+    * threshold=0 and pins the chunked ranks row-identical to the plain
+    * window's. The returned frame is the input plus `i` (LongType). */
+  def seriesRanks(df: DataFrame, series: String, value: String, id: String,
+      chunks: Int = 32, threshold: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val plainW = Window.partitionBy(col(series)).orderBy(col(value), col(id))
+    // bounded driver scalar (1 row): the widest series decides the path
+    val maxN = df.groupBy(col(series)).agg(count(lit(1)).as("_nn"))
+      .agg(max(col("_nn"))).head.getLong(0)
+    if (maxN <= threshold)
+      df.withColumn("i", row_number().over(plainW).cast(LongType))
+    else {
+      val qs = (1 until chunks).map(i => i.toDouble / chunks).mkString(",")
+      val bounds = df.groupBy(col(series))
+        .agg(expr(s"percentile_approx($value, array($qs), 10000)").as("_bs"))
+      val withChunk = df.join(broadcast(bounds), series)
+        .withColumn("_ck", expr(s"size(filter(_bs, b -> b < $value))"))
+        .drop("_bs")
+      val wo = Window.partitionBy(col(series)).orderBy(col("_ck"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = withChunk.groupBy(col(series), col("_ck"))
+        .agg(count(lit(1)).as("_cn"))
+        .withColumn("_off", coalesce(sum(col("_cn")).over(wo), lit(0L)))
+        .select(col(series), col("_ck"), col("_off"))
+      val wl = Window.partitionBy(col(series), col("_ck"))
+        .orderBy(col(value), col(id))
+      withChunk.join(broadcast(offs), Seq(series, "_ck"))
+        .withColumn("i", row_number().over(wl).cast(LongType) + col("_off"))
+        .drop("_ck", "_off")
+    }
+  }
 }

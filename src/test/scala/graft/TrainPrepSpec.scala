@@ -272,6 +272,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(viaClosedForm == viaNtile)
   }
 
+  test("seriesRanks chunked path is row-identical to the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val plain = e.withColumn("i", row_number().over(w).cast("long"))
+      .select(col("event_type"), col("event_id"), col("i"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // threshold=0 forces the value-chunked prefix-offset path
+    val chunked = graft.ops.Chunked
+      .seriesRanks(e, "event_type", "value", "event_id", threshold = 0L)
+      .select(col("event_type"), col("event_id"), col("i"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked == plain)
+  }
+
   test("skewness/kurtosis: one series recomputed exactly in plain scala") {
     val rows = q("q_skew_kurtosis").collect()
     val et = rows.head.getString(0)

@@ -169,6 +169,8 @@ object TimeSeries {
       .groupBy(col("event_type"), col("x"))
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("nd"))
       .select(col("event_type"), col("x"),
+        // Spark DIV and DuckDB // both truncate toward zero (verified
+        // -7//2 = -3 in DuckDB), so the tick is sign-safe cross-engine
         expr("CAST(sv * 1000000 AS BIGINT) DIV nd").as("y"))
     val d38 = DecimalType(38, 0)
     val g = daily.groupBy(col("event_type")).agg(

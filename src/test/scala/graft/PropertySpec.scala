@@ -78,4 +78,64 @@ class PropertySpec extends AnyFunSuite {
       whole == chunked
     })
   }
+
+  /** The integer closed form of SQL ntile used by equidepthBins
+    * (Aggregates.scala): first N%b buckets take N DIV b + 1 rows, the
+    * rest N DIV b. */
+  private def ntileClosed(i: Long, n: Long, b: Long): Long = {
+    val small = n / b; val rem = n % b; val cut = rem * (small + 1)
+    if (i <= cut) (i - 1) / (small + 1) + 1
+    else rem + (i - cut - 1) / small + 1
+  }
+
+  test("property: the ntile closed form matches ntile's definition for any (N, b)") {
+    val gen = for {
+      n <- Gen.choose(1L, 5000L)
+      b <- Gen.choose(1L, 64L)
+    } yield (n, b)
+    check(forAll(gen) { case (n, b) =>
+      val bins = (1L to n).map(ntileClosed(_, n, b))
+      val sizes = bins.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val used = math.min(n, b)
+      // ntile's contract: bins are 1..min(N,b) in nondecreasing order,
+      // sizes differ by at most 1, and the LARGER buckets come first
+      bins.head == 1L && bins.last == used &&
+        bins.zip(bins.tail).forall { case (a, c) => c == a || c == a + 1 } &&
+        (sizes.values.max - sizes.values.min) <= 1 &&
+        sizes.toSeq.sortBy(_._1).map(_._2).zip(
+          sizes.toSeq.sortBy(_._1).map(_._2).tail)
+          .forall { case (a, c) => a >= c }
+    })
+  }
+
+  /** The offset recomposition at the heart of Chunked.seriesRanks: ANY
+    * order-consistent chunking (ties unsplit) + local ranks + prefix
+    * offsets must reproduce the global rank exactly. */
+  test("property: chunked local-rank + offset equals the global rank") {
+    val gen = for {
+      vals   <- Gen.listOf(Gen.choose(0, 50))     // heavy ties on purpose
+      splits <- Gen.choose(1, 8)
+    } yield (vals, splits)
+    check(forAll(gen) { case (vals, splits) =>
+      val rows = vals.zipWithIndex                 // (value, id) — unique ids
+      val sorted = rows.sortBy { case (v, id) => (v, id) }
+      val globalRank = sorted.zipWithIndex.map { case (r, k) => r -> (k + 1L) }.toMap
+      // chunk by value range boundaries (ties stay together)
+      val bounds = (1 until splits).map(k => k * 51 / splits)
+      def chunkOf(v: Int) = bounds.count(_ < v)
+      val byChunk = rows.groupBy { case (v, _) => chunkOf(v) }
+      val counts = byChunk.view.mapValues(_.size.toLong).toMap
+      val offs = {
+        var acc = 0L
+        byChunk.keys.toSeq.sorted.map { ck =>
+          val o = ck -> acc; acc += counts(ck); o
+        }.toMap
+      }
+      byChunk.forall { case (ck, rs) =>
+        rs.sortBy { case (v, id) => (v, id) }.zipWithIndex.forall {
+          case (r, k) => globalRank(r) == offs(ck) + k + 1L
+        }
+      }
+    })
+  }
 }

@@ -715,13 +715,32 @@ object Similarity {
   val SignBands   = 8
   val SignBitsPerBand = 8
 
-  private def signBandKeys: Column =
-    array((0 until SignBands).map { t =>
-      (0 until SignBitsPerBand).map { j =>
-        (col("embedding").getItem(SignBitsPerBand * t + j) >= 0)
-          .cast(IntegerType) * lit(1 << j)
-      }.reduce(_ + _)
-    }: _*)
+  /** Corpus size above which the blocker COMPOSES adjacent bands into
+    * L=4 tables of 16 bits: expected random collisions are L·n²/2^m
+    * pairs, so 8×8-bit banding is quadratic-with-a-small-constant —
+    * fine at fixture scale (measured ~3% of pairs at sf0.01), a wall
+    * at 200k uniform vectors (≈625M candidate pairs, measured 450 s).
+    * Composed 16-bit keys cut random collisions 256× while true
+    * near-dups (cos ≥ 0.99 planted copies: p_bit ≈ 0.97) still collide
+    * in ≥1 of the 4 wide bands with p ≈ 0.98. Below the threshold the
+    * 8×8 geometry is kept so driver-scale results stay bit-stable. */
+  val SignWideThreshold = 20000L
+
+  private def signBandKeys(wide: Boolean): Column =
+    if (!wide)
+      array((0 until SignBands).map { t =>
+        (0 until SignBitsPerBand).map { j =>
+          (col("embedding").getItem(SignBitsPerBand * t + j) >= 0)
+            .cast(IntegerType) * lit(1 << j)
+        }.reduce(_ + _)
+      }: _*)
+    else
+      array((0 until SignBands / 2).map { t =>
+        (0 until 2 * SignBitsPerBand).map { j =>
+          (col("embedding").getItem(2 * SignBitsPerBand * t + j) >= 0)
+            .cast(IntegerType) * lit(1 << j)
+        }.reduce(_ + _)
+      }: _*)
 
   /** Candidate pairs from sign-band LSH: explode each vector into its L
     * (band, key) bucket rows, equi-join on the bucket — a hash join over
@@ -734,7 +753,10 @@ object Similarity {
   def signBandCandidates(e: DataFrame): DataFrame = {
     val en = e.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
-    val b = en.select(col("vec_id"), posexplode(signBandKeys).as(Seq("t", "key")))
+    // bounded driver scalar (1 row): band width follows corpus size
+    val wide = en.count() > SignWideThreshold
+    val b = en.select(col("vec_id"),
+      posexplode(signBandKeys(wide)).as(Seq("t", "key")))
     val pairs = b.select(col("t"), col("key"), col("vec_id").as("id_a"))
       .join(b.select(col("t"), col("key"), col("vec_id").as("id_b")), Seq("t", "key"))
       .filter(col("id_b") > col("id_a"))
@@ -779,9 +801,21 @@ object Similarity {
     * per-cell pair work — constant). The registered query keeps the
     * default; SCALING.md measures a retuned run at 100× fixture scale. */
   def embedNearDupIvf(s: SparkSession, d: String,
-      threshold: Double = 0.4, nCells: Int = NumCentroids): DataFrame = {
+      threshold: Double = 0.4, nCells: Int = 0): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
-    val centroids = trainedCentroids(s, d, nCells)
+    // nCells = 0 means AUTO, the knnClassifyIvf sizing rule: fixed
+    // cells make Σ|cell|² quadratic in the corpus (measured 67.7 s at
+    // 200k vectors with 16 cells); √n cells bound the pair space at
+    // ~n^1.5. Below the classifier's small-fixture bound the 16-cell
+    // default keeps driver-scale results bit-stable.
+    val c =
+      if (nCells > 0) nCells
+      else {
+        val n = e.count()
+        if (n <= 4000L) NumCentroids
+        else math.min(4096L, math.round(math.sqrt(n.toDouble))).toInt
+      }
+    val centroids = trainedCentroids(s, d, c)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val assigned = assignToCentroids(e, centroids)
     assigned.select(col("c_id"), col("vec_id").as("id_a"),
@@ -996,7 +1030,12 @@ object Similarity {
       if (cells > 0) cells
       else {
         val nLab = labeled.count()
-        if (nLab <= 20000L) NumCentroids
+        // the small-fixture guard must sit BELOW the first generated
+        // decade: at 16k labeled the 16-cell regime already costs
+        // |labeled|·nProbe/16 ≈ 4k candidates/query (measured 19.7 s
+        // at gen10x under the hardened action vs ~2 s with √n cells).
+        // Driver scales hold 1.6k labeled — bit-stable either way.
+        if (nLab <= 4000L) NumCentroids
         else math.min(4096L, math.round(math.sqrt(nLab.toDouble))).toInt
       }
     val centroids = trainedCentroids(s, d, c)

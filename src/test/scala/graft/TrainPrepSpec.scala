@@ -337,6 +337,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 0.5, s"slope ${r.getDouble(1)}")
   }
 
+  test("wide sign-band blocking finds planted near-dups past the size threshold") {
+    // 21k synthetic vectors trip the >20k wide-band path (4 tables x
+    // 16 bits); 50 planted copies with tiny sign-preserving noise must
+    // all surface as candidates, and random collisions must stay ~256x
+    // below the narrow geometry's L*n^2/2^8 expectation
+    import spark.implicits._
+    graft.functions.Native.register(spark)
+    val n = 21000
+    // hash-based coordinates — sign-uniform (a sinusoid here produces
+    // long same-sign runs, hot buckets, and a quadratic candidate set)
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> " +
+        "CAST(pmod(xxhash64(id * 64 + j), 2001) - 1000 AS FLOAT))").as("embedding"))
+    val planted = spark.range(50).select((col("id") + n).as("vec_id"),
+      expr("transform(sequence(0, 63), j -> " +
+        "CAST((pmod(xxhash64(id * 64 + j), 2001) - 1000) * 1.0001 AS FLOAT))").as("embedding"))
+    val cands = graft.ops.Similarity
+      .signBandCandidates(base.unionByName(planted))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 50).foreach { i =>
+      assert(cands.contains((i.toLong, (i + n).toLong)),
+        s"planted pair ($i, ${i + n}) missed by wide banding")
+    }
+    // wide geometry: expected random collisions ≈ 4 * n^2 / 2^16 / 2
+    // ≈ 13.5k; the narrow 8-bit geometry would expect ≈ 3.4M
+    assert(cands.size < 200000, s"candidate volume ${cands.size}")
+  }
+
   test("tfidf: ranks are 1..3 per doc, scores non-increasing, df joined unbroadcast") {
     val df = q("q_text_tfidf")
     val plan = df.queryExecution.executedPlan.toString

@@ -211,18 +211,26 @@ object Behavior {
     * the (user, day) activity set — tiny metadata actions against a
     * build-once index construction. */
   private[graft] case class ActivityStats(minDay: java.sql.Timestamp,
-      nUsers: Long, dayPairRows: Long, activityRows: Long) {
+      spanDays: Long, nUsers: Long, dayPairRows: Long, activityRows: Long) {
     /** Day-keyed enumeration (Σ_day cnt² rows) beats |users|² scored
       * pairs ⇒ the output-sensitive sparse plan wins. */
     def sparse: Boolean = dayPairRows.toDouble < nUsers.toDouble * nUsers.toDouble
+    /** 64-bit words per user bitmap covering the whole day span. */
+    def spanWords: Int = ((spanDays + 63L) / 64L).toInt
+    /** Driver/broadcast footprint of the full bitmap table: one
+      * span-wide word row plus an 8-byte id and array overhead per
+      * user — the budget check for the kernel regime. */
+    def bitmapBytes: Long = nUsers * (spanWords * 8L + 24L)
   }
 
   private[graft] def activityStats(pd: DataFrame): ActivityStats = {
     val st = pd.agg(min(col("day")).as("mn"),
+      (datediff(max(col("day")), min(col("day"))) + 1).cast(LongType).as("span"),
       countDistinct(col("user_id")).as("nu")).head()
     val dc = pd.groupBy(col("day")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c")).as("ss"), sum(col("c")).as("nrows")).head()
-    ActivityStats(st.getTimestamp(0), st.getLong(1), dc.getLong(0), dc.getLong(1))
+    ActivityStats(st.getTimestamp(0), st.getLong(1), st.getLong(2),
+      dc.getLong(0), dc.getLong(1))
   }
 
   /** Blocks DERIVED from |users|, not hardcoded: B = ⌈users / 256⌉
@@ -396,14 +404,27 @@ object Behavior {
     * multiply `85 · sc` with sc ≤ n·unit must stay under 2⁶³, so
     * n ≤ 2⁶³/(85·unit) ≈ 1.08·10⁵ nodes at unit = 10¹²; each dropped
     * decimal of fixed-point scale buys one more decade of nodes
-    * (n ≈ 1.08·10⁶ at 10¹¹, …). The guard below enforces the bound at
-    * runtime instead of trusting the caller — past it, rerun with a
-    * smaller unit (and regenerate the oracle with the same constants)
-    * or switch the accumulator to Decimal. */
+    * (n ≈ 1.08·10⁶ at 10¹¹, …). The unit AUTO-SCALES by node count
+    * ([[pageRankUnitFor]]): corpora under 1.08·10⁵ nodes keep the full
+    * 10¹² — so every committed oracle reading is bit-identical — and
+    * each decade past it drops one decimal of scale instead of
+    * throwing (the static oracle SQL mirrors the full-unit regime;
+    * the scaled regime has no DuckDB-scale corpus to oracle). */
   val PageRankIters = 5
   val PageRankUnit = 1000000000000L
   /** Max node count before `85 · (total mass)` can exceed Long range. */
   def pageRankMaxNodes(unit: Long): Long = Long.MaxValue / 85L / unit
+
+  /** Largest power-of-ten unit ≤ [[PageRankUnit]] whose hub-worst-case
+    * accumulation `85 · n · unit` stays inside Long. Floor 100 keeps
+    * the 15/100 damping base integral; past ~10¹³ nodes (never — that
+    * is more users than humans) the require in [[pageRank]] still
+    * names the failure. */
+  private[graft] def pageRankUnitFor(n: Long): Long = {
+    var u = PageRankUnit
+    while (u > 100L && n > pageRankMaxNodes(u)) u /= 10L
+    u
+  }
 
   def pageRank(s: SparkSession, d: String, k: Int = 3,
       iters: Int = PageRankIters): DataFrame = {
@@ -415,18 +436,18 @@ object Behavior {
     // one tiny metadata action over the O(nodes) degree table — the
     // hub-worst-case overflow guard for the fixed-point accumulation
     val n = deg.count()
-    require(n <= pageRankMaxNodes(PageRankUnit),
-      s"pageRank fixed-point unit $PageRankUnit overflows Long past " +
-        s"${pageRankMaxNodes(PageRankUnit)} nodes (got $n); drop a decimal " +
-        "of scale (and regenerate the oracle) or accumulate in Decimal")
-    var ranks = deg.select(col("u"), lit(PageRankUnit).as("r"))
+    val unit = pageRankUnitFor(n)
+    require(n <= pageRankMaxNodes(unit),
+      s"pageRank fixed-point unit $unit overflows Long past " +
+        s"${pageRankMaxNodes(unit)} nodes (got $n); accumulate in Decimal")
+    var ranks = deg.select(col("u"), lit(unit).as("r"))
     for (_ <- 1 to iters) {
       val contrib = adj
         .join(ranks.join(deg, Seq("u")), Seq("u"))
         .select(col("v"), expr("r div deg").as("c"))
       ranks = contrib.groupBy(col("v")).agg(sum(col("c")).as("sc"))
         .select(col("v").as("u"),
-          (lit(150000000000L) + expr("(85 * sc) div 100")).as("r"))
+          (lit(unit / 100L * 15L) + expr("(85 * sc) div 100")).as("r"))
     }
     ranks.select(col("u").as("user_id"), col("r").as("rank_units"))
       .orderBy(col("user_id"))

@@ -361,6 +361,9 @@ object Aggregates {
   def profile(s: SparkSession, d: String,
       cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       : DataFrame = {
+    // an empty column list would otherwise surface as an opaque
+    // UnsupportedOperationException out of reduce below
+    require(cols.nonEmpty, "profile: need at least one column to profile")
     val li = Tables.lineitem(s, d)
     val nRows = li.agg(count(lit(1)).as("n_rows"))
     val per = cols.map { c =>

@@ -246,8 +246,11 @@ object Chunked {
     import org.apache.spark.sql.types.LongType
     val plainW = Window.partitionBy(col(series)).orderBy(col(value), col(id))
     // bounded driver scalar (1 row): the widest series decides the path
-    val maxN = df.groupBy(col(series)).agg(count(lit(1)).as("_nn"))
-      .agg(max(col("_nn"))).head.getLong(0)
+    // (max over zero groups is NULL — an empty frame ranks via the
+    // plain path rather than NPE-ing on getLong)
+    val maxRow = df.groupBy(col(series)).agg(count(lit(1)).as("_nn"))
+      .agg(max(col("_nn"))).head
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (maxN <= threshold)
       df.withColumn("i", row_number().over(plainW).cast(LongType))
     else {

@@ -172,17 +172,29 @@ object Market {
     * super-linear from 100k to 1M rows (GC-bound; the typed-moments
     * lesson in window form). Long sums are primitive and flat. The
     * emitted doubles are BIT-IDENTICAL to the decimal formulation the
-    * oracle still runs: Σcents ≤ k·10⁸ and Σcents² ≤ k·10¹⁶ stay
-    * under 2⁵³ for any real price scale, so the one division by
-    * 100.0 / 10000.0 is the same single correctly-rounded conversion
-    * of the same exact rational. */
+    * oracle still runs — WITHIN the guarded domain: exactness of the
+    * Long→Double cast needs Σcents² ≤ 2⁵³, i.e. max |price| ≤
+    * √(2⁵³/k)/100 ≈ \$212k at k=20. (The earlier claim "k·10¹⁶ < 2⁵³"
+    * was arithmetically wrong — k·10¹⁶ ≈ 2·10¹⁷ ≫ 9·10¹⁵; prices above
+    * ~\$950k would have silently lost bit-parity.) [[centsGuarded]]
+    * raises per-row past \$200k — codegen'd, zero extra pass — so
+    * divergence is loud, never silent. */
+  // exact-domain guard for the squared-cents frame sums: 20·(100·2e5)²
+  // = 8·10¹⁵ < 2⁵³ ≈ 9.007·10¹⁵. Past the bound the Long→Double cast
+  // of Σcents² rounds and bit-parity with the decimal oracle breaks,
+  // so fail the row loudly instead of diverging quietly.
+  private val centsGuarded =
+    when(abs(col("value")) > lit(200000.0), expr(
+      "raise_error(concat('integer-cents window path exact only for |price| <= 200000; got ', CAST(value AS STRING)))")
+      .cast(LongType))
+      .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
   def bollinger(s: SparkSession, d: String, k: Int = 20,
       nSigma: Double = 2.0): DataFrame = {
     val kd = lit(k.toDouble)
     Chunked.frames(
       Tables.events(s, d).select(col("event_id"), col("event_type"),
         col("ts"), col("value"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("_cx"))
+        centsGuarded.as("_cx"))
         .withColumn("_cxx", col("_cx") * col("_cx")),
       d, "event_type", "ts", "event_id", k) { w =>
       Seq(
@@ -211,7 +223,7 @@ object Market {
     Chunked.frames(
       Tables.events(s, d).select(col("event_id"), col("event_type"),
         col("ts"), col("value"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("_cx"))
+        centsGuarded.as("_cx"))
         .withColumn("_cxx", col("_cx") * col("_cx")),
       d, "event_type", "ts", "event_id", k) { w =>
       Seq(

@@ -750,11 +750,28 @@ object Similarity {
     * surviving pair moves its two vectors exactly once (at 100 TB the
     * pre-distinct duplicate factor — one copy per shared band — would
     * otherwise multiply the candidate-stage shuffle bytes). */
+  // per-corpus size cache for the band-geometry pick, keyed by the
+  // analyzed plan's semantic hash: the blocker is invoked repeatedly on
+  // the same corpus (dedup + clusters + overlap all ride it) and the
+  // eager count() job was re-paid on every call. Semantic hash keys the
+  // PLAN, so the same corpus through the same reader hits.
+  private val signCountCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
   def signBandCandidates(e: DataFrame): DataFrame = {
     val en = e.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
-    // bounded driver scalar (1 row): band width follows corpus size
-    val wide = en.count() > SignWideThreshold
+    // bounded driver scalar (1 row): band width follows corpus size.
+    // NOTE the regime switch is PROBABILISTIC above SignWideThreshold
+    // (wide bands catch a true near-dup with p ≈ 0.98, not 1.0): a
+    // corpus crossing 20k vectors changes the emitted candidate set by
+    // design — SimilaritySpec's wide-band spec pins the recall floor on
+    // planted near-dups, and the threshold is a named constant so the
+    // switch point is auditable.
+    val n = signCountCache.computeIfAbsent(
+      e.queryExecution.analyzed.semanticHash(),
+      _ => java.lang.Long.valueOf(en.count()))
+    val wide = n > SignWideThreshold
     val b = en.select(col("vec_id"),
       posexplode(signBandKeys(wide)).as(Seq("t", "key")))
     val pairs = b.select(col("t"), col("key"), col("vec_id").as("id_a"))

@@ -15,6 +15,28 @@ import org.apache.spark.sql.streaming.DataStreamReader
   */
 object Sinks {
 
+  /** The Kafka source option surface as PURE DATA: the exact keys Spark's
+    * kafka-0-10 connector documents. Both the production reader
+    * ([[kafkaReader]], [[graft.sources.KafkaTickSource]]) and
+    * TransportSpec consume THIS map, so a wiring typo (the class of bug
+    * a compile can't catch on stringly-typed options) fails the spec,
+    * not the first production deployment. */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+      startingOffsets: String = "latest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** The JDBC option surface as pure data — same contract as
+    * [[kafkaSourceOptions]]. `dbtable` carries either a bare table name
+    * (sink append) or a pushdown subquery (source top-k). */
+  def jdbcOptions(url: String, dbtable: String,
+      user: String, password: String): Map[String, String] = Map(
+    "url" -> url,
+    "dbtable" -> dbtable,
+    "user" -> user,
+    "password" -> password)
+
   /** S2 stand-in used by the streaming pipeline: append-mode parquet
     * "raw tick table" (same append-only, at-least-once semantics as the
     * reference's JDBC append). */
@@ -51,10 +73,7 @@ object Sinks {
   def jdbcAppend(df: DataFrame, url: String, table: String,
       user: String, password: String): Unit =
     df.write.format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("user", user)
-      .option("password", password)
+      .options(jdbcOptions(url, table, user, password))
       .mode("append")
       .save()
 
@@ -66,22 +85,22 @@ object Sinks {
     * the streaming pipeline does with its file-source stand-in. */
   def kafkaReader(s: SparkSession, bootstrap: String, topic: String): DataStreamReader =
     s.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
+      .options(kafkaSourceOptions(bootstrap, topic))
 
   /** S3 — the reference's manual JDBC pushdown subquery
     * (`batch_processor.py:72-79`): sort+limit executed inside the
     * database. Kept for API parity; on parquet the same plan shape comes
     * from `orderBy(desc).limit(n)` via Catalyst's TakeOrderedAndProject
     * (see ops.Relational.orderByLimit). */
+  /** The pushdown subquery [[jdbcTopK]] sends as `dbtable` — exposed so
+    * the spec can pin its shape against `batch_processor.py:72-79`. */
+  def jdbcTopKSubquery(table: String, tsCol: String, limit: Int): String =
+    s"(SELECT * FROM $table ORDER BY $tsCol DESC LIMIT $limit) AS tmp"
+
   def jdbcTopK(s: SparkSession, url: String, table: String, tsCol: String,
       limit: Int, user: String, password: String): DataFrame =
     s.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable",
-        s"(SELECT * FROM $table ORDER BY $tsCol DESC LIMIT $limit) AS tmp")
-      .option("user", user)
-      .option("password", password)
+      .options(jdbcOptions(url, jdbcTopKSubquery(table, tsCol, limit),
+        user, password))
       .load()
 }

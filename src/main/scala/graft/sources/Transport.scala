@@ -49,9 +49,7 @@ final case class KafkaTickSource(bootstrap: String, topic: String,
     startingOffsets: String = "latest") extends TickSource {
   def read(s: SparkSession): DataFrame =
     s.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(Sinks.kafkaSourceOptions(bootstrap, topic, startingOffsets))
       .load()
       .select(from_json(col("value").cast(StringType),
         graft.Tables.eventsSchema).as("e"))

@@ -201,7 +201,7 @@ object Bench {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
       val body =
         s"""{
-           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpus,"iters":$iters},
+           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":"$cpus","iters":$iters},
            |"probe":$probe,
            |"warm":$qs,
            |"cold":$colds,

@@ -179,22 +179,29 @@ object Market {
     * ~\$950k would have silently lost bit-parity.) [[centsGuarded]]
     * raises per-row past \$200k — codegen'd, zero extra pass — so
     * divergence is loud, never silent. */
-  // exact-domain guard for the squared-cents frame sums: 20·(100·2e5)²
-  // = 8·10¹⁵ < 2⁵³ ≈ 9.007·10¹⁵. Past the bound the Long→Double cast
-  // of Σcents² rounds and bit-parity with the decimal oracle breaks,
-  // so fail the row loudly instead of diverging quietly.
-  private val centsGuarded =
-    when(abs(col("value")) > lit(200000.0), expr(
-      "raise_error(concat('integer-cents window path exact only for |price| <= 200000; got ', CAST(value AS STRING)))")
+  // exact-domain guard for the squared-cents frame sums, derived PER
+  // WINDOW LENGTH: exactness of the Long→Double cast of Σcents² needs
+  // k·(100·|price|)² ≤ 2⁵³, i.e. |price| ≤ √(2⁵³/k)/100 (≈ $212k at
+  // k=20, ≈ $95k at k=100 — a fixed $200k bound would have silently
+  // broken bit-parity for public k > ~22). Past the derived bound the
+  // row fails loudly instead of diverging quietly; codegen'd, zero
+  // extra pass.
+  private[graft] def centsExactBound(k: Int): Double =
+    math.floor(math.sqrt(math.pow(2.0, 53) / k) / 100.0)
+  private[graft] def centsGuarded(k: Int) = {
+    val bound = centsExactBound(k)
+    when(abs(col("value")) > lit(bound), expr(
+      s"raise_error(concat('integer-cents window path exact only for |price| <= $bound at k=$k; got ', CAST(value AS STRING)))")
       .cast(LongType))
       .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+  }
   def bollinger(s: SparkSession, d: String, k: Int = 20,
       nSigma: Double = 2.0): DataFrame = {
     val kd = lit(k.toDouble)
     Chunked.frames(
       Tables.events(s, d).select(col("event_id"), col("event_type"),
         col("ts"), col("value"),
-        centsGuarded.as("_cx"))
+        centsGuarded(k).as("_cx"))
         .withColumn("_cxx", col("_cx") * col("_cx")),
       d, "event_type", "ts", "event_id", k) { w =>
       Seq(
@@ -223,7 +230,7 @@ object Market {
     Chunked.frames(
       Tables.events(s, d).select(col("event_id"), col("event_type"),
         col("ts"), col("value"),
-        centsGuarded.as("_cx"))
+        centsGuarded(k).as("_cx"))
         .withColumn("_cxx", col("_cx") * col("_cx")),
       d, "event_type", "ts", "event_id", k) { w =>
       Seq(

@@ -750,13 +750,19 @@ object Similarity {
     * surviving pair moves its two vectors exactly once (at 100 TB the
     * pre-distinct duplicate factor — one copy per shared band — would
     * otherwise multiply the candidate-stage shuffle bytes). */
-  // per-corpus size cache for the band-geometry pick, keyed by the
-  // analyzed plan's semantic hash: the blocker is invoked repeatedly on
-  // the same corpus (dedup + clusters + overlap all ride it) and the
-  // eager count() job was re-paid on every call. Semantic hash keys the
-  // PLAN, so the same corpus through the same reader hits.
+  // per-corpus size cache for the band-geometry pick: the blocker is
+  // invoked repeatedly on the same corpus (dedup + clusters + overlap
+  // all ride it) and the eager count() job was re-paid on every call.
+  // The key is the analyzed plan's semantic hash COMBINED with the
+  // plan's input-file listing — a parquet rewrite/append under the same
+  // root path changes the file set (part files carry fresh UUIDs), so
+  // stale counts can't survive a data refresh, and the file-path string
+  // makes an Int semanticHash collision between unrelated plans
+  // harmless. Bounded: cleared past 64 corpora (band geometry is a
+  // per-corpus scalar; re-counting after eviction is correct, just one
+  // extra job).
   private val signCountCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
 
   def signBandCandidates(e: DataFrame): DataFrame = {
     val en = e.select(col("vec_id"), col("embedding"),
@@ -768,9 +774,11 @@ object Similarity {
     // design — SimilaritySpec's wide-band spec pins the recall floor on
     // planted near-dups, and the threshold is a named constant so the
     // switch point is auditable.
-    val n = signCountCache.computeIfAbsent(
-      e.queryExecution.analyzed.semanticHash(),
-      _ => java.lang.Long.valueOf(en.count()))
+    if (signCountCache.size > 64) signCountCache.clear()
+    val cacheKey = (e.queryExecution.analyzed.semanticHash(),
+      e.inputFiles.sorted.mkString(" "))
+    val n = signCountCache.computeIfAbsent(cacheKey,
+      (_: (Int, String)) => java.lang.Long.valueOf(en.count()))
     val wide = n > SignWideThreshold
     val b = en.select(col("vec_id"),
       posexplode(signBandKeys(wide)).as(Seq("t", "key")))

@@ -140,6 +140,28 @@ class MarketSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one band exit")
   }
 
+  test("cents guard bound is k-derived: exact domain shrinks as the window grows") {
+    // exactness needs k·(100·|price|)² ≤ 2⁵³ — the bound must follow k,
+    // not sit at a fixed $200k (k=100 with prices near $200k would put
+    // Σcents² ≈ 4e16 > 2⁵³ and silently break decimal-oracle parity)
+    assert(Market.centsExactBound(20) == 212216.0)
+    assert(Market.centsExactBound(100) < 200000.0)
+    (1 to 512).foreach { k =>
+      val b = Market.centsExactBound(k)
+      assert(k.toDouble * math.pow(100.0 * b, 2) <= math.pow(2.0, 53))
+    }
+    // the guard raises per-row past the derived bound and passes below it
+    import spark.implicits._
+    val under = Seq(Market.centsExactBound(100) - 1.0).toDF("value")
+      .select(Market.centsGuarded(100).as("c")).head.getLong(0)
+    assert(under > 0L)
+    val e = intercept[Exception] {
+      Seq(Market.centsExactBound(100) + 1.0).toDF("value")
+        .select(Market.centsGuarded(100).as("c")).collect()
+    }
+    assert(e.getMessage.contains("integer-cents"), e.getMessage)
+  }
+
   test("EWMA: weights normalize to 1; one row equals the hand fold over its window") {
     val ws = Market.ewmaWeights(10)
     assert(math.abs(ws.sum - 1.0) < 1e-12)

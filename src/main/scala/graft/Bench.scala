@@ -50,6 +50,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      // the default 100-entry codegen class cache is smaller than one
+      // suite iteration (217 plans × several codegen units), so the
+      // "warm" pass would re-Janino-compile every query's generated code
+      // after LRU eviction; sized to hold the whole suite
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
@@ -199,9 +204,16 @@ object Bench {
     // file, pretty-enough to diff and small enough to keep at HEAD.
     try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+      // cpus is numeric in rounds 1-9's artifacts; keep the number type
+      // when the value is numeric and quote only non-numeric forms like
+      // '*' (the round-10 quoting fixed invalid JSON but silently changed
+      // the schema for every consumer parsing cpus as an int)
+      val cpusJson =
+        if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus
+        else "\"" + jsonEscape(cpus) + "\""
       val body =
         s"""{
-           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":"$cpus","iters":$iters},
+           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$iters},
            |"probe":$probe,
            |"warm":$qs,
            |"cold":$colds,

@@ -13,8 +13,55 @@ import org.apache.spark.sql.types._
   * column projection and predicate pushdown reach the parquet reader.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** LOGICAL-PLAN memo for the table loaders. `spark.read.parquet` is not
+    * free on the driver: every call re-lists the path and re-reads parquet
+    * footers for the schema (~40-50 ms measured via tools/Profile at
+    * sf0.1), and the 217-query bench calls the loaders 300+ times — ~15 s
+    * of pure duplicated driver work per iteration. A DataFrame is an
+    * immutable logical plan, so handing the SAME plan object to every
+    * query is semantically identical to re-reading; each query still
+    * plans/prunes/executes its own tree on top. Nothing row-level is
+    * cached — this is driver metadata reuse, which a long-lived production
+    * session gets for free from its catalog, and is scale-neutral (at
+    * 100 TB the listing is *more* expensive, so reusing it matters more).
+    *
+    * Keying: (sessionUUID, path, dir-mtime). The session key keeps plans
+    * from leaking across the many short-lived test sessions (a Dataset is
+    * bound to the session that built it); the mtime key makes an
+    * overwrite-in-place of a generated fixture invalidate the entry (the
+    * file-listing snapshot inside the plan would otherwise go stale).
+    * Bounded LRU so dead sessions' entries age out. */
+  private val planCache =
+    new java.util.LinkedHashMap[(String, String, Long), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Long), DataFrame]): Boolean =
+        size > 64
+    }
+
+  private def cached(spark: SparkSession, path: String, variant: String = "")(
+      build: => DataFrame): DataFrame = {
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    // per-session tag via the session-scoped SQLConf (public API; each
+    // SparkSession carries its own conf even under a shared context)
+    val tag = spark.conf.getOption("graft.session.tag").getOrElse {
+      val t = java.util.UUID.randomUUID().toString
+      spark.conf.set("graft.session.tag", t); t
+    }
+    val key = (tag, path + variant, mtime)
+    planCache.synchronized {
+      val hit = planCache.get(key)
+      if (hit != null) hit
+      else { val df = build; planCache.put(key, df); df }
+    }
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"$sfDir/$name.parquet"
+    cached(spark, p)(spark.read.parquet(p))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
@@ -41,11 +88,12 @@ object Tables {
     *
     * Anything else (string, int32 days, …) fails loudly with the observed
     * dtype rather than producing silently-wrong timestamps. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    normalizeTs(raw)
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cached(s, s"$d/events.parquet", variant = "#normalized") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      normalizeTs(raw)
+    }
 
   /** ts-dtype branch shared by the batch loader and the stream prestage. */
   def normalizeTs(df: DataFrame): DataFrame =

@@ -726,6 +726,14 @@ object Similarity {
     * 8×8 geometry is kept so driver-scale results stay bit-stable. */
   val SignWideThreshold = 20000L
 
+  /** Exact-kNN broadcast budget: above this many labeled rows
+    * [[knnClassify]] routes itself to [[knnClassifyIvf]]. 100k rows of
+    * 64-float embeddings ≈ 30 MB broadcast (the classic 8 GB-executor
+    * comfort bound) and |q|·|labeled| pair counts beyond it put the NL
+    * join in the documented non-completing regime (SCALING.md: 6.4e9
+    * pairs at 200k labeled). */
+  val KnnExactMaxLabeled = 100000L
+
   private def signBandKeys(wide: Boolean): Column =
     if (!wide)
       array((0 until SignBands).map { t =>
@@ -753,16 +761,34 @@ object Similarity {
   // per-corpus size cache for the band-geometry pick: the blocker is
   // invoked repeatedly on the same corpus (dedup + clusters + overlap
   // all ride it) and the eager count() job was re-paid on every call.
-  // The key is the analyzed plan's semantic hash COMBINED with the
-  // plan's input-file listing — a parquet rewrite/append under the same
-  // root path changes the file set (part files carry fresh UUIDs), so
-  // stale counts can't survive a data refresh, and the file-path string
+  // The key is the analyzed plan's semantic hash COMBINED with a HASH of
+  // the plan's input-file listing — a parquet rewrite/append under the
+  // same root path changes the file set (part files carry fresh UUIDs),
+  // so stale counts can't survive a data refresh, and the file-list hash
   // makes an Int semanticHash collision between unrelated plans
-  // harmless. Bounded: cleared past 64 corpora (band geometry is a
-  // per-corpus scalar; re-counting after eviction is correct, just one
-  // extra job).
+  // harmless. Hashing (MurmurHash3.orderedHash over the sorted paths)
+  // rather than retaining the joined listing keeps the 64 retained keys
+  // O(bytes) even for a 100 TB corpus's million-file listing, and
+  // sidesteps separator ambiguity entirely. Bounded: one arbitrary entry
+  // evicted past 64 corpora (band geometry is a per-corpus scalar;
+  // re-counting after eviction is correct, just one extra job).
   private val signCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Long]()
+
+  /** Freshness-keyed cardinality: count() the frame once per (plan,
+    * input-file-set) and serve repeats from the bounded cache — the
+    * regime pickers (band geometry, exact-vs-IVF kNN routing) each need
+    * one scalar per corpus and are invoked per query. */
+  private def cachedCount(df: DataFrame): Long = {
+    if (signCountCache.size > 64) {
+      val it = signCountCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    val key = (df.queryExecution.analyzed.semanticHash(),
+      scala.util.hashing.MurmurHash3.orderedHash(df.inputFiles.sorted.toSeq))
+    signCountCache.computeIfAbsent(key,
+      (_: (Int, Int)) => java.lang.Long.valueOf(df.count())).longValue()
+  }
 
   def signBandCandidates(e: DataFrame): DataFrame = {
     val en = e.select(col("vec_id"), col("embedding"),
@@ -774,11 +800,7 @@ object Similarity {
     // design — SimilaritySpec's wide-band spec pins the recall floor on
     // planted near-dups, and the threshold is a named constant so the
     // switch point is auditable.
-    if (signCountCache.size > 64) signCountCache.clear()
-    val cacheKey = (e.queryExecution.analyzed.semanticHash(),
-      e.inputFiles.sorted.mkString(" "))
-    val n = signCountCache.computeIfAbsent(cacheKey,
-      (_: (Int, String)) => java.lang.Long.valueOf(en.count()))
+    val n = cachedCount(e)
     val wide = n > SignWideThreshold
     val b = en.select(col("vec_id"),
       posexplode(signBandKeys(wide)).as(Seq("t", "key")))
@@ -973,9 +995,24 @@ object Similarity {
     * broadcastable seed set, [[knnClassifyIvf]] is the scale path —
     * same vote pipeline over IVF-probed cells only. */
   def knnClassify(s: SparkSession, d: String, k: Int = 10,
-      holdoutMod: Int = 5): DataFrame = {
+      holdoutMod: Int = 5,
+      maxExactLabeled: Long = KnnExactMaxLabeled): DataFrame = {
     import graft.functions.Native
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    // SELF-ROUTING past the broadcast regime: the exact all-pairs plan
+    // below is |q|·|labeled| scoring work behind a broadcast of the whole
+    // labeled side — correct and fastest while the seed set is genuinely
+    // small, a documented non-completer at 200k labeled (SCALING.md:
+    // 6.4e9 pairs). The API must not be able to launch that by accident,
+    // so the labeled cardinality (one column-pruned count, cached per
+    // corpus by the same freshness-keyed cache the band blocker uses)
+    // picks the plan: past KnnExactMaxLabeled rows the call degrades
+    // GRACEFULLY to the IVF-probed path — same vote pipeline, candidates
+    // bounded per query — instead of hanging the cluster.
+    val nLab = cachedCount(e.filter(col("vec_id") % holdoutMod =!= 0)
+      .select(col("vec_id")))
+    if (nLab > maxExactLabeled)
+      return knnClassifyIvf(s, d, k, holdoutMod)
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("label").as("n_label"))

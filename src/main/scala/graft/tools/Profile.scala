@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Per-query overhead profiler for the bench floor: mirrors Bench's
   * session config bit-for-bit, then for each named query splits the
@@ -25,9 +26,18 @@ object Profile {
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROFILE_ITERS", "3").toInt
+    // scan-split geometry knobs for the floor A/B: openCostInBytes caps
+    // effective scan parallelism on small fixtures (maxSplitBytes =
+    // min(maxPartitionBytes, max(openCost, bytesPerCore)); an 11 MB
+    // lineitem under the 4 MB default packs into ~3 splits on 32 cores)
+    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304")
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.files.openCostInBytes", openCost)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
@@ -37,12 +47,12 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.lineitem(spark, sfDir).count()
     graft.Tables.events(spark, sfDir).count()
-    try graft.streaming.Pipeline.prestage(spark, sfDir) catch { case _: Throwable => }
-    try graft.streaming.Pipeline.prestageOrdered(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Relational.partitionedEventsDir(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Relational.jsonlEventsDir(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Relational.evolvedEventsDirs(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Joins.bucketedTables(spark, sfDir) catch { case _: Throwable => }
+    try graft.streaming.Pipeline.prestage(spark, sfDir) catch { case NonFatal(_) => }
+    try graft.streaming.Pipeline.prestageOrdered(spark, sfDir) catch { case NonFatal(_) => }
+    try graft.ops.Relational.partitionedEventsDir(spark, sfDir) catch { case NonFatal(_) => }
+    try graft.ops.Relational.jsonlEventsDir(spark, sfDir) catch { case NonFatal(_) => }
+    try graft.ops.Relational.evolvedEventsDirs(spark, sfDir) catch { case NonFatal(_) => }
+    try graft.ops.Joins.bucketedTables(spark, sfDir) catch { case NonFatal(_) => }
 
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

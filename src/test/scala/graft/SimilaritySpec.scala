@@ -237,6 +237,44 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Boolean]("coverage_ok"))
   }
 
+  test("kNN self-routing: labeled count past the budget degrades to the IVF plan") {
+    // Force BOTH regimes on the fixture via the injectable budget. The
+    // default budget keeps the fixture (1.6k labeled) on the exact
+    // all-pairs plan — pinned by the all-pairs-reference test above —
+    // and a budget below the labeled count must re-route to EXACTLY the
+    // knnClassifyIvf result (same k, same holdout, default probes), so
+    // the exact API can never launch the unbounded NL join at scale.
+    val k = 10
+    val routed = Similarity.knnClassify(spark, sf, k, 5, maxExactLabeled = 100L)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getAs[Long]("votes"))).toSeq
+    val ivf = Similarity.knnClassifyIvf(spark, sf, k, 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getAs[Long]("votes"))).toSeq
+    assert(routed.nonEmpty)
+    assert(routed == ivf)
+    // and the exact regime (default budget) differs from a degenerate
+    // empty answer AND carries every holdout query — the regime switch
+    // is observable but both sides answer the same query set
+    val exact = Similarity.knnClassify(spark, sf, k, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(exact == routed.map(_._1).toSet)
+    // covered-query agreement, same floor as the oracled companion
+    // (Checks.knnIvfCheck agreeFloor = 0.25): fixture labels are random,
+    // so absolute agreement is inherently modest — the pin is that the
+    // pruned plan stays correlated with the exact one (measured 0.40 on
+    // the fixture) rather than an independent classifier
+    val exactPred = Similarity.knnClassify(spark, sf, k, 5).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pred_label")).toMap
+    val covered = routed.collect { case (id, Some(p), _) => id -> p }
+    val agree = covered.count { case (id, p) => exactPred(id) == p }
+    assert(covered.nonEmpty)
+    assert(agree.toDouble / covered.size >= 0.3,
+      s"covered-query agreement ${agree}/${covered.size} below 0.3")
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   * in the "errors" map. */
 object Bench {
 
+  /** Synthetic bench line for the 13-query concurrent streaming drain
+    * group — paid once per iteration, reported under its own name so no
+    * individual streaming query absorbs the shared machinery cost. */
+  private[graft] val DrainLine = "stream_drain_group"
+
   /** Pull the numeric mean_ms out of the stream-panel JSON fragment for
     * the short summary line. Pure and unit-tested (BenchFormatSpec):
     * the summary line is the artifact the driver machine-parses when
@@ -100,6 +105,23 @@ object Bench {
       // per iteration, carried by whichever consumer runs first
       graft.ops.Predict.resetGruDirs()
       graft.ops.Predict.resetLstmDirs()
+      // Pay the 13-query concurrent drain group ONCE, as its own timed
+      // line — previously the alphabetically-first consumer
+      // (q_event_window) silently absorbed the whole group's cost,
+      // flattering the other 12 members and making its own number
+      // unattributable noise. Full-suite runs only: a subset run keeps
+      // first-consumer-pays so non-streaming subsets never pay a drain.
+      if (only.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          graft.streaming.Pipeline.drainGroup(spark, sfDir)
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (it == 1) cold(DrainLine) = sec
+          if (!best.contains(DrainLine) || sec < best(DrainLine)) best(DrainLine) = sec
+        } catch { case e: Throwable =>
+          errors(DrainLine) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        }
+      }
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -124,16 +146,17 @@ object Bench {
       }
     }
     // a query that failed every iteration is loud: -1 timing + errors entry
-    val results = names.map(n => n -> best.getOrElse(n, -1.0))
+    val outNames = if (only.isEmpty) DrainLine +: names else names
+    val results = outNames.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val colds = names.map(n => "\"" + n + "\":" + cold.getOrElse(n, -1.0))
+    val colds = outNames.map(n => "\"" + n + "\":" + cold.getOrElse(n, -1.0))
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val coldTotal = names.flatMap(cold.get).filter(_ >= 0).sum
+    val coldTotal = outNames.flatMap(cold.get).filter(_ >= 0).sum
     // like-for-like against BASELINE.md's stream panel (18–41 ms/batch,
     // ~100 batches of ~10 rows): an uncontended solo drain doing the
     // reference's per-batch work, summarized off the query listener

@@ -134,6 +134,82 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection cardinality of two SORTED, DISTINCT arrays of
+  * struct(h: long, t: string) by the same two-pointer walk as
+  * [[SortedIntersectCount]], comparing the hash first and the string
+  * only on hash ties — EXACT set intersection (collisions fall through
+  * to the byte-wise string compare) at long-compare speed for the
+  * non-colliding 1-2^-64 of steps. Built for the SSJoin verify leg:
+  * `size(array_intersect(tk_a, tk_b))` allocates and probes a hash set
+  * per evaluation — and Catalyst pushes the Jaccard threshold into the
+  * join condition, so each candidate pair pays that three times — while
+  * this walk is allocation-free and rides the hash-ordered token
+  * structs the prefix filter already materializes. Callers own the
+  * sorted-distinct precondition (array_sort over (xxhash64(t), t));
+  * element order inside each struct must be (h, t). Spark's default
+  * string ordering is the same byte-wise UTF8String compare used here,
+  * so the walk's order agrees with array_sort's. */
+case class SortedStructIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xs = x.getStruct(i, 2); val ys = y.getStruct(j, 2)
+      val xh = xs.getLong(0); val yh = ys.getLong(0)
+      if (xh < yh) i += 1
+      else if (xh > yh) j += 1
+      else {
+        val cmp = xs.getUTF8String(1).binaryCompare(ys.getUTF8String(1))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val xh = ctx.freshName("xh")
+      val yh = ctx.freshName("yh")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  org.apache.spark.sql.catalyst.InternalRow $xs = $x.getStruct($i, 2);
+         |  org.apache.spark.sql.catalyst.InternalRow $ys = $y.getStruct($j, 2);
+         |  long $xh = $xs.getLong(0);
+         |  long $yh = $ys.getLong(0);
+         |  if ($xh < $yh) { $i++; }
+         |  else if ($xh > $yh) { $j++; }
+         |  else {
+         |    int $cmp = $xs.getUTF8String(1).binaryCompare($ys.getUTF8String(1));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedStructIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** 64-bit polynomial rolling hash of a string's UTF-8 bytes:
   * h = Σ byte_i · B^(n−1−i) (wrapping mod 2^64). The classic cheap
   * content fingerprint — one multiply-add per byte, codegen'd. */
@@ -238,6 +314,7 @@ object Native {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "graft_sorted_struct_intersect" -> (exprs => SortedStructIntersectCount(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
     "graft_sortable_double" -> (exprs => DoubleSortableLong(exprs.head)),
@@ -263,6 +340,11 @@ object Native {
   /** |a ∩ b| for sorted distinct long arrays (see [[SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
+
+  /** |a ∩ b| for sorted distinct (h: long, t: string) struct arrays
+    * (see [[SortedStructIntersectCount]]). */
+  def sortedStructIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_struct_intersect", a, b)
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
 

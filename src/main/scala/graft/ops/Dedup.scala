@@ -502,13 +502,23 @@ object Dedup {
         col("n_b") * tDen >= col("n_a") * tNum &&
         col("n_a") * tDen >= col("n_b") * tNum)
       .select(col("id_a"), col("id_b")).distinct()
+    // verify rides the hash-ordered token structs the prefix filter
+    // already materialized: the two-pointer SortedStructIntersectCount
+    // is exact (string compare on hash ties) and allocation-free, where
+    // size(array_intersect(...)) built a hash set per evaluation — and
+    // Catalyst pushes the Jaccard filter into the join condition, so
+    // each candidate pair paid that three times (measured 4.8 s → see
+    // bench; the intersect was the whole verify cost at 184k candidates)
+    graft.functions.Native.register(s)
     val verify = cands
-      .join(docs.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), Seq("id_b"))
+      .join(docs.select(col("doc_id").as("id_a"), col("st").as("st_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("st").as("st_b"),
+        col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("tk_a"), col("tk_b"))).cast(LongType).as("n_common"),
-        size(col("tk_a")).cast(LongType).as("n_a"),
-        size(col("tk_b")).cast(LongType).as("n_b"))
+        graft.functions.Native.sortedStructIntersectCount(
+          col("st_a"), col("st_b")).as("n_common"),
+        col("n_a"), col("n_b"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
     verify
       .filter(col("n_common") * tDen >= col("n_union") * tNum)

@@ -85,6 +85,46 @@ object Drive {
           .orderBy(col("id_a")).count())
         println(proj.queryExecution.executedPlan.toString.take(4000))
         spark.range(1).toDF("x")
+      case "simjoinPhases" =>
+        // tuning probe for the SSJoin: candidate volume + per-phase wall
+        import org.apache.spark.sql.functions._
+        def time[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val docs = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"),
+            array_distinct(graft.ops.TextOps.tokens(col("text"))).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), col("source"), col("tk"),
+            size(col("tk")).cast("long").as("n"),
+            array_sort(transform(col("tk"),
+              t => struct(xxhash64(t).as("h"), t.as("t")))).as("st"))
+          .localCheckpoint(true)
+        println("docs=" + docs.count())
+        println("avg_tokens=" + docs.agg(avg(col("n"))).head().getDouble(0))
+        val tNum = 9; val tDen = 10
+        val ceilTn = floor((lit(tNum.toLong) * col("n") + (tDen - 1)) / lit(tDen))
+        val prefLen = (col("n") - ceilTn + 1).cast("int")
+        val pref = docs.select(col("doc_id"), col("source"), col("n"),
+          explode(slice(col("st"), lit(1), prefLen)).as("p"))
+          .select(col("doc_id"), col("source"), col("n"), col("p.t").as("token"))
+        time("prefix-postings")(println("postings=" + pref.count()))
+        val cands = pref.select(col("source"), col("token"),
+            col("doc_id").as("id_a"), col("n").as("n_a"))
+          .join(pref.select(col("source"), col("token"),
+            col("doc_id").as("id_b"), col("n").as("n_b")),
+            Seq("source", "token"))
+          .filter(col("id_a") < col("id_b") &&
+            col("n_b") * tDen >= col("n_a") * tNum &&
+            col("n_a") * tDen >= col("n_b") * tNum)
+        time("raw-cands")(println("raw=" + cands.count()))
+        val dd = cands.select(col("id_a"), col("id_b")).distinct()
+          .localCheckpoint(true)
+        time("distinct-pairs")(println("pairs=" + dd.count()))
+        time("full-query")(
+          println("final=" + graft.ops.Dedup.prefixSimJoin(spark, sfDir).count()))
+        spark.range(1).toDF("x")
       case "pqRecall" =>
         // tuning probe for the PQ/IVFPQ rerank pool and probe width:
         // recall@k vs the exact brute force at several operating points
@@ -100,7 +140,8 @@ object Drive {
           println(f"PQ pool=$pool%2d recall=${hit.toDouble / nTrue}%.3f " +
             f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
-        for ((nProbe, pool) <- Seq((4, 4), (4, 16), (4, 32), (6, 32), (8, 32))) {
+        for ((nProbe, pool) <- Seq((4, 4), (4, 16), (4, 32), (6, 32), (8, 32),
+            (8, 64), (10, 32), (10, 64), (12, 64))) {
           val t0 = System.nanoTime()
           val c = graft.ops.Similarity.ivfPqTopK(spark, sfDir,
             nProbe = nProbe, pool = pool).select(col("q_id"), col("n_id"))

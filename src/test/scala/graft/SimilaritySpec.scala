@@ -362,7 +362,7 @@ class SimilaritySpec extends SparkSpec {
     val probedOf = qEmb.map { case (qid, emb) =>
       val qd = emb.map(_.toDouble)
       qid -> centRows.map { case (cid, c) => (cos(qd, c), cid) }
-        .sortBy { case (c, id) => (-c, id) }.take(4).map(_._2).toSet
+        .sortBy { case (c, id) => (-c, id) }.take(8).map(_._2).toSet
     }
     rows.foreach { r =>
       val qid = r.getLong(0); val nid = r.getLong(2)

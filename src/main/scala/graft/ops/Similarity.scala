@@ -328,21 +328,43 @@ object Similarity {
     rows.toDF("c_id", "c_emb")
   }
 
-  /** Nearest-centroid assignment (the IVF index build): broadcast the
-    * centroids, reduce with max_by — map-side partial aggregation, no
-    * sort, no k×-amplified shuffle; the struct's -c_id term breaks
-    * cosine ties toward the lowest centroid id. Expects `e` to carry a
-    * precomputed `nrm` column and `centroids` a `c_nrm`. */
+  /** Nearest-centroid assignment (the IVF index build) as ONE codegen'd
+    * projection: the centroid table (bounded — k ≤ 4096 by the sizing
+    * rule) collects to the driver and rides the scan as a constant
+    * inside [[graft.functions.NearestCentroidId]], so the corpus is
+    * read once and NOTHING shuffles. The earlier crossJoin +
+    * max_by-aggregate shape pushed |corpus|·k rows (each carrying the
+    * full embedding payload) through a hash aggregate — measured 55 s
+    * at 200k×447, pure row machinery. Arithmetic, tie-break (lowest
+    * c_id) and NaN semantics are bit-identical to the old
+    * max_by(struct(c_cos, -c_id)) reduction. Expects `e` to carry a
+    * precomputed `nrm` column and `centroids` a `c_nrm`; the output is
+    * `e`'s columns plus `c_id` (carry columns ride through untouched,
+    * so `carry` is accepted for API stability but no longer needed to
+    * preserve them). */
   def assignToCentroids(e: DataFrame, centroids: DataFrame,
-      carry: Seq[String] = Nil): DataFrame =
-    e.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
-        col("nrm"), col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        (first(col("nrm")).as("nrm") +:
-          max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("c_id") +:
-          carry.map(c => first(col(c)).as(c))): _*)
+      carry: Seq[String] = Nil): DataFrame = {
+    val rows = centroids.select(col("c_id"), col("c_emb"), col("c_nrm"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val embs = rows.map(_.getSeq[Double](1).toArray)
+    val norms = rows.map(_.getDouble(2))
+    // the expression captures the centroid constants, so it can't route
+    // through the static Native.functions table — register a
+    // content-addressed builder on the session instead (same registry
+    // mechanism; the hash key makes re-registration idempotent and keeps
+    // two coexisting centroid tables from colliding)
+    val fname = "graft_nearest_centroid_" +
+      ((scala.util.hashing.MurmurHash3.orderedHash(ids.toSeq) ^
+        scala.util.hashing.MurmurHash3.orderedHash(norms.toSeq)) & 0x7fffffff)
+    e.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NearestCentroidId(exprs(0), exprs(1), ids, embs, norms),
+      "built-in")
+    e.withColumn("c_id", call_function(fname, col("embedding"), col("nrm")))
+  }
 
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
@@ -737,6 +759,9 @@ object Similarity {
     * pairs at 200k labeled). */
   val KnnExactMaxLabeled = 100000L
 
+  /** Probe-visible alias for [[signBandKeys]] (tools/Drive embedIvfPhases). */
+  private[graft] def signBandKeysPublic(wide: Boolean): Column = signBandKeys(wide)
+
   private def signBandKeys(wide: Boolean): Column =
     if (!wide)
       array((0 until SignBands).map { t =>
@@ -858,22 +883,53 @@ object Similarity {
     // 200k vectors with 16 cells); √n cells bound the pair space at
     // ~n^1.5. Below the classifier's small-fixture bound the 16-cell
     // default keeps driver-scale results bit-stable.
+    val n = cachedCount(e.select(col("vec_id")))
     val c =
       if (nCells > 0) nCells
-      else {
-        val n = e.count()
-        if (n <= 4000L) NumCentroids
-        else math.min(4096L, math.round(math.sqrt(n.toDouble))).toInt
-      }
+      else if (n <= 4000L) NumCentroids
+      else math.min(4096L, math.round(math.sqrt(n.toDouble))).toInt
     val centroids = trainedCentroids(s, d, c)
       .withColumn("c_nrm", l2norm(col("c_emb")))
     val assigned = assignToCentroids(e, centroids)
-    assigned.select(col("c_id"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      .join(assigned.select(col("c_id"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("c_id"))
-      .filter(col("id_b") > col("id_a"))
-      .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
+    // Past SignWideThreshold the √n-cell geometry alone is still ~n^1.5
+    // candidate pairs (measured 18.9 s at 200k vectors): COMPOSE the
+    // 8×8 sign-band sub-blocker WITHIN cells, so a candidate must share
+    // (cell, band key) — random in-cell collisions drop to ~L/2^m = 3%
+    // of the cell pair space while sign-correlated near-dups still
+    // collide in ≥1 of the 8 bands (p ≈ 1 at cos ≥ 0.99; the planted-
+    // near-dup recall regime the wide-band spec pins). Below the
+    // threshold the pure cell join is kept, so fixture-scale results —
+    // and the oracled companion — are bit-identical to earlier rounds.
+    val verified =
+      if (n <= SignWideThreshold) {
+        assigned.select(col("c_id"), col("vec_id").as("id_a"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          .join(assigned.select(col("c_id"), col("vec_id").as("id_b"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("c_id"))
+          .filter(col("id_b") > col("id_a"))
+          .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
+      } else {
+        // ids-only through the (cell, band, key) join + pair-distinct;
+        // embeddings join back once per surviving pair (the same
+        // shuffle-bytes discipline as signBandCandidates)
+        val b = assigned.select(col("c_id"), col("vec_id"),
+          posexplode(signBandKeys(wide = false)).as(Seq("t", "key")))
+        val pairs = b.select(col("c_id"), col("t"), col("key"),
+            col("vec_id").as("id_a"))
+          .join(b.select(col("c_id"), col("t"), col("key"),
+            col("vec_id").as("id_b")), Seq("c_id", "t", "key"))
+          .filter(col("id_b") > col("id_a"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        val en = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        pairs
+          .join(en.select(col("vec_id").as("id_a"),
+            col("embedding").as("ea"), col("nrm").as("na")), Seq("id_a"))
+          .join(en.select(col("vec_id").as("id_b"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("id_b"))
+          .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
+      }
+    verified
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

@@ -85,6 +85,78 @@ object Drive {
           .orderBy(col("id_a")).count())
         println(proj.queryExecution.executedPlan.toString.take(4000))
         spark.range(1).toDF("x")
+      case "embedIvfPhases" =>
+        // where does the √n-cell dedup wall actually sit at 200k vectors:
+        // the n·√n assignment scoring, the candidate pair space, or the
+        // verify? Prints each leg's cardinality + wall.
+        import org.apache.spark.sql.functions._
+        def time[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val S = graft.ops.Similarity
+        val e = graft.Tables.embeddings(spark, sfDir)
+        graft.functions.Native.register(spark)
+        val en = e.withColumn("nrm", S.l2norm(col("embedding")))
+        val n = en.count()
+        val cells = if (n <= 4000L) S.NumCentroids
+          else math.min(4096L, math.round(math.sqrt(n.toDouble))).toInt
+        println(s"n=$n cells=$cells")
+        val cents = time("train-centroids")(
+          S.trainedCentroids(spark, sfDir, cells).localCheckpoint(true))
+        val assigned = time("assign")(
+          S.assignToCentroids(en, cents.withColumn("c_nrm", S.l2norm(col("c_emb"))))
+            .select(col("c_id"), col("vec_id")).localCheckpoint(true))
+        time("cell-pair-count")(println("cellPairs=" +
+          assigned.groupBy("c_id").count()
+            .agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0)))
+        val b = assigned.join(en.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("c_id"), col("vec_id"),
+            posexplode(S.signBandKeysPublic(wide = false)).as(Seq("t", "key")))
+        time("subblock-cand-count")(println("subblockPairs=" +
+          b.groupBy("c_id", "t", "key").count()
+            .agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0)))
+        time("full-query")(println("final=" +
+          S.embedNearDupIvf(spark, sfDir).count()))
+        spark.range(1).toDF("x")
+      case "streamFloor" =>
+        // The round-8 floor experiment: is the ~200 ms micro-batch mean a
+        // micro-batch-machinery floor, or could Spark's continuous engine
+        // beat it on the append-only leg? Both modes run the SAME
+        // rate-source → ForeachWriter pipeline (no files, no state), so
+        // the comparison isolates trigger machinery from source/sink
+        // costs. Per-record latency = wall at process() minus the rate
+        // source's own event timestamp.
+        import org.apache.spark.sql.{ForeachWriter, Row}
+        import org.apache.spark.sql.streaming.Trigger
+        def run(label: String, trigger: Trigger): Unit = {
+          val sum = spark.sparkContext.longAccumulator(s"lat_sum_$label")
+          val cnt = spark.sparkContext.longAccumulator(s"lat_cnt_$label")
+          val writer = new ForeachWriter[Row] {
+            def open(partitionId: Long, epochId: Long): Boolean = true
+            def process(r: Row): Unit = {
+              val ts = r.getAs[java.sql.Timestamp]("timestamp").getTime
+              sum.add(System.currentTimeMillis() - ts); cnt.add(1)
+            }
+            def close(errorOrNull: Throwable): Unit = ()
+          }
+          val q = spark.readStream.format("rate")
+            .option("rowsPerSecond", "200").load()
+            .selectExpr("timestamp", "value", "value % 97 AS bucket")
+            .writeStream.outputMode("append")
+            .trigger(trigger)
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(s"graft_cont_$label").toString)
+            .foreach(writer)
+            .start()
+          Thread.sleep(20000)
+          q.stop()
+          println(f"$label%-12s records=${cnt.value} " +
+            f"mean_record_latency_ms=${if (cnt.value == 0) -1.0 else sum.value.toDouble / cnt.value}%.1f")
+        }
+        run("continuous", Trigger.Continuous("1 second"))
+        run("microbatch", Trigger.ProcessingTime("0 seconds"))
+        spark.range(1).toDF("x")
       case "simjoinPhases" =>
         // tuning probe for the SSJoin: candidate volume + per-phase wall
         import org.apache.spark.sql.functions._

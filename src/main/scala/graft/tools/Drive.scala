@@ -129,14 +129,18 @@ object Drive {
         // source's own event timestamp.
         import org.apache.spark.sql.{ForeachWriter, Row}
         import org.apache.spark.sql.streaming.Trigger
+        // accumulators only report at task COMPLETION, and continuous-mode
+        // tasks are long-running until the query is stopped (their updates
+        // die with the kill) — so the probe collects into a static
+        // in-JVM sink instead, valid exactly because local[*] runs
+        // executors in the driver JVM
         def run(label: String, trigger: Trigger): Unit = {
-          val sum = spark.sparkContext.longAccumulator(s"lat_sum_$label")
-          val cnt = spark.sparkContext.longAccumulator(s"lat_cnt_$label")
+          StreamFloorCollector.reset()
           val writer = new ForeachWriter[Row] {
             def open(partitionId: Long, epochId: Long): Boolean = true
             def process(r: Row): Unit = {
               val ts = r.getAs[java.sql.Timestamp]("timestamp").getTime
-              sum.add(System.currentTimeMillis() - ts); cnt.add(1)
+              StreamFloorCollector.add(System.currentTimeMillis() - ts)
             }
             def close(errorOrNull: Throwable): Unit = ()
           }
@@ -150,9 +154,12 @@ object Drive {
             .foreach(writer)
             .start()
           Thread.sleep(20000)
+          val err = q.exception
           q.stop()
-          println(f"$label%-12s records=${cnt.value} " +
-            f"mean_record_latency_ms=${if (cnt.value == 0) -1.0 else sum.value.toDouble / cnt.value}%.1f")
+          err.foreach(e => println(s"$label QUERY EXCEPTION: ${e.getMessage.take(300)}"))
+          val (cnt, sum) = StreamFloorCollector.snapshot()
+          println(f"$label%-12s records=$cnt " +
+            f"mean_record_latency_ms=${if (cnt == 0) -1.0 else sum.toDouble / cnt}%.1f")
         }
         run("continuous", Trigger.Continuous("1 second"))
         run("microbatch", Trigger.ProcessingTime("0 seconds"))
@@ -423,4 +430,14 @@ object Drive {
     println(s"ROWS=${df.count()}")
     spark.stop()
   }
+}
+
+/** Static latency collector for the streamFloor probe — valid only under
+  * local[*] (executors share the driver JVM). */
+object StreamFloorCollector {
+  private val cnt = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sum = new java.util.concurrent.atomic.AtomicLong(0)
+  def reset(): Unit = { cnt.set(0); sum.set(0) }
+  def add(latMs: Long): Unit = { cnt.incrementAndGet(); sum.addAndGet(latMs) }
+  def snapshot(): (Long, Long) = (cnt.get(), sum.get())
 }

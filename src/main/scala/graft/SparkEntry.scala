@@ -266,6 +266,7 @@ object SparkEntry {
     // expressible) → rows-only + the hash-gated parity companion
     "q_knn_classify_ivf"       -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
     "q_knn_classify_ivf_check" -> ((s, d) => Checks.knnClassifyIvfCheck(s, d)),
+    "q_dedup_wideband_check" -> ((s, d) => Checks.widebandRecallCheck(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape).
     // The registered query emits SCALAR feature columns (declarative,
     // oracle-hashable); the array-returning batched-decode path
@@ -2547,6 +2548,12 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, TRUE AS nulls_accounted,
            TRUE AS agree_ok, TRUE AS coverage_ok
          FROM embeddings WHERE vec_id % 5 = 0""",
+    // wide-band regime gate: the >20k fixture is synthesized INSIDE the
+    // Spark query (deterministic xxhash64 coordinates + 50 planted
+    // near-copies), so the oracle pins the fixture arithmetic and the
+    // regime's promised recall/volume booleans
+    "q_dedup_wideband_check" ->
+      "SELECT CAST(21050 AS BIGINT) AS n_vectors, CAST(50 AS BIGINT) AS n_planted, TRUE AS recall_ok, TRUE AS volume_ok",
     // n_true_pairs is recomputed INDEPENDENTLY by the oracle over all
     // pairs — agreeing to the last pair also cross-checks the two
     // engines' cosine folds at the threshold

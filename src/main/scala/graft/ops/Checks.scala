@@ -238,6 +238,42 @@ object Checks {
       .toDF("n_true_pairs", "all_found_true", "coverage_ok")
   }
 
+  /** Wide-band regime gate (round-9/10 carried item): the sign-band
+    * blocker switches PROBABILISTIC past SignWideThreshold (composed
+    * 4×16-bit tables, planted-near-dup recall p ≈ 0.98 instead of the
+    * narrow geometry's ~1.0), and until now that regime lived only in a
+    * spec and comments. This companion runs the switch ON A >20k
+    * FIXTURE inside the query itself — 21k sign-uniform synthetic
+    * vectors from xxhash64 coordinates plus 50 planted near-copies
+    * (the TrainPrepSpec construction, deterministic, no files) — and
+    * emits the recall and candidate-volume booleans the oracle pins
+    * TRUE. A regression in the composed-band geometry (missed planted
+    * pairs, or candidate blow-up back toward the narrow geometry's
+    * L·n²/2^8) flips a boolean and fails the hash gate. The sfDir
+    * param is unused by construction: the fixture must exceed the
+    * threshold regardless of the driver corpus's size. */
+  def widebandRecallCheck(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Native.register(s)
+    val n = 21000
+    val nPlanted = 50
+    val base = s.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> " +
+        "CAST(pmod(xxhash64(id * 64 + j), 2001) - 1000 AS FLOAT))").as("embedding"))
+    val planted = s.range(nPlanted).select((col("id") + n).as("vec_id"),
+      expr("transform(sequence(0, 63), j -> " +
+        "CAST((pmod(xxhash64(id * 64 + j), 2001) - 1000) * 1.0001 AS FLOAT))").as("embedding"))
+    val cands = Similarity.signBandCandidates(base.unionByName(planted))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val hits = cands
+      .filter(col("id_a") < nPlanted && col("id_b") === col("id_a") + n)
+      .count()
+    val volume = cands.count()
+    import s.implicits._
+    Seq(((n + nPlanted).toLong, nPlanted.toLong,
+        hits.toDouble / nPlanted >= 0.9, volume < 200000L))
+      .toDF("n_vectors", "n_planted", "recall_ok", "volume_ok")
+  }
+
   /** Streaming-metrics conservation law: the listener's per-batch
     * input_rows, summed over the drain, must equal the row count of the
     * staged source table — a dropped or double-counted micro-batch

@@ -52,21 +52,37 @@ object Dedup {
     * arrays — one equi-join on doc_id, no shingle-keyed shuffle (a join
     * on shingle text degenerates on hot shingles; arrays stay bounded by
     * document length). */
-  def ngramJaccardConsecutive(s: SparkSession, d: String): DataFrame = {
+  /** Shared consecutive-pair overlap counts for the Jaccard and
+    * containment calibration queries: one id-equi-join of per-doc
+    * shingle arrays, intersected by the two-pointer
+    * [[graft.functions.SortedStructIntersectCount]] over (hash, shingle)
+    * structs — exact (string compare on hash ties), allocation-free,
+    * and evaluated once per pair where `size(array_intersect(...))`
+    * built a hash set per evaluation (and got re-evaluated wherever
+    * Catalyst inlined it). The per-doc sort is O(|doc| log |doc|) inside
+    * the scan projection — no shingle-keyed shuffle anywhere. */
+  private def consecutivePairCounts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Native.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-        col("id_b") === col("id_a") + 1)
-      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
+        array_sort(transform(col("sh"),
+          x => struct(xxhash64(x).as("h"), x.as("t")))).as("ss"))
+    docs.select(col("doc_id").as("id_a"), col("ss").as("ss_a"), col("n").as("n_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("ss").as("ss_b"),
+        col("n").as("n_b")), col("id_b") === col("id_a") + 1)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("n_common"),
-        size(col("sh_a")).cast(LongType).as("n_a"),
-        size(col("sh_b")).cast(LongType).as("n_b"))
+        graft.functions.Native.sortedStructIntersectCount(
+          col("ss_a"), col("ss_b")).as("n_common"),
+        col("n_a"), col("n_b"))
+  }
+
+  def ngramJaccardConsecutive(s: SparkSession, d: String): DataFrame =
+    consecutivePairCounts(s, d)
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_common")))
       .orderBy(col("id_a"))
-  }
 
   /** Asymmetric CONTAINMENT between consecutive doc pairs — the
     * quote/sub-document detector Jaccard misses: a short doc fully
@@ -77,21 +93,11 @@ object Dedup {
     * shingle ARRAYS, array_intersect per pair, no shingle-keyed
     * shuffle; at scale the pair stream comes from the LSH blocker and
     * this scoring runs on survivors only. */
-  def containmentConsecutive(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-        col("id_b") === col("id_a") + 1)
-      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("n_common"),
-        size(col("sh_a")).cast(LongType).as("n_a"),
-        size(col("sh_b")).cast(LongType).as("n_b"))
+  def containmentConsecutive(s: SparkSession, d: String): DataFrame =
+    consecutivePairCounts(s, d)
       .withColumn("contain_ab", col("n_common").cast(DoubleType) / col("n_a"))
       .withColumn("contain_ba", col("n_common").cast(DoubleType) / col("n_b"))
       .orderBy(col("id_a"))
-  }
 
   /** MinHash signatures: NUM_HASHES permutations simulated by seeded
     * xxhash64 re-hashes of each shingle; signature slot i = min hash
@@ -153,14 +159,25 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify on candidates only: join the shingle arrays back in
+    // exact verify on candidates only: join the shingle sets back in as
+    // hash-ordered structs and count the intersection with the
+    // allocation-free two-pointer walk (exact — string compare on hash
+    // ties; array_intersect built a hash set per pair and got
+    // re-evaluated wherever Catalyst inlined the threshold filter)
+    graft.functions.Native.register(s)
+    val docsSS = docs.select(col("doc_id"),
+      size(col("sh")).cast(LongType).as("n"),
+      array_sort(transform(col("sh"),
+        x => struct(xxhash64(x).as("h"), x.as("t")))).as("ss"))
     cands
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(docsSS.select(col("doc_id").as("id_a"), col("ss").as("ss_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(docsSS.select(col("doc_id").as("id_b"), col("ss").as("ss_b"),
+        col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("ni"),
-        size(col("sh_a")).cast(LongType).as("n_a"),
-        size(col("sh_b")).cast(LongType).as("n_b"))
+        graft.functions.Native.sortedStructIntersectCount(
+          col("ss_a"), col("ss_b")).as("ni"),
+        col("n_a"), col("n_b"))
       .withColumn("jaccard",
         col("ni").cast(DoubleType) / (col("n_a") + col("n_b") - col("ni")))
       .filter(col("jaccard") >= threshold)

@@ -410,11 +410,17 @@ object Checks {
     *     recompute separately proves the operator computes its probed-cell
     *     semantics exactly;
     *   - `coverage_ok` — at least `coverageFloor` of queries are covered. */
+  // the exact classifier is the truth side of the IVF parity check —
+  // one computation per corpus, same per-JVM discipline as annTruthCache
+  private val knnExactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def knnClassifyIvfCheck(s: SparkSession, d: String,
       agreeFloor: Double = 0.25, coverageFloor: Double = 0.9): DataFrame = {
-    val exact = Similarity.knnClassify(s, d)
-      .select(col("vec_id"), col("pred_label").as("exact_label"))
-      .localCheckpoint(true)
+    val exact = knnExactCache.computeIfAbsent(d, _ =>
+      Similarity.knnClassify(s, d)
+        .select(col("vec_id"), col("pred_label").as("exact_label"))
+        .localCheckpoint(true))
     val ivf = Similarity.knnClassifyIvf(s, d)
       .select(col("vec_id"), col("pred_label"))
       .localCheckpoint(true)

@@ -41,10 +41,25 @@ object Dedup {
 
   def shingles(text: Column): Column = shingleUdf(TextOps.tokens(text))
 
-  /** doc_id → exploded distinct shingle rows. */
+  /** doc_id → distinct shingle ARRAY, checkpointed per corpus: the
+    * staged shingling artifact every n-gram pass consumes (consecutive
+    * Jaccard/containment, the minhash index build). Without it each
+    * self-join evaluates the tokenize+slide+distinct UDF twice over the
+    * corpus, per query — the same build-once lifecycle as the SSJoin's
+    * tokenizedDocs. */
+  private val shingleDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def shingleDocs(s: SparkSession, d: String): DataFrame =
+    shingleDocsCache.computeIfAbsent(d, _ =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true))
+
+  /** doc_id → exploded distinct shingle rows (off the cached arrays). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    shingleDocs(s, d).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** Exact n-gram Jaccard between consecutive doc pairs (a calibration /
     * oracle query for the sketch-based paths): |A∩B| / |A∪B| over 3-token
@@ -54,28 +69,23 @@ object Dedup {
     * document length). */
   /** Shared consecutive-pair overlap counts for the Jaccard and
     * containment calibration queries: one id-equi-join of per-doc
-    * shingle arrays, intersected by the two-pointer
-    * [[graft.functions.SortedStructIntersectCount]] over (hash, shingle)
-    * structs — exact (string compare on hash ties), allocation-free,
-    * and evaluated once per pair where `size(array_intersect(...))`
-    * built a hash set per evaluation (and got re-evaluated wherever
-    * Catalyst inlined it). The per-doc sort is O(|doc| log |doc|) inside
-    * the scan projection — no shingle-keyed shuffle anywhere. */
+    * shingle arrays, `array_intersect` per pair. These queries emit
+    * EVERY consecutive pair (no threshold filter), so the intersect is
+    * evaluated exactly once per pair and the hash-set probe is the
+    * right tool — the sorted-struct two-pointer walk pays a per-doc
+    * (hash + interpreted struct array_sort) cost that measured LARGER
+    * than the intersect it saves here (1.37 → 1.77 s); it wins only
+    * where a pushed-down threshold re-evaluates the intersect per pair
+    * (the SSJoin and minhash verifies keep it). */
   private def consecutivePairCounts(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Native.register(s)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n"),
-        array_sort(transform(col("sh"),
-          x => struct(xxhash64(x).as("h"), x.as("t")))).as("ss"))
-    docs.select(col("doc_id").as("id_a"), col("ss").as("ss_a"), col("n").as("n_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("ss").as("ss_b"),
-        col("n").as("n_b")), col("id_b") === col("id_a") + 1)
-      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val docs = shingleDocs(s, d)
+    docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        graft.functions.Native.sortedStructIntersectCount(
-          col("ss_a"), col("ss_b")).as("n_common"),
-        col("n_a"), col("n_b"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).as("n_common"),
+        size(col("sh_a")).cast(LongType).as("n_a"),
+        size(col("sh_b")).cast(LongType).as("n_b"))
   }
 
   def ngramJaccardConsecutive(s: SparkSession, d: String): DataFrame =
@@ -140,9 +150,7 @@ object Dedup {
       _ => minhashLshPairsUncached(s, d, threshold).localCheckpoint(true))
 
   private def minhashLshPairsUncached(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = shingleDocs(s, d)
     val sig = minhashSignatures(
       docs.select(col("doc_id"), explode(col("sh")).as("shingle")))
     // bucket key per band = hash of the band's signature slots

@@ -210,6 +210,75 @@ case class SortedStructIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact Σ cast(x AS DECIMAL(18,2)) over a double array, returned as
+  * integer CENTS — the codegen'd replacement for an interpreted
+  * `aggregate()` HOF folding Decimal boxes per element (measured slower
+  * than the WindowExec it was meant to replace). Per-element semantics
+  * REPLICATE Spark's double→decimal(18,2) cast exactly:
+  * BigDecimal.valueOf(x) (the double's shortest decimal string, not
+  * x·100 float arithmetic — 2.675 stored as 2.67499… still rounds to
+  * 2.68) then setScale(2, HALF_UP); non-finite values cast to null and
+  * a decimal sum SKIPS nulls, so they are skipped here. Long-cents
+  * addition is exactly associative, and the caller's cents/100.0 double
+  * division equals Decimal.toDouble (both are the correctly-rounded
+  * double nearest sum/100). */
+case class CentsArraySum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0; var c = 0L
+    while (i < n) {
+      c += CentsArraySum.cents(x.getDouble(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $x.numElements();
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $c += graft.functions.CentsArraySum.cents($x.getDouble($i));
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CentsArraySum =
+    copy(child = c)
+}
+
+object CentsArraySum {
+  /** Spark-cast-faithful cents of one double; 0 for non-finite (the
+    * cast-to-null → sum-skips-null path). Fast path: when x IS exactly
+    * the double nearest c/100 (the overwhelming case for money-like
+    * data), c = round(x·100) and the roundtrip check `c/100.0 == x`
+    * proves it — IEEE division is correctly rounded, so double(c)/100.0
+    * is the nearest double to c/100, and below 10^10 two distinct cent
+    * values can never collapse onto one double (cent spacing 0.01 ≫
+    * ulp). Everything else — .005 boundaries stored low, huge values —
+    * takes the exact BigDecimal shortest-string path Spark's cast
+    * uses. */
+  def cents(x: Double): Long =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) 0L
+    else if (math.abs(x) < 1e10) {
+      val c = java.lang.Math.round(x * 100.0)
+      if (c / 100.0 == x) c else slowCents(x)
+    } else slowCents(x)
+
+  private def slowCents(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+}
+
 /** Nearest-centroid id (argmax cosine) over a CONSTANT centroid table —
   * the IVF assignment as a single codegen'd projection. The previous
   * plan exploded the corpus × centroids through a crossJoin into a
@@ -403,6 +472,7 @@ object Native {
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_sorted_struct_intersect" -> (exprs => SortedStructIntersectCount(exprs(0), exprs(1))),
+    "graft_cents_array_sum" -> (exprs => CentsArraySum(exprs.head)),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
     "graft_sortable_double" -> (exprs => DoubleSortableLong(exprs.head)),
@@ -433,6 +503,10 @@ object Native {
     * (see [[SortedStructIntersectCount]]). */
   def sortedStructIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_struct_intersect", a, b)
+
+  /** Σ cast(x AS DECIMAL(18,2)) over a double array, as integer cents
+    * (see [[CentsArraySum]]). */
+  def centsArraySum(a: Column): Column = call_function("graft_cents_array_sum", a)
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
 

@@ -414,16 +414,10 @@ object Predict {
       predictor: Predictor, batchSize: Int): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(predictor)
-    // windows materialize through Chunked.frames (overlapped time-chunk
-    // repartitioning), so a hot series' k× collect_list amplification is
-    // spread over bounded chunk tasks, not one sort task per series
-    val windows = Chunked.frames(
-        Tables.events(s, d).select(col("event_id"), col("event_type"),
-          col("ts"), col("value")),
-        d, "event_type", "ts", "event_id", k) { w =>
-        Seq(collect_list(col("value")).over(w).as("w"))
-      }
-      .select(col("event_id"), col("event_type"), col("w"))
+    // windows come from the shared per-(corpus, k) artifact
+    // (Chunked.windowArrays): one chunked collect_list frame pass per
+    // JVM, consumed here and by the sliding stats + GRU/LSTM passes
+    val windows = Chunked.windowArrays(s, d, k)
       .as[(Long, String, Array[Double])]
     windows.mapPartitions { it =>
       val p = bc.value

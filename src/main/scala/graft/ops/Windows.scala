@@ -77,18 +77,22 @@ object Windows {
     * instead of funnelling through one sort task — row-identical output
     * to the plain `Window.partitionBy(event_type)` formulation (the
     * oracle pins it). */
-  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame =
-    Chunked.frames(Tables.events(s, d).select(col("event_id"), col("event_type"),
-        col("ts"), col("value")),
-      d, "event_type", "ts", "event_id", k) { w =>
-      Seq(
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .over(w).cast(DoubleType).as("w_sum"),
-        min(col("value")).over(w).as("w_min"),
-        max(col("value")).over(w).as("w_max"))
-    }
-      .select(col("event_id"), col("w_sum"), col("w_min"), col("w_max"))
+  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame = {
+    // stats fold over the shared per-(corpus, k) window-array artifact
+    // (Chunked.windowArrays) instead of re-running the chunked frame
+    // WindowExec. w_sum rides the codegen'd CentsArraySum — per-element
+    // semantics identical to the windowed Σ cast(value AS DECIMAL(18,2))
+    // (see the expression's doc; an interpreted aggregate() HOF fold
+    // measured SLOWER than the WindowExec it replaced); min/max are
+    // order-free.
+    graft.functions.Native.register(s)
+    Chunked.windowArrays(s, d, k)
+      .select(col("event_id"),
+        (graft.functions.Native.centsArraySum(col("w")) / 100.0).as("w_sum"),
+        array_min(col("w")).as("w_min"),
+        array_max(col("w")).as("w_max"))
       .orderBy(col("event_id"))
+  }
 
   /** W5 — running (cumulative) aggregates per user in event-time order:
     * the unbounded-preceding frame. Decimal-routed running sum so the

@@ -215,4 +215,31 @@ class NativeSpec extends SparkSpec {
         col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority")).distinct().count())
   }
+  test("CentsArraySum equals Spark's cast-to-decimal(18,2) sum on adversarial doubles") {
+    import graft.functions.Native
+    Native.register(spark)
+    import spark.implicits._
+    // adversarial set: shortest-decimal rounding cases (2.675 stores as
+    // 2.6749999…), negatives at the .5 boundary, many-digit doubles,
+    // non-finite values (cast→null, which a decimal sum SKIPS), zeros
+    val arrays = Seq(
+      Seq(2.675, -2.675, 0.005, -0.005, 1.0 / 3.0, 123456.789),
+      Seq(Double.NaN, 1.25, Double.PositiveInfinity, -7.115, 0.0, -0.0),
+      Seq.tabulate(60)(i => 100.0 + i * 0.345 + i / 7.0),
+      Seq.empty[Double])
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "w")
+    val got = df.select(col("id"),
+        (Native.centsArraySum(col("w")) / 100.0).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = df.select(col("id"),
+        expr("aggregate(w, CAST(NULL AS DECIMAL(28,2)), (acc, x) -> " +
+          "CAST(coalesce(acc, CAST(0 AS DECIMAL(28,2))) + " +
+          "coalesce(CAST(x AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2)))").as("dec"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) 0.0 else r.getDecimal(1).doubleValue) }.toMap
+    arrays.indices.foreach { i =>
+      assert(got(i.toLong) == ref(i.toLong),
+        s"cents mismatch on array $i: ${got(i.toLong)} vs ${ref(i.toLong)}")
+    }
+  }
 }

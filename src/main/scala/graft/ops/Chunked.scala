@@ -117,15 +117,27 @@ object Chunked {
   private val windowArrayCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
 
-  def windowArrays(s: org.apache.spark.sql.SparkSession, d: String, k: Int): DataFrame =
-    windowArrayCache.computeIfAbsent((d, k), _ =>
+  /** Above this many events the artifact is NOT materialized — k×8
+    * bytes per row (48 GB at 100M events × k=60) stops being a
+    * storage win over recomputing the frame pass per consumer, and a
+    * checkpoint that size would evict/spill through the executor
+    * storage pool. Below it (every driver fixture, gen fixtures
+    * through ~20M rows) the shared checkpoint is the right trade. */
+  val WindowArtifactMaxRows = 20000000L
+
+  def windowArrays(s: org.apache.spark.sql.SparkSession, d: String, k: Int): DataFrame = {
+    def build: DataFrame =
       frames(graft.Tables.events(s, d).select(col("event_id"), col("event_type"),
           col("ts"), col("value")),
         d, "event_type", "ts", "event_id", k) { w =>
         Seq(collect_list(col("value")).over(w).as("w"))
       }
         .select(col("event_id"), col("event_type"), col("w"))
-        .localCheckpoint(true))
+    val cached = windowArrayCache.get((d, k))
+    if (cached != null) cached
+    else if (graft.Tables.events(s, d).count() > WindowArtifactMaxRows) build
+    else windowArrayCache.computeIfAbsent((d, k), _ => build.localCheckpoint(true))
+  }
 
   private[graft] def chunkPlanCached(df: DataFrame, corpus: String, series: String,
       time: String, minRows: Long, nBoundaries: Int): (Column, DataFrame) =

@@ -90,14 +90,14 @@ class StreamingSpec extends SparkSpec {
   test("query listener captures one metrics row per micro-batch (T7)") {
     val mdf = q("q_stream_metrics") // stream runs eagerly at construction
     val rows = mdf.collect()
-    // 4 staged files x maxFilesPerTrigger=1 → exactly 4 micro-batches
-    assert(rows.length == 4, s"expected 4 micro-batch metric rows, got ${rows.length}")
+    // 4 staged files x maxFilesPerTrigger=2 → exactly 2 micro-batches
+    assert(rows.length == 2, s"expected 2 micro-batch metric rows, got ${rows.length}")
     assert(rows.map(_.getAs[Long]("input_rows")).sum ==
       Tables.events(spark, sf).count())
     assert(rows.map(_.getAs[Long]("batch_id")).distinct.length == rows.length)
     assert(rows.forall(_.getAs[Long]("duration_ms") >= 0L))
     val sm = graft.streaming.Metrics.summarize(mdf).head()
-    assert(sm.getAs[Long]("n_batches") == 4L)
+    assert(sm.getAs[Long]("n_batches") == 2L)
     assert(sm.getAs[Long]("total_rows") == Tables.events(spark, sf).count())
   }
 
@@ -110,10 +110,10 @@ class StreamingSpec extends SparkSpec {
     counts.foreach { case (name, c) =>
       assert(c >= 2L, s"drain '$name' ran only $c micro-batch(es)")
     }
-    // the canonical 1-file-per-trigger drains stay at the full 4 data
+    // the canonical 2-files-per-trigger drains run the full 2 data
     // batches (stateful update-mode drains may add a trailing no-data
     // finalization batch)
-    assert(counts("metrics") == 4L && counts("event_window") >= 4L)
+    assert(counts("metrics") == 2L && counts("event_window") >= 2L)
   }
 
   test("console metrics echo emits one line per micro-batch (S6)") {
@@ -127,10 +127,10 @@ class StreamingSpec extends SparkSpec {
       // that actually fires micro-batches on this session now
       graft.streaming.Pipeline.standaloneMetricsDrain(spark, sf).collect()
       val deadline = System.nanoTime() + 15e9.toLong
-      while (lines.synchronized(lines.size) < 4 && System.nanoTime() < deadline)
+      while (lines.synchronized(lines.size) < 2 && System.nanoTime() < deadline)
         Thread.sleep(20)
       val got = lines.synchronized(lines.toList)
-      assert(got.count(_.startsWith("[graft-metrics]")) >= 4, got.mkString("\n"))
+      assert(got.count(_.startsWith("[graft-metrics]")) >= 2, got.mkString("\n"))
     } finally spark.streams.removeListener(lst)
   }
 

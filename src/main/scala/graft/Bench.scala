@@ -63,7 +63,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        graft.Tuning.diskTmpDir("graft_wh_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,19 +77,27 @@ object Bench {
     def tryWarm(f: => Unit): Unit =
       try f catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up step skipped: ${e.getMessage}") }
-    tryWarm(Tables.lineitem(spark, sfDir).count())
-    tryWarm(Tables.events(spark, sfDir).count())
-    tryWarm(graft.streaming.Pipeline.prestage(spark, sfDir))
-    tryWarm(graft.streaming.Pipeline.prestageOrdered(spark, sfDir))
-    tryWarm(graft.ops.Relational.partitionedEventsDir(spark, sfDir))
-    tryWarm(graft.ops.Relational.jsonlEventsDir(spark, sfDir))
-    tryWarm(graft.ops.Relational.evolvedEventsDirs(spark, sfDir))
-    tryWarm(graft.ops.Joins.bucketedTables(spark, sfDir))
-
     // optional subset (comma-separated names) — used by the scale-curve
     // runs over generated fixtures that carry only some tables
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    tryWarm(Tables.lineitem(spark, sfDir).count())
+    tryWarm(Tables.events(spark, sfDir).count())
+    // fixture-staging warm-ups run for FULL-suite runs only: a subset
+    // run (scale curves over generated fixtures) must not copy the
+    // events table into jsonl/partitioned/evolved/streaming variants
+    // its queries never read — at gen1000x each copy is ~10 GB of
+    // host disk per bench JVM. A subset query that does need a staged
+    // variant stages it lazily on first use (its cold number then
+    // carries the one-time staging, which is the honest attribution).
+    if (only.isEmpty) {
+      tryWarm(graft.streaming.Pipeline.prestage(spark, sfDir))
+      tryWarm(graft.streaming.Pipeline.prestageOrdered(spark, sfDir))
+      tryWarm(graft.ops.Relational.partitionedEventsDir(spark, sfDir))
+      tryWarm(graft.ops.Relational.jsonlEventsDir(spark, sfDir))
+      tryWarm(graft.ops.Relational.evolvedEventsDirs(spark, sfDir))
+      tryWarm(graft.ops.Joins.bucketedTables(spark, sfDir))
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val best   = scala.collection.mutable.Map[String, Double]()

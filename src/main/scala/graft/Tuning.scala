@@ -51,6 +51,17 @@ object Tuning {
     p
   }
 
+  /** Like [[fastTmpDir]] but on the DISK-backed JVM temp dir — for
+    * staged table copies (jsonl/partitioned/evolved events) too large
+    * for tmpfs. Registered with the same exit cleanup: at gen1000x one
+    * JSONL events copy is ~10 GB, and without the hook every bench JVM
+    * leaks its copies until the host disk fills (observed at 95%). */
+  def diskTmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    createdTmpDirs.add(p)
+    p
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` set to n, restoring the
     * previous value after. For bounded drains and small iterative steps
     * whose per-partition fixed costs (state-store commits, task

@@ -137,7 +137,7 @@ object Maintain {
 
   def smallFilesDir(s: SparkSession, d: String): String =
     smallCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_small_").toString
+      val out = graft.Tuning.diskTmpDir("graft_small_").toString
       Tables.events(s, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
@@ -159,7 +159,7 @@ object Maintain {
       val in = smallFilesDir(s, dir)
       val bytes = partFiles(s, in).map(_.getLen).sum
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+      val out = graft.Tuning.diskTmpDir("graft_compact_").toString
       s.read.parquet(in).coalesce(nFiles).write.mode("overwrite").parquet(out)
       out
     })

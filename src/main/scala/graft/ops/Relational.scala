@@ -42,7 +42,7 @@ object Relational {
 
   def partitionedEventsDir(s: SparkSession, d: String): String =
     partitionedCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      val out = graft.Tuning.diskTmpDir("graft_part_").toString
       Tables.events(s, dir)
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
       out
@@ -68,7 +68,7 @@ object Relational {
 
   def jsonlEventsDir(s: SparkSession, d: String): String =
     jsonlCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      val out = graft.Tuning.diskTmpDir("graft_jsonl_").toString
       Tables.events(s, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
@@ -87,7 +87,7 @@ object Relational {
     * original table. */
   def evolvedEventsDirs(s: SparkSession, d: String): (String, String) = {
     val root = evoCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+      val out = graft.Tuning.diskTmpDir("graft_evo_").toString
       val e = Tables.events(s, dir)
       e.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("value"))
@@ -639,7 +639,7 @@ object Relational {
 
   def csvEventsDir(s: SparkSession, d: String): String =
     csvCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val out = graft.Tuning.diskTmpDir("graft_csv_").toString
       val S = org.apache.spark.sql.types.StringType
       def f(c: org.apache.spark.sql.Column) = coalesce(c.cast(S), lit(""))
       Tables.events(s, dir)
@@ -693,7 +693,7 @@ object Relational {
 
   def orcEventsDir(s: SparkSession, d: String): String =
     orcCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val out = graft.Tuning.diskTmpDir("graft_orc_").toString
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))

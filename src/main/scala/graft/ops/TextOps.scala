@@ -489,7 +489,7 @@ object TextOps {
 
   private def scoredDocsDir(s: SparkSession, d: String): String =
     scoredCache.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files.createTempDirectory("graft_scored_").toString
+      val out = graft.Tuning.diskTmpDir("graft_scored_").toString
       // the UNSORTED projection: a global range sort before a staging
       // write is pure waste (parquet order is irrelevant downstream)
       qualityScored(s, dir)

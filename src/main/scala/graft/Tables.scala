@@ -63,6 +63,23 @@ object Tables {
     cached(spark, p)(spark.read.parquet(p))
   }
 
+  /** Memoized table row count per (path, mtime) — size-regime gates
+    * (artifact materialization, exact-vs-blocked routing) and samplers
+    * consult the corpus size repeatedly; the count itself is one
+    * metadata-cheap scan and, unlike a DataFrame, is not bound to the
+    * session that computed it. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  def rowCount(s: SparkSession, d: String, name: String): Long = {
+    val p = s"$d/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(p)).toMillis
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    countCache.computeIfAbsent((p, mtime),
+      _ => java.lang.Long.valueOf(load(s, d, name).count())).longValue()
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

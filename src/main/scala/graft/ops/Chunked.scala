@@ -135,7 +135,7 @@ object Chunked {
         .select(col("event_id"), col("event_type"), col("w"))
     val cached = windowArrayCache.get((d, k))
     if (cached != null) cached
-    else if (graft.Tables.events(s, d).count() > WindowArtifactMaxRows) build
+    else if (graft.Tables.rowCount(s, d, "events") > WindowArtifactMaxRows) build
     else windowArrayCache.computeIfAbsent((d, k), _ => build.localCheckpoint(true))
   }
 

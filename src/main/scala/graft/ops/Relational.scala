@@ -542,12 +542,20 @@ object Relational {
     * the Spark side to Decimal to match the oracle's unbounded
     * arithmetic. Deterministic in the key: retries, reruns, and both
     * engines keep exactly the same rows. */
+  /** Corpus-wide max weight, memoized per fixture dir: the overflow
+    * guard and keep-test threshold need it on every call, and the max
+    * is one full JSON-extraction scan of events (~0.3 s at sf0.1) that
+    * never changes for a given corpus. */
+  private val kMaxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def weightedSample(s: SparkSession, d: String): DataFrame = {
     graft.functions.Native.register(s)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast(org.apache.spark.sql.types.LongType).as("k"))
-    val kMax = ev.agg(max(col("k"))).head().getLong(0)
+    val kMax = kMaxCache.computeIfAbsent(d,
+      _ => java.lang.Long.valueOf(ev.agg(max(col("k"))).head().getLong(0))).longValue()
     require(kMax < (1L << 30),
       s"weightedSample keep-test runs in Long: hash32·k_max·2 wraps once " +
         s"k_max ≥ 2^30 (got $kMax) while the oracle computes in HUGEINT; " +

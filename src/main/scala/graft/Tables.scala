@@ -39,17 +39,22 @@ object Tables {
         size > 64
     }
 
+  /** Per-session tag via the session-scoped SQLConf (public API; each
+    * SparkSession carries its own conf even under a shared context).
+    * Used to key session-bound cached DataFrames — a Dataset handed
+    * across sessions (or out of a stopped one) is a runtime error. */
+  private[graft] def sessionTag(spark: SparkSession): String =
+    spark.conf.getOption("graft.session.tag").getOrElse {
+      val t = java.util.UUID.randomUUID().toString
+      spark.conf.set("graft.session.tag", t); t
+    }
+
   private def cached(spark: SparkSession, path: String, variant: String = "")(
       build: => DataFrame): DataFrame = {
     val mtime =
       try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
       catch { case scala.util.control.NonFatal(_) => -1L }
-    // per-session tag via the session-scoped SQLConf (public API; each
-    // SparkSession carries its own conf even under a shared context)
-    val tag = spark.conf.getOption("graft.session.tag").getOrElse {
-      val t = java.util.UUID.randomUUID().toString
-      spark.conf.set("graft.session.tag", t); t
-    }
+    val tag = sessionTag(spark)
     val key = (tag, path + variant, mtime)
     planCache.synchronized {
       val hit = planCache.get(key)

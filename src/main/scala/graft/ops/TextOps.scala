@@ -932,14 +932,30 @@ object TextOps {
     * Shape: occurrences reduce DOC-SIDE first (groupBy (doc_id,
     * bigram) — doc id in the key, so a corpus-hot bigram never
     * funnels); the LM tables derive from that already-reduced table
-    * with map-side combine and join back BROADCAST (bigram-type
-    * scale; at 100 TB the broadcast carries the LM head with the long
-    * tail coalesced to the unseen-bigram default — the q_text_rarity
-    * shape, and exactly how production LM filters ship a pruned
-    * model); V is a 1-row broadcast. Per-doc NLL terms quantize
+    * with map-side combine and join back BROADCAST while the corpus
+    * is under [[LmBroadcastMaxDocs]] (bigram-type scale); past it the
+    * LM joins plan as regular exchanges on bigram/w1 — output-linear,
+    * no driver-built hash relation (a production filter would instead
+    * ship a PRUNED head with the long tail coalesced to the
+    * unseen-bigram default, the q_text_rarity shape — an approximation
+    * this exact-oracled query does not take); V is a 1-row broadcast.
+    * Per-doc NLL terms quantize
     * through DECIMAL(18,8) before the order-sensitive sum, and the
     * final exp quantizes too (1-ulp JVM/libm divergence). */
-  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+  /** Broadcast budget for the LM tables, in DOCUMENTS (a metadata-free
+    * cost proxy: bigram-type count grows with the corpus, and the only
+    * number available without an extra job is the doc count). Below it
+    * the c12/c1 tables broadcast — they are bigram-type scale, far
+    * smaller than the occurrence table. Past it the full LM no longer
+    * fits a driver-built hash relation (measured: the forced broadcast
+    * at 5M docs / ~30M bigram types made the gen1000x step 12× for 10×
+    * data — the build is single-threaded driver work) and the joins
+    * plan as regular exchanges on bigram/w1, which is output-linear.
+    * Injectable so the spec can force both regimes on one fixture. */
+  private[graft] val LmBroadcastMaxDocs = 1000000L
+
+  def lmPerplexity(s: SparkSession, d: String,
+      broadcastMaxDocs: Long = LmBroadcastMaxDocs): DataFrame = {
     val docs = Tables.documents(s, d)
     val occ = docs.select(col("doc_id"),
       explode(bigramAllUdf(tokens(col("text")))).as("bigram"))
@@ -953,10 +969,12 @@ object TextOps {
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .agg(countDistinct(col("tok")).as("vocab"))
+    val small = Tables.rowCount(s, d, "documents") <= broadcastMaxDocs
+    def lm(t: DataFrame): DataFrame = if (small) broadcast(t) else t
     docBg
-      .join(broadcast(c12), Seq("bigram"))
+      .join(lm(c12), Seq("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .join(broadcast(c1), Seq("w1"))
+      .join(lm(c1), Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("nll_term",
         (col("k") * -log((col("c12") + 1.0) / (col("c1") + col("vocab"))))

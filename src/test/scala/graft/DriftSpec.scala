@@ -122,6 +122,16 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("lm_perplexity: shuffle-join LM regime is row-for-row the broadcast regime") {
+    // broadcastMaxDocs = 0 forces the past-budget plan (LM tables join
+    // as regular exchanges instead of driver-built hash relations); the
+    // join strategy must never touch values
+    val bc = q("q_lm_perplexity").collect().map(_.toString).sorted
+    val sh = graft.ops.TextOps.lmPerplexity(spark, sf, broadcastMaxDocs = 0L)
+      .collect().map(_.toString).sorted
+    assert(bc.sameElements(sh))
+  }
+
   test("embed_outliers: top-10 by unit error, kept set is the extreme tail") {
     val rows = q("q_embed_outliers").collect()
     assert(rows.length == math.min(10L, Tables.embeddings(spark, sf).count()))

@@ -18,6 +18,40 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** TOKENIZED VIEW of the documents table — one (doc_id, source,
+    * token) row per token occurrence, empty tokens dropped. Nine
+    * token-frequency operators (vocab top-k, Zipf, rarity, entropy,
+    * TF-IDF both directions, BM25/RAG, the LM vocab) each re-read and
+    * re-split the raw text; at 100 TB re-tokenizing the corpus per
+    * query is the anti-pattern — a production pipeline materializes
+    * the tokenized view once and every frequency job reads it (the
+    * returns-table lifecycle). Build-once per (session, corpus);
+    * Bench's cold leg carries the build. Size-gated like the window
+    * arrays: past [[TokenArtifactMaxDocs]] the checkpoint (token rows
+    * ≈ avg-doc-length × docs) stops being a storage win and consumers
+    * recompute the split inline — the pre-artifact plan. */
+  private val docTokensCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] val TokenArtifactMaxDocs = 1000000L
+
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame = {
+    def build: DataFrame = {
+      val docs = Tables.documents(s, d)
+      // source rides along when the fixture carries it (the per-source
+      // consumers need it); minimal synthetic fixtures may not
+      val cols = Seq(col("doc_id")) ++
+        (if (docs.columns.contains("source")) Seq(col("source")) else Nil) ++
+        Seq(explode(tokens(col("text"))).as("token"))
+      docs.select(cols: _*).filter(length(col("token")) > 0)
+    }
+    val key = (Tables.sessionTag(s), d)
+    val hit = docTokensCache.get(key)
+    if (hit != null) hit
+    else if (Tables.rowCount(s, d, "documents") > TokenArtifactMaxDocs) build
+    else docTokensCache.computeIfAbsent(key, _ => build.localCheckpoint(true))
+  }
+
   /** Deterministic content-hash train/val/test split: the first hex
     * digit of md5(key) buckets each document 13/2/1 sixteenths — a
     * coordination-free, reproducible dataset split (any worker computes
@@ -62,9 +96,7 @@ object TextOps {
     * TakeOrderedAndProject for the top-k; ties broken by token text so
     * the result is deterministic. */
   def topTokens(s: SparkSession, d: String, k: Int = 20): DataFrame =
-    Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
+    docTokens(s, d)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
@@ -260,9 +292,7 @@ object TextOps {
     * long tail to a default count — same plan shape. Sums and counts
     * are exact integers; the one division is oracle-exact. */
   def tokenRarity(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
+    val tok = docTokens(s, d).select(col("doc_id"), col("token"))
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     tok.join(broadcast(vocab), Seq("token"))
       .groupBy(col("doc_id"))
@@ -375,9 +405,8 @@ object TextOps {
       size(filter(tokens(col("text")), t => length(t) > 0))
         .cast(LongType).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0 && col("token").isin(queryTokens: _*))
+    val toks = docTokens(s, d).select(col("doc_id"), col("token"))
+      .filter(col("token").isin(queryTokens: _*))
     val dfTok = toks.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -704,9 +733,8 @@ object TextOps {
       size(filter(tokens(col("text")), t => length(t) > 0))
         .cast(LongType).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0 && col("token").isin(allTokens: _*))
+    val toks = docTokens(s, d).select(col("doc_id"), col("token"))
+      .filter(col("token").isin(allTokens: _*))
     val dfTok = toks.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -899,9 +927,7 @@ object TextOps {
   def tfidfKeywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
+    val tf = docTokens(s, d)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -965,10 +991,8 @@ object TextOps {
     val c1 = c12
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val v = docs
-      .select(explode(tokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .agg(countDistinct(col("tok")).as("vocab"))
+    val v = docTokens(s, d)
+      .agg(countDistinct(col("token")).as("vocab"))
     val small = Tables.rowCount(s, d, "documents") <= broadcastMaxDocs
     def lm(t: DataFrame): DataFrame = if (small) broadcast(t) else t
     docBg
@@ -1005,9 +1029,7 @@ object TextOps {
     * DECIMAL(18,8) (the chi-square / BM25 precedent) so the statistic
     * hash-compares exactly. */
   def sourceEntropy(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("source"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
+    docTokens(s, d)
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
@@ -1039,9 +1061,7 @@ object TextOps {
   def tfidfTop(s: SparkSession, d: String, perDoc: Int = 3,
       maxDoc: Long = 200): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
+    val toks = docTokens(s, d).select(col("doc_id"), col("token"))
     val dfTok = toks.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1082,9 +1102,7 @@ object TextOps {
   def zipfFit(s: SparkSession, d: String, maxRank: Int = 1000): DataFrame = {
     val d8 = DecimalType(18, 8)
     val d3816 = DecimalType(38, 16)
-    val counts = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
+    val counts = docTokens(s, d)
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c").desc, col("token"))
     val ranked = counts.withColumn("r", row_number().over(w))

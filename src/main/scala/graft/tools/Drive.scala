@@ -164,6 +164,27 @@ object Drive {
         run("continuous", Trigger.Continuous("1 second"))
         run("microbatch", Trigger.ProcessingTime("0 seconds"))
         spark.range(1).toDF("x")
+      case "drainTime" =>
+        // Attribution for the stream_drain_group bench line: the wall of
+        // the 13-query CONCURRENT drain vs one solo single-stream drain.
+        // The gap above (batch-layers × solo-batch cost) is cross-stream
+        // contention on the shared driver machinery (one DAGScheduler
+        // event loop, one SessionState) — the number that decides
+        // whether per-drain child sessions are worth their complexity.
+        graft.streaming.Pipeline.prestage(spark, sfDir)
+        graft.streaming.Pipeline.prestageOrdered(spark, sfDir)
+        for (i <- 1 to 3) {
+          graft.streaming.Pipeline.resetDrains()
+          val t0 = System.nanoTime()
+          graft.streaming.Pipeline.drainGroup(spark, sfDir)
+          println(f"group drain $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        for (i <- 1 to 2) {
+          val t1 = System.nanoTime()
+          graft.streaming.Pipeline.standaloneMetricsDrain(spark, sfDir).count()
+          println(f"solo metrics drain $i: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        }
+        spark.range(1).toDF("x")
       case "simjoinPhases" =>
         // tuning probe for the SSJoin: candidate volume + per-phase wall
         import org.apache.spark.sql.functions._

@@ -366,6 +366,32 @@ object Similarity {
     e.withColumn("c_id", call_function(fname, col("embedding"), col("nrm")))
   }
 
+  /** Top-nProbe nearest cells per row as ONE codegen'd projection — the
+    * probe-side sibling of [[assignToCentroids]]: the window shape
+    * (crossJoin(broadcast(centroids)) → row_number ≤ nProbe) explodes
+    * |rows|·|cells| embedding-wide rows through an exchange+sort to
+    * answer with nProbe ids. Adds `c_ids` (best-first, ordering
+    * bit-identical to the window's (c_cos desc, c_id asc)). */
+  def topCentroidIds(e: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val rows = centroids.select(col("c_id"), col("c_emb"), col("c_nrm"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val embs = rows.map(_.getSeq[Double](1).toArray)
+    val norms = rows.map(_.getDouble(2))
+    val fname = "graft_top_centroids_" +
+      ((scala.util.hashing.MurmurHash3.orderedHash(ids.toSeq) ^
+        scala.util.hashing.MurmurHash3.orderedHash(norms.toSeq) ^
+        nProbe) & 0x7fffffff)
+    e.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NearestCentroidIds(exprs(0), exprs(1), ids, embs, norms, nProbe),
+      "built-in")
+    e.withColumn("c_ids", call_function(fname, col("embedding"), col("nrm")))
+  }
+
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nProbe: Int = 4): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
@@ -1169,15 +1195,13 @@ object Similarity {
     val q = e.filter(col("vec_id") % holdoutMod === 0)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("label").as("true_label"))
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosineFromNorms(col("embedding"), col("c_emb"),
-        col("nrm"), col("c_nrm")))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= nProbe)
+    // probe selection rides the query scan (codegen'd top-nProbe cells);
+    // the old crossJoin(broadcast(centroids)) → row_number shape
+    // exploded |q|·cells embedding-wide rows through an exchange+sort —
+    // 565M rows at the 2M-vector decade — to pick 4 ids per query
+    val probes = topCentroidIds(q, centroids, nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("true_label"), col("c_id"))
+        col("true_label"), explode(col("c_ids")).as("c_id"))
     val voted = voteTopK(probes.join(labCells, Seq("c_id")), k)
     // a query whose probed cells hold NO labeled rows must surface as
     // an explicit null prediction, not silently vanish from the output

@@ -1124,14 +1124,21 @@ object Similarity {
     * vote the surviving labels (ties toward the smaller label). Input
     * must carry vec_id/true_label/embedding/nrm on the query side and
     * n_id/n_emb/n_nrm/n_label on the candidate side. */
-  private def voteTopK(cands: DataFrame, k: Int): DataFrame = {
-    import graft.functions.Native
-    cands
-      .select(col("vec_id"), col("true_label"),
-        Native.sortableDouble(cosineFromNorms(col("embedding"), col("n_emb"),
-          col("nrm"), col("n_nrm"))).as("ord1"),
+  private def voteTopK(cands: DataFrame, k: Int): DataFrame =
+    voteTail(cands
+      .select(col("vec_id"), col("true_label").cast(LongType).as("true_label"),
+        graft.functions.Native.sortableDouble(
+          cosineFromNorms(col("embedding"), col("n_emb"),
+            col("nrm"), col("n_nrm"))).as("ord1"),
         (-col("n_id")).as("ord2"),
-        col("n_label").cast(DoubleType).as("lab"))
+        col("n_label").cast(DoubleType).as("lab")), k)
+
+  /** Vote over already-scored candidate rows (vec_id, true_label,
+    * ord1 = sortable cosine bits, ord2 = −n_id, lab): bounded top-k
+    * per query, then majority with ties toward the smaller label. */
+  private def voteTail(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Native
+    scored
       .groupBy(col("vec_id"), col("true_label"))
       .agg(Native.topKBy(col("ord1"), col("ord2"), col("lab"), k).as("labs"))
       .select(col("vec_id"), col("true_label"), explode(col("labs")).as("lab"))
@@ -1160,6 +1167,72 @@ object Similarity {
     * is already keyed per (corpus, cells)). Same vote pipeline; the
     * spec pins EXACT parity with a plain-Scala recompute of the
     * probed-cell semantics. */
+  /** One per-cell per-query candidate row surviving the local top-k. */
+  private case class ScoredCand(vec_id: Long, true_label: Long,
+      ord1: Long, ord2: Long, lab: Double)
+
+  /** Cell-COGROUP candidate scoring — the IVF classifier's hot loop
+    * without pair-row materialization. The join shape
+    * (probes ⋈ labCells on c_id → project → partial TopKByAgg) is
+    * plan-correct but makes Spark CONSTRUCT one row per (query,
+    * labeled-in-cell) pair, each dragging both 256-byte embeddings —
+    * ~2B × ~0.5 KB of row machinery at the 2M-vector decade for work
+    * that is arithmetically 130 GFLOP. Here each cell's labeled rows
+    * are held once per task as primitive arrays and the queries
+    * probing that cell stream through a tight dot-product loop that
+    * keeps the k best per (query, cell); only those k survivors become
+    * rows. top-k over the union of per-cell top-k equals top-k over
+    * all candidates, and the arithmetic (left-to-right float→double
+    * dot, cos = dot/(nrm·n_nrm)), the sortable-bits order and the
+    * −n_id tie all replicate the codegen'd expressions bit-for-bit —
+    * the plain-Scala parity spec pins the whole path. */
+  private def cellScoredCandidates(probes: DataFrame, labCells: DataFrame,
+      k: Int): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val qds = probes.select(col("c_id"), col("vec_id"),
+        col("embedding"), col("nrm"), col("true_label").cast(LongType))
+      .as[(Long, Long, Array[Float], Double, Long)]
+    val lds = labCells.select(col("c_id"), col("n_id"),
+        col("n_emb"), col("n_nrm"), col("n_label").cast(DoubleType))
+      .as[(Long, Long, Array[Float], Double, Double)]
+    qds.groupByKey(_._1).cogroup(lds.groupByKey(_._1)) { (_, qs, ls) =>
+      val lab = ls.toArray
+      if (lab.isEmpty) Iterator.empty
+      else qs.flatMap { case (_, vid, qe, qn, tl) =>
+        val m = math.min(k, lab.length)
+        val bo = new Array[Long](m)   // ord1 (sortable cosine bits), best-first
+        val bi = new Array[Long](m)   // n_id
+        val bl = new Array[Double](m) // label
+        var filled = 0
+        var c = 0
+        while (c < lab.length) {
+          val (_, nid, ne, nn, nl) = lab(c)
+          val n = math.min(qe.length, ne.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += qe(i).toDouble * ne(i).toDouble; i += 1 }
+          val bits = java.lang.Double.doubleToLongBits(acc / (qn * nn))
+          val ord1 = bits ^ ((bits >> 63) & Long.MaxValue)
+          // keep k best by (ord1 desc, n_id asc); labeled rows arrive in
+          // no particular id order, so equal-ord1 entries order by id
+          var p = filled
+          while (p > 0 && (bo(p - 1) < ord1 ||
+              (bo(p - 1) == ord1 && bi(p - 1) > nid))) p -= 1
+          if (p < m) {
+            var j = math.min(filled, m - 1)
+            while (j > p) { bo(j) = bo(j - 1); bi(j) = bi(j - 1); bl(j) = bl(j - 1); j -= 1 }
+            bo(p) = ord1; bi(p) = nid; bl(p) = nl
+            if (filled < m) filled += 1
+          }
+          c += 1
+        }
+        (0 until filled).iterator.map(idx =>
+          ScoredCand(vid, tl, bo(idx), -bi(idx), bl(idx)))
+      }
+    }.toDF()
+  }
+
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5, nProbe: Int = 4,
       cells: Int = 0): DataFrame = {
@@ -1202,7 +1275,7 @@ object Similarity {
     val probes = topCentroidIds(q, centroids, nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("true_label"), explode(col("c_ids")).as("c_id"))
-    val voted = voteTopK(probes.join(labCells, Seq("c_id")), k)
+    val voted = voteTail(cellScoredCandidates(probes, labCells, k), k)
     // a query whose probed cells hold NO labeled rows must surface as
     // an explicit null prediction, not silently vanish from the output
     // (possible once cells ≈ √|labeled| leaves some cells holdout-only)

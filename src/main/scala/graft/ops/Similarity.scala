@@ -902,7 +902,8 @@ object Similarity {
     * per-cell pair work — constant). The registered query keeps the
     * default; SCALING.md measures a retuned run at 100× fixture scale. */
   def embedNearDupIvf(s: SparkSession, d: String,
-      threshold: Double = 0.4, nCells: Int = 0): DataFrame = {
+      threshold: Double = 0.4, nCells: Int = 0,
+      wideThreshold: Long = SignWideThreshold): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     // nCells = 0 means AUTO, the knnClassifyIvf sizing rule: fixed
     // cells make Σ|cell|² quadratic in the corpus (measured 67.7 s at
@@ -927,7 +928,7 @@ object Similarity {
     // threshold the pure cell join is kept, so fixture-scale results —
     // and the oracled companion — are bit-identical to earlier rounds.
     val verified =
-      if (n <= SignWideThreshold) {
+      if (n <= wideThreshold) {
         assigned.select(col("c_id"), col("vec_id").as("id_a"),
             col("embedding").as("ea"), col("nrm").as("na"))
           .join(assigned.select(col("c_id"), col("vec_id").as("id_b"),
@@ -935,30 +936,95 @@ object Similarity {
           .filter(col("id_b") > col("id_a"))
           .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
       } else {
-        // ids-only through the (cell, band, key) join + pair-distinct;
-        // embeddings join back once per surviving pair (the same
-        // shuffle-bytes discipline as signBandCandidates)
-        val b = assigned.select(col("c_id"), col("vec_id"),
-          posexplode(signBandKeys(wide = false)).as(Seq("t", "key")))
-        val pairs = b.select(col("c_id"), col("t"), col("key"),
-            col("vec_id").as("id_a"))
-          .join(b.select(col("c_id"), col("t"), col("key"),
-            col("vec_id").as("id_b")), Seq("c_id", "t", "key"))
-          .filter(col("id_b") > col("id_a"))
-          .select(col("id_a"), col("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        val en = e.select(col("vec_id"), col("embedding"), col("nrm"))
-        pairs
-          .join(en.select(col("vec_id").as("id_a"),
-            col("embedding").as("ea"), col("nrm").as("na")), Seq("id_a"))
-          .join(en.select(col("vec_id").as("id_b"),
-            col("embedding").as("eb"), col("nrm").as("nb")), Seq("id_b"))
-          .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
+        // in-cell band blocking + verify as ONE CELL COGROUP: a pair
+        // lives in exactly one cell (each vector has one assignment),
+        // so candidate generation, cross-band dedup and the exact
+        // cosine verify can all run in-task over the cell's members —
+        // the previous shape shuffled ~190M 16-byte id pairs at the
+        // 2M-vector decade and then joined both 256-byte embeddings
+        // back per pair (~100 GB of join rows) to do 64 multiplies
+        // each. Band keys stay a COLUMN (bit-identical to the join
+        // formulation); in-task, a pair found in band t is scored only
+        // if the two members share NO earlier band — the standard LSH
+        // exactly-once trick, no seen-set memory. Survivors ≥ threshold
+        // are the only rows that leave the task.
+        cellBandVerifiedPairs(
+          assigned.select(col("c_id"), col("vec_id"), col("embedding"),
+            col("nrm"), signBandKeys(wide = false).as("keys")),
+          threshold)
+          .toDF("id_a", "id_b", "cos")
       }
     verified
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The in-cell blocked-verify loop of [[embedNearDupIvf]]'s wide
+    * regime. Members arrive (c_id, vec_id, embedding, nrm, band keys);
+    * per cell, each band buckets members by key and every same-bucket
+    * id-ordered pair whose FIRST shared band is this one gets the exact
+    * cosine (same left-to-right float→double fold as the codegen'd
+    * expression). Emits pairs at or above the threshold. */
+  private def cellBandVerifiedPairs(members: DataFrame,
+      threshold: Double): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val s = members.sparkSession
+    import s.implicits._
+    members.as[(Long, Long, Array[Float], Double, Array[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val mem = it.toArray
+        if (mem.length < 2) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          val nBands = mem(0)._5.length
+          var t = 0
+          while (t < nBands) {
+            val buckets = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
+            var i = 0
+            while (i < mem.length) {
+              buckets.computeIfAbsent(mem(i)._5(t), _ => new java.util.ArrayList[Integer]())
+                .add(i)
+              i += 1
+            }
+            val bit = buckets.values().iterator()
+            while (bit.hasNext) {
+              val bucket = bit.next()
+              var a = 0
+              while (a < bucket.size() - 1) {
+                var b = a + 1
+                while (b < bucket.size()) {
+                  val ma = mem(bucket.get(a))
+                  val mb = mem(bucket.get(b))
+                  // exactly-once: skip if any EARLIER band already paired them
+                  var tp = 0
+                  var dup = false
+                  while (tp < t && !dup) {
+                    if (ma._5(tp) == mb._5(tp)) dup = true
+                    tp += 1
+                  }
+                  if (!dup) {
+                    val (ea, eb) = (ma._3, mb._3)
+                    val n = math.min(ea.length, eb.length)
+                    var acc = 0.0
+                    var k = 0
+                    while (k < n) { acc += ea(k).toDouble * eb(k).toDouble; k += 1 }
+                    val cos = acc / (ma._4 * mb._4)
+                    if (cos >= threshold) {
+                      if (ma._2 < mb._2) out += ((ma._2, mb._2, cos))
+                      else out += ((mb._2, ma._2, cos))
+                    }
+                  }
+                  b += 1
+                }
+                a += 1
+              }
+            }
+            t += 1
+          }
+          out.iterator
+        }
+      }
   }
 
   /** Embedding-cosine near-duplicate DEDUP blocked on a coarse COLUMN key

@@ -86,6 +86,33 @@ class SimilaritySpec extends SparkSpec {
     info(s"ivf-blocked recall ${found.size}/${truth.size} over $n vectors")
   }
 
+  test("IVF dedup wide regime: the in-cell band cogroup emits exactly the band-colliding subset") {
+    // wideThreshold = 0 forces the >20k-vector regime (in-cell sign-band
+    // sub-blocking verified inside a cell cogroup) on the fixture, where
+    // its contract is checkable against the narrow regime's full
+    // in-cell truth: same cells (the per-(corpus, k) centroid cache),
+    // so wide = { narrow pairs whose members share ≥1 sign-band key },
+    // with bit-identical cosines.
+    val narrow = Similarity.embedNearDupIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos")))
+    val wide = Similarity.embedNearDupIvf(spark, sf, wideThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos")))
+    val keys = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        r.getLong(0) -> Array.tabulate(8)(t =>
+          (0 until 8).map(j => (if (e(8 * t + j) >= 0) 1 else 0) << j).sum)
+      }.toMap
+    val expect = narrow.filter { case (a, b, _) =>
+      (0 until 8).exists(t => keys(a)(t) == keys(b)(t)) }
+    assert(wide.map(p => (p._1, p._2)).toSet ==
+      expect.map(p => (p._1, p._2)).toSet)
+    val wmap = wide.map(p => (p._1, p._2) -> p._3).toMap
+    expect.foreach { case (a, b, c) => assert(wmap((a, b)) == c) }
+    info(s"wide-regime pairs ${wide.length} of ${narrow.length} in-cell truth pairs")
+  }
+
   test("column-blocked dedup equals the in-block all-pairs truth") {
     val e = Tables.embeddings(spark, sf)
     val found = Similarity.embedNearDupBlocked(spark, sf).collect()

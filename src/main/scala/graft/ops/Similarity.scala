@@ -943,14 +943,15 @@ object Similarity {
         // the previous shape shuffled ~190M 16-byte id pairs at the
         // 2M-vector decade and then joined both 256-byte embeddings
         // back per pair (~100 GB of join rows) to do 64 multiplies
-        // each. Band keys stay a COLUMN (bit-identical to the join
-        // formulation); in-task, a pair found in band t is scored only
-        // if the two members share NO earlier band — the standard LSH
-        // exactly-once trick, no seen-set memory. Survivors ≥ threshold
-        // are the only rows that leave the task.
+        // each. Band keys are computed IN-TASK ([[scalaBandKeys]] —
+        // spec-pinned bit-identical to the column form); a pair found
+        // in band t is scored only if the two members share NO earlier
+        // band — the standard LSH exactly-once trick, no seen-set
+        // memory. Survivors ≥ threshold are the only rows that leave
+        // the task.
         cellBandVerifiedPairs(
           assigned.select(col("c_id"), col("vec_id"), col("embedding"),
-            col("nrm"), signBandKeys(wide = false).as("keys")),
+            col("nrm")),
           threshold)
           .toDF("id_a", "id_b", "cos")
       }
@@ -960,22 +961,52 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sign-band keys of one embedding, in plain Scala — bit-for-bit the
+    * [[signBandKeys]] column (bit j of band t set iff coordinate
+    * 8t+j ≥ 0), computed IN-TASK by the wide-regime cogroup. Carrying
+    * the keys as a 64-GetArrayItem array column next to the centroid
+    * scan pushed the generated map-stage method past HotSpot's
+    * 8 KB-bytecode JIT ceiling — the stage stayed whole-stage-codegen
+    * but ran at INTERPRETER speed (measured 428 s for the combined
+    * projection at 200k rows vs 1.3 s + 1.6 s for the same two
+    * column sets projected separately). Eight integer ops per member
+    * inside the task cost nothing and keep the map projection at the
+    * classifier's proven shape. */
+  private def scalaBandKeys(e: Array[Float]): Array[Int] =
+    Array.tabulate(SignBands) { t =>
+      var k = 0
+      var j = 0
+      while (j < SignBitsPerBand) {
+        val idx = SignBitsPerBand * t + j
+        if (idx < e.length && e(idx) >= 0) k |= 1 << j
+        j += 1
+      }
+      k
+    }
+
   /** The in-cell blocked-verify loop of [[embedNearDupIvf]]'s wide
-    * regime. Members arrive (c_id, vec_id, embedding, nrm, band keys);
-    * per cell, each band buckets members by key and every same-bucket
-    * id-ordered pair whose FIRST shared band is this one gets the exact
-    * cosine (same left-to-right float→double fold as the codegen'd
-    * expression). Emits pairs at or above the threshold. */
+    * regime. Members arrive (c_id, vec_id, embedding, nrm); per cell,
+    * each band buckets members by key ([[scalaBandKeys]]) and every
+    * same-bucket id-ordered pair whose FIRST shared band is this one
+    * gets the exact cosine (same left-to-right float→double fold as
+    * the codegen'd expression). Emits pairs at or above the
+    * threshold. */
+  /** Probe-visible alias (tools/Drive dedupWidePhases). */
+  private[graft] def cellBandVerifiedPairsPublic(members: DataFrame,
+      threshold: Double): org.apache.spark.sql.Dataset[(Long, Long, Double)] =
+    cellBandVerifiedPairs(members, threshold)
+
   private def cellBandVerifiedPairs(members: DataFrame,
       threshold: Double): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     val s = members.sparkSession
     import s.implicits._
-    members.as[(Long, Long, Array[Float], Double, Array[Int])]
+    members.as[(Long, Long, Array[Float], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val mem = it.toArray
-        if (mem.length < 2) Iterator.empty
+        val raw = it.toArray
+        if (raw.length < 2) Iterator.empty
         else {
+          val mem = raw.map(m => (m._1, m._2, m._3, m._4, scalaBandKeys(m._3)))
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
           val nBands = mem(0)._5.length
           var t = 0

@@ -164,6 +164,32 @@ object Drive {
         run("continuous", Trigger.Continuous("1 second"))
         run("microbatch", Trigger.ProcessingTime("0 seconds"))
         spark.range(1).toDF("x")
+      case "dedupWidePhases" =>
+        // bisect the wide-regime cell-cogroup dedup: projection alone vs
+        // the grouped scorer (perf attribution for the map-stage wall)
+        import graft.ops.{Similarity => S}
+        import org.apache.spark.sql.functions.col
+        graft.functions.Native.register(spark)
+        def phase[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"PHASE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        val e0 = graft.Tables.embeddings(spark, sfDir)
+          .withColumn("nrm", S.l2norm(col("embedding")))
+        val cents = phase("train")(S.trainedCentroids(spark, sfDir, 447)
+          .withColumn("c_nrm", S.l2norm(col("c_emb"))).localCheckpoint(true))
+        val assigned = S.assignToCentroids(e0, cents)
+        phase("assign-count")(println(assigned.count()))
+        val members = assigned.select(col("c_id"), col("vec_id"), col("embedding"),
+          col("nrm"))
+        import org.apache.spark.sql.functions.{sum => fsum}
+        phase("cid-only-agg")(println(assigned.select(col("c_id"))
+          .agg(fsum(col("c_id"))).head()))
+        phase("cogroup-count")(println(
+          S.cellBandVerifiedPairsPublic(members, 0.4).count()))
+        spark.range(1).toDF("x")
       case "drainTime" =>
         // Attribution for the stream_drain_group bench line: the wall of
         // the 13-query CONCURRENT drain vs one solo single-stream drain.

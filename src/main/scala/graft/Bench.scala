@@ -15,7 +15,24 @@ import org.apache.spark.sql.SparkSession
   * checkpoint, not of minhashing the corpus. cold − warm for the first
   * family member IS the build cost; both totals are printed. Failures
   * are never swallowed: a failing query reports -1 and its error lands
-  * in the "errors" map. */
+  * in the "errors" map.
+  *
+  * ARTIFACT SCHEMA (stable from round 11; consumers of earlier rounds'
+  * files must tolerate both shapes):
+  *  - the synthetic `stream_drain_group` line appears in BOTH per-query
+  *    maps ("queries"/"warm" and "cold") and is INCLUDED in
+  *    warm_total/cold_total and n_ok — full runs therefore report one
+  *    more line than registered queries. It is a real timed component
+  *    (the 13-stream concurrent drain, re-paid every iteration), not a
+  *    query; its oracle evidence lives with the individual streaming
+  *    queries that consume the drained sinks.
+  *  - "cpus" in bench_summary.json is a JSON number whenever the env
+  *    value is numeric (the common case and rounds 1-9's type), quoted
+  *    only for non-numeric forms like "*".
+  *  - since round 11 the `*_check` companion verdicts are per-corpus
+  *    build-once artifacts (Checks.corpusVerdict), so their warm legs
+  *    time a checkpoint read; their real verification work is in the
+  *    cold leg, like every other build-once index. */
 object Bench {
 
   /** Synthetic bench line for the 13-query concurrent streaming drain
@@ -209,6 +226,23 @@ object Bench {
         System.err.println(s"[bench] stream curve skipped: ${e.getMessage}")
         "null"
       }
+    // continuous-engine per-record latency floor (low-latency mode):
+    // regression guard for the round-11 adjudication of the stream
+    // panel — the ~200 ms micro-batch mean is exactly-once machinery,
+    // not an engine floor; map-only continuous mode delivers tens of ms
+    // on the same box (Pipeline.continuousFloorProbe doc). Full runs
+    // only (fixture-independent, so subset scale-curve runs skip it).
+    val streamFloor =
+      if (only.nonEmpty) "null"
+      else try {
+        val (n, mean) = graft.streaming.Pipeline.continuousFloorProbe(
+          spark, durationMs = 8000)
+        val m = f"$mean%.1f"
+        s"""{"records":$n,"mean_ms":$m}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] continuous floor probe skipped: ${e.getMessage}")
+        "null"
+      }
     // fixed 5-query probe subset, printed with every artifact: a stable
     // cross-round host-speed reference (same queries every run, warm
     // timings), so a degraded host shows up as a uniformly-inflated probe
@@ -217,7 +251,7 @@ object Bench {
       "q_token_count", "q_dedup_exact").filter(best.contains)
     val probe = probeNames.map(n => "\"" + n + "\":" + best(n))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sf":"$sfDir"}""")
     // the full line above carries two 160+-entry maps and has been
     // truncated mid-stream by log-tail capture twice (rounds 6/7 —
     // "parsed": null in the driver artifact even on a clean run). This
@@ -250,6 +284,7 @@ object Bench {
            |"cold":$colds,
            |"stream_batch_ms":$streamPanel,
            |"stream_curve":$streamCurve,
+           |"stream_floor_ms":$streamFloor,
            |"errors":$errs
            |}
            |""".stripMargin

@@ -26,11 +26,14 @@ object Tables {
     * session gets for free from its catalog, and is scale-neutral (at
     * 100 TB the listing is *more* expensive, so reusing it matters more).
     *
-    * Keying: (sessionUUID, path, dir-mtime). The session key keeps plans
-    * from leaking across the many short-lived test sessions (a Dataset is
-    * bound to the session that built it); the mtime key makes an
-    * overwrite-in-place of a generated fixture invalidate the entry (the
-    * file-listing snapshot inside the plan would otherwise go stale).
+    * Keying: (sessionUUID, path, content fingerprint). The session key
+    * keeps plans from leaking across the many short-lived test sessions
+    * (a Dataset is bound to the session that built it); the fingerprint
+    * ([[tableFingerprint]] — per-file sizes+mtimes, not the directory
+    * mtime) makes ANY rewrite of a generated fixture invalidate the
+    * entry, including an in-place part-file rewrite that leaves the
+    * directory's own mtime untouched (the file-listing snapshot inside
+    * the plan would otherwise go stale).
     * Bounded LRU so dead sessions' entries age out. */
   private val planCache =
     new java.util.LinkedHashMap[(String, String, Long), DataFrame](64, 0.75f, true) {
@@ -49,13 +52,95 @@ object Tables {
       spark.conf.set("graft.session.tag", t); t
     }
 
+  /** Content fingerprint of one parquet table directory: a fold of
+    * (path, size, mtime) over every regular file under it, in sorted
+    * path order. This — not the directory's own mtime — is the
+    * freshness key for every cached plan/count/artifact: an in-place
+    * part-file rewrite (same file names, so the directory entry set and
+    * its mtime are unchanged) still moves the file's size or mtime, so
+    * the fingerprint moves and the stale cache entry is unreachable.
+    * Same discipline as Similarity.cachedCount's inputFiles hash.
+    * Listing a table dir is tens of entries (hundreds at the generated
+    * scale fixtures) — microseconds against the queries it keys. */
+  private[graft] def tableFingerprint(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return -1L
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 31 + x
+    val st = java.nio.file.Files.walk(p)
+    try {
+      val it = st.sorted().iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (java.nio.file.Files.isRegularFile(f)) {
+          mix(f.toString.hashCode.toLong)
+          mix(java.nio.file.Files.size(f))
+          mix(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+      }
+    } finally st.close()
+    h
+  }
+
+  /** Session + freshness prefix for a cached Dataset derived from the
+    * named tables of corpus `d`: a Dataset is bound to the session that
+    * built it (handing it to a second session in the same JVM fails at
+    * runtime), and serving one built from a since-rewritten fixture
+    * would silently verify nothing — both dimensions key every entry. */
+  private[graft] def artifactTag(s: SparkSession, d: String, tables: Seq[String]): String =
+    sessionTag(s) + "|" + d + "|" +
+      tables.map(t => tableFingerprint(s"$d/$t.parquet")).mkString(",")
+
+  /** One shared memo for every per-corpus checkpointed artifact (dedup
+    * pair index, shingle arrays, window arrays, frozen PSI bins, check
+    * verdicts, …). Callers declare WHICH tables the artifact reads, so
+    * the key carries (session, per-table content fingerprint, params).
+    *
+    * Deliberately lock-free around `build` (get → build → putIfAbsent):
+    * artifacts nest (a verdict builds on the truth index which builds on
+    * the corpus scan), and nesting inside one map's computeIfAbsent is a
+    * documented ConcurrentHashMap hazard. A racing duplicate build is
+    * benign — every artifact is a deterministic function of the
+    * fingerprinted inputs, so first-put-wins returns an equal value.
+    * Bounded: one arbitrary entry evicted past 192 (dead sessions' and
+    * stale fingerprints' checkpoints age out; rebuilding after eviction
+    * is correct, just one extra build). */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Any), AnyRef]()
+
+  private[graft] def artifact[T <: AnyRef](s: SparkSession, d: String,
+      tables: Seq[String], key: Any)(build: => T): T = {
+    val k = (artifactTag(s, d, tables), key)
+    val hit = artifactCache.get(k)
+    if (hit != null) return hit.asInstanceOf[T]
+    val v = build
+    if (artifactCache.size > 192) {
+      val it = artifactCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    val prev = artifactCache.putIfAbsent(k, v.asInstanceOf[AnyRef])
+    if (prev != null) prev.asInstanceOf[T] else v
+  }
+
+  /** Like [[artifact]] for plain driver-side values (trained centroids,
+    * PQ codebooks, counts) — freshness-keyed but session-free, since a
+    * value is not bound to the session that computed it. */
+  private[graft] def corpusValue[T <: AnyRef](d: String,
+      tables: Seq[String], key: Any)(build: => T): T = {
+    val fp = tables.map(t => tableFingerprint(s"$d/$t.parquet")).mkString(",")
+    val k = (s"$d|$fp", key)
+    val hit = artifactCache.get(k)
+    if (hit != null) return hit.asInstanceOf[T]
+    val v = build
+    val prev = artifactCache.putIfAbsent(k, v.asInstanceOf[AnyRef])
+    if (prev != null) prev.asInstanceOf[T] else v
+  }
+
   private def cached(spark: SparkSession, path: String, variant: String = "")(
       build: => DataFrame): DataFrame = {
-    val mtime =
-      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
-      catch { case scala.util.control.NonFatal(_) => -1L }
+    val fp = tableFingerprint(path)
     val tag = sessionTag(spark)
-    val key = (tag, path + variant, mtime)
+    val key = (tag, path + variant, fp)
     planCache.synchronized {
       val hit = planCache.get(key)
       if (hit != null) hit
@@ -68,20 +153,17 @@ object Tables {
     cached(spark, p)(spark.read.parquet(p))
   }
 
-  /** Memoized table row count per (path, mtime) — size-regime gates
-    * (artifact materialization, exact-vs-blocked routing) and samplers
-    * consult the corpus size repeatedly; the count itself is one
-    * metadata-cheap scan and, unlike a DataFrame, is not bound to the
-    * session that computed it. */
+  /** Memoized table row count per (path, content fingerprint) —
+    * size-regime gates (artifact materialization, exact-vs-blocked
+    * routing) and samplers consult the corpus size repeatedly; the count
+    * itself is one metadata-cheap scan and, unlike a DataFrame, is not
+    * bound to the session that computed it. */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
   def rowCount(s: SparkSession, d: String, name: String): Long = {
     val p = s"$d/$name.parquet"
-    val mtime =
-      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(p)).toMillis
-      catch { case scala.util.control.NonFatal(_) => -1L }
-    countCache.computeIfAbsent((p, mtime),
+    countCache.computeIfAbsent((p, tableFingerprint(p)),
       _ => java.lang.Long.valueOf(load(s, d, name).count())).longValue()
   }
 

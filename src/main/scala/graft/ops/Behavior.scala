@@ -122,12 +122,9 @@ object Behavior {
     * index (same production shape as Dedup's LSH pair index) — built
     * once per (JVM, corpus), checkpointed, shared by every downstream
     * graph query. Bench attributes the build via its cold column. */
-  private val pairCountsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   def coPurchasePairCounts(s: SparkSession, d: String): DataFrame =
-    pairCountsCache.computeIfAbsent(d,
-      _ => coPurchasePairCountsUncached(s, d).localCheckpoint(true))
+    Tables.artifact(s, d, Seq("events"), "coPurchasePairCounts")(
+      coPurchasePairCountsUncached(s, d).localCheckpoint(true))
 
   private def coPurchasePairCountsUncached(s: SparkSession, d: String): DataFrame = {
     val pd = Tables.events(s, d)
@@ -195,17 +192,14 @@ object Behavior {
     * bitmaps with AND+popcount. Checkpointed per (corpus, k) — the kNN
     * edge set IS the graph index; Bench's cold column attributes the
     * build. */
-  private val knnEdgesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
-
   def coPurchaseKnnEdges(s: SparkSession, d: String, k: Int = 3): DataFrame =
-    knnEdgesCache.computeIfAbsent((d, k), _ => {
+    Tables.artifact(s, d, Seq("events"), s"coPurchaseKnnEdges:$k") {
       val pd = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
         .distinct()
       knnEdgesFromActivity(s, pd, k)
-    })
+    }
 
   /** The two regime stats plus the day-index base, one pass each over
     * the (user, day) activity set — tiny metadata actions against a
@@ -464,11 +458,8 @@ object Behavior {
     * no component row, in both engines). Labels are the component's
     * minimum user id — exact, so the oracle is the same recursive-CTE
     * transitive closure already proved for the dedup clusters. */
-  private val componentsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
-
   def coPurchaseComponents(s: SparkSession, d: String, k: Int = 3): DataFrame =
-    componentsCache.computeIfAbsent((d, k), _ => {
+    Tables.artifact(s, d, Seq("events"), s"coPurchaseComponents:$k") {
       // the labeled node set is a built artifact of the corpus, like
       // the kNN edge index it derives from: the O(log diameter)
       // propagation rounds run once per (corpus, k) and later calls
@@ -481,7 +472,7 @@ object Behavior {
         edges.select(col("ua").as("id_a"), col("ub").as("id_b")))
         .select(col("doc_id").as("user_id"), col("component"))
         .localCheckpoint(true)
-    }).orderBy(col("user_id"))
+    }.orderBy(col("user_id"))
 
   /** Markov TRANSITION counts: for each user's event sequence (ordered
     * by time, event_id tiebreak), count (from_type → to_type) steps —

@@ -51,18 +51,24 @@ object Checks {
     * build-once convention of the dedup pair index and the k-means
     * centroids (Bench doc): the first run on a corpus — Bench's cold
     * leg — pays the sketch scans and intersect jobs; later runs read
-    * the checkpointed rows. Keyed by (session, corpus, params) since a
-    * Dataset is bound to the session that built it. */
-  private val verdictCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-
-  private def corpusVerdict(s: SparkSession, key: String)(
-      build: => DataFrame): DataFrame =
-    verdictCache.computeIfAbsent((graft.Tables.sessionTag(s), key),
-      _ => build.localCheckpoint(true))
+    * the checkpointed rows. Routed through [[Tables.artifact]], so the
+    * key carries (session, content fingerprint of the named input
+    * tables, params): a Dataset is bound to the session that built it,
+    * and a fixture regenerated in place mid-session must re-verify, not
+    * serve the stale verdict.
+    *
+    * BENCH SEMANTICS NOTE: because verdicts are corpus constants, a
+    * check query's warm bench leg times a checkpoint read, not the
+    * verification work — the cold leg carries the real sketch scans
+    * and intersect jobs (the suite-wide build-once convention; see
+    * Bench's scaladoc). */
+  private def corpusVerdict(s: SparkSession, d: String, tables: Seq[String],
+      key: String)(build: => DataFrame): DataFrame =
+    graft.Tables.artifact(s, d, tables, s"verdict:$key")(
+      build.localCheckpoint(true))
 
   def approxDistinctCheck(s: SparkSession, d: String): DataFrame =
-      corpusVerdict(s, s"approxDistinct:$d") {
+      corpusVerdict(s, d, Seq("lineitem"), s"approxDistinct:$d") {
     val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey"))
     val exact = li.groupBy(col("l_suppkey"), col("l_partkey")).agg(Map.empty[String, String])
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
@@ -150,21 +156,21 @@ object Checks {
     * pipeline is seeded/deterministic, so the booleans are stable.
     * Measured margin on the driver fixtures: LSH 0.50 (sf0.01) / 0.60
     * (sf0.1), IVF 0.54 / 0.50 — comfortably above the 0.3 floor. */
-  private val annTruthCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def annTruth(s: SparkSession, d: String): DataFrame =
+    graft.Tables.artifact(s, d, Seq("embeddings"), "annTruth")(
+      Similarity.bruteForceTopK(s, d).select(col("q_id"), col("n_id"))
+        .localCheckpoint(true))
 
   def annRecallCheck(s: SparkSession, d: String,
       floorLsh: Double = 0.3, floorIvf: Double = 0.3): DataFrame =
-      corpusVerdict(s, s"annRecall:$d:$floorLsh:$floorIvf") {
+      corpusVerdict(s, d, Seq("embeddings"), s"annRecall:$floorLsh:$floorIvf") {
     // each result is a tiny (queries × k) id set consumed by several
     // counting actions — localCheckpoint materializes each underlying
     // scan/rerank exactly once instead of once per action; the
     // brute-force TRUTH is additionally a pure corpus artifact, cached
     // per (JVM, corpus) like the all-pairs truth below (q_ann_bruteforce
     // itself stays uncached so its bench number remains the real scan)
-    val truth = annTruthCache.computeIfAbsent(d, _ =>
-      Similarity.bruteForceTopK(s, d).select(col("q_id"), col("n_id"))
-        .localCheckpoint(true))
+    val truth = annTruth(s, d)
     val lsh = Similarity.lshTopK(s, d).select(col("q_id"), col("n_id"))
       .localCheckpoint(true)
     val ivf = Similarity.ivfTopK(s, d).select(col("q_id"), col("n_id"))
@@ -189,10 +195,8 @@ object Checks {
     * argmin == operator codes). */
   def annPqCheck(s: SparkSession, d: String,
       floorPq: Double = 0.7, floorIvfPq: Double = 0.6): DataFrame =
-      corpusVerdict(s, s"annPq:$d:$floorPq:$floorIvfPq") {
-    val truth = annTruthCache.computeIfAbsent(d, _ =>
-      Similarity.bruteForceTopK(s, d).select(col("q_id"), col("n_id"))
-        .localCheckpoint(true))
+      corpusVerdict(s, d, Seq("embeddings"), s"annPq:$floorPq:$floorIvfPq") {
+    val truth = annTruth(s, d)
     val pq = Similarity.pqTopK(s, d).select(col("q_id"), col("n_id"))
       .localCheckpoint(true)
     // composed-index recall at the round-11 operating point (nProbe=8,
@@ -225,11 +229,8 @@ object Checks {
     * of the invariant checks and is a pure corpus artifact — built once
     * per JVM and shared across counting actions AND repeat runs (Bench
     * attributes the build via its cold column). */
-  private val truthPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
-
   private def truthPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
-    truthPairsCache.computeIfAbsent((d, threshold), _ => {
+    graft.Tables.artifact(s, d, Seq("embeddings"), s"truthPairs:$threshold") {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           Similarity.l2norm(col("embedding")).as("nrm"))
@@ -242,11 +243,11 @@ object Checks {
           col("na"), col("nb")) >= threshold)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(true)
-    })
+    }
 
   def embedIvfDedupCheck(s: SparkSession, d: String,
       threshold: Double = 0.4, coverageFloor: Double = 0.25): DataFrame =
-      corpusVerdict(s, s"embedIvfDedup:$d:$threshold:$coverageFloor") {
+      corpusVerdict(s, d, Seq("embeddings"), s"embedIvfDedup:$threshold:$coverageFloor") {
     graft.functions.Native.register(s)
     val truth = truthPairs(s, d, threshold)
     val found = Similarity.embedNearDupIvf(s, d, threshold)
@@ -275,7 +276,7 @@ object Checks {
     * param is unused by construction: the fixture must exceed the
     * threshold regardless of the driver corpus's size. */
   def widebandRecallCheck(s: SparkSession, d: String): DataFrame =
-      corpusVerdict(s, s"wideband:$d") {
+      corpusVerdict(s, d, Seq("embeddings"), s"wideband") {
     graft.functions.Native.register(s)
     val n = 21000
     val nPlanted = 50
@@ -435,13 +436,11 @@ object Checks {
     *   - `coverage_ok` — at least `coverageFloor` of queries are covered. */
   // the exact classifier is the truth side of the IVF parity check —
   // one computation per corpus, same per-JVM discipline as annTruthCache
-  private val knnExactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def knnClassifyIvfCheck(s: SparkSession, d: String,
       agreeFloor: Double = 0.25, coverageFloor: Double = 0.9): DataFrame =
-      corpusVerdict(s, s"knnIvf:$d:$agreeFloor:$coverageFloor") {
-    val exact = knnExactCache.computeIfAbsent(d, _ =>
+      corpusVerdict(s, d, Seq("embeddings"), s"knnIvf:$agreeFloor:$coverageFloor") {
+    val exact = graft.Tables.artifact(s, d, Seq("embeddings"), "knnExact")(
       Similarity.knnClassify(s, d)
         .select(col("vec_id"), col("pred_label").as("exact_label"))
         .localCheckpoint(true))

@@ -114,8 +114,6 @@ object Chunked {
     * At 100 TB this is the storage/recompute trade a production
     * training pipeline makes explicitly (windows written once,
     * consumed by N trainers). */
-  private val windowArrayCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
 
   /** Above this many events the artifact is NOT materialized — k×8
     * bytes per row (48 GB at 100M events × k=60) stops being a
@@ -133,16 +131,25 @@ object Chunked {
         Seq(collect_list(col("value")).over(w).as("w"))
       }
         .select(col("event_id"), col("event_type"), col("w"))
-    val cached = windowArrayCache.get((d, k))
-    if (cached != null) cached
-    else if (graft.Tables.rowCount(s, d, "events") > WindowArtifactMaxRows) build
-    else windowArrayCache.computeIfAbsent((d, k), _ => build.localCheckpoint(true))
+    if (graft.Tables.rowCount(s, d, "events") > WindowArtifactMaxRows) build
+    else graft.Tables.artifact(s, d, Seq("events"), s"windowArrays:$k")(
+      build.localCheckpoint(true))
   }
+
+  /** Session + freshness component folded into the corpus slot of both
+    * cache keys: the cached mapping/boundary DataFrames are bound to the
+    * session that built them, and for path-shaped corpus tags the events
+    * fingerprint invalidates entries when the fixture is rewritten in
+    * place (non-path tags — tests — fingerprint to the constant -1 and
+    * rely on the documented corpus-string identity contract). */
+  private def cacheTag(df: DataFrame, corpus: String): String =
+    graft.Tables.sessionTag(df.sparkSession) + "|" +
+      graft.Tables.tableFingerprint(s"$corpus/events.parquet") + "|" + corpus
 
   private[graft] def chunkPlanCached(df: DataFrame, corpus: String, series: String,
       time: String, minRows: Long, nBoundaries: Int): (Column, DataFrame) =
     planCache.computeIfAbsent(
-      (corpus, df.columns.mkString(","), series, time, minRows, nBoundaries),
+      (cacheTag(df, corpus), df.columns.mkString(","), series, time, minRows, nBoundaries),
       _ => chunkPlan(df, series, time, minRows, nBoundaries))
 
   /** The (series, candidateChunk) → finalChunk assignment as a tiny
@@ -237,7 +244,7 @@ object Chunked {
     // frame columns out of its WindowExec (only _n/_nf are referenced),
     // so even the first computation skips the collect_list work.
     val boundary = boundaryCache.computeIfAbsent(
-      (corpus, df.columns.mkString(","), series, time, id, k, minRows, nBoundaries),
+      (cacheTag(df, corpus), df.columns.mkString(","), series, time, id, k, minRows, nBoundaries),
       _ => windowed
         .filter(col("_n") < k || col("_nf") < k)
         .select((df.columns.map(col) :+ col("_fc") :+ col("_n") :+ col("_nf")): _*)

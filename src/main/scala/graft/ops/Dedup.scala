@@ -47,11 +47,8 @@ object Dedup {
     * self-join evaluates the tokenize+slide+distinct UDF twice over the
     * corpus, per query — the same build-once lifecycle as the SSJoin's
     * tokenizedDocs. */
-  private val shingleDocsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def shingleDocs(s: SparkSession, d: String): DataFrame =
-    shingleDocsCache.computeIfAbsent(d, _ =>
+    Tables.artifact(s, d, Seq("documents"), "shingleDocs")(
       Tables.documents(s, d)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -142,12 +139,9 @@ object Dedup {
     * build-once lifecycle as [[Similarity.trainedCentroids]]. The
     * checkpointed result is tiny (matched pairs only), so the cache
     * stores kilobytes while saving the shingle+signature scans. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
-
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
-    pairsCache.computeIfAbsent((d, threshold),
-      _ => minhashLshPairsUncached(s, d, threshold).localCheckpoint(true))
+    Tables.artifact(s, d, Seq("documents"), s"minhashLshPairs:$threshold")(
+      minhashLshPairsUncached(s, d, threshold).localCheckpoint(true))
 
   private def minhashLshPairsUncached(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = shingleDocs(s, d)
@@ -490,11 +484,8 @@ object Dedup {
     * staged tokenization artifact every set-similarity pass consumes.
     * Without it the parse + array_sort subtree re-executes once per use
     * site (the candidate self-join alone plans it twice). */
-  private val tokenizedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def tokenizedDocs(s: SparkSession, d: String): DataFrame =
-    tokenizedCache.computeIfAbsent(d, _ =>
+    Tables.artifact(s, d, Seq("documents"), "tokenizedDocs")(
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           array_distinct(TextOps.tokens(col("text"))).as("tk"))

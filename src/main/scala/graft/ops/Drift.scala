@@ -118,10 +118,8 @@ object Drift {
     * production monitor persists them when the model ships), so every
     * consumer — the batch PSI, the streaming drain, the drained-table
     * reader — reads one build. */
-  private val rangesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def psiRanges(s: SparkSession, d: String): DataFrame =
-    rangesCache.computeIfAbsent(d, _ =>
+    graft.Tables.artifact(s, d, Seq("events"), "psiRanges")(
       tagged(s, d).filter(col("is_ref"))
         .groupBy(col("event_type"))
         .agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"))
@@ -131,10 +129,8 @@ object Drift {
     * production monitor persists when the model ships, recomputed here
     * deterministically from the corpus's early half (checkpointed per
     * (corpus, bins) like the ranges). */
-  private val refCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
   def psiReference(s: SparkSession, d: String, nBins: Int = 10): DataFrame =
-    refCache.computeIfAbsent((d, nBins), _ => {
+    graft.Tables.artifact(s, d, Seq("events"), s"psiReference:$nBins") {
       val t = tagged(s, d).filter(col("is_ref"))
       val ranges = psiRanges(s, d)
       val cells = t.join(broadcast(ranges), Seq("event_type"))
@@ -150,7 +146,7 @@ object Drift {
         .select(col("event_type"), col("bin"),
           ((col("ca") + lit(0.5)) / (col("na") + lit(nBins * 0.5))).as("p_ref"))
         .localCheckpoint(true)
-    })
+    }
 
   def psiDrift(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
     val t = tagged(s, d)

@@ -258,7 +258,7 @@ object Market {
     * ([[rsi]]) re-consume it; at 100 TB this is the staged returns
     * table every indicator job reads. */
   def returns(s: SparkSession, d: String): DataFrame =
-    returnsCache.computeIfAbsent(d, _ =>
+    graft.Tables.artifact(s, d, Seq("events"), "returns")(
       Chunked.frames(
         Tables.events(s, d).select(col("event_id"), col("event_type"),
           col("ts"), col("value")),
@@ -276,9 +276,6 @@ object Market {
           when(col("prev") =!= 0.0, col("value") / col("prev") - lit(1.0))
             .as("ret"))
         .localCheckpoint(true))
-
-  private val returnsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Ordered output view of [[returns]] for the driver contract (the
     * raw event-time column stays internal — timestamps never compare

@@ -299,8 +299,6 @@ object Similarity {
     * snapshot and REUSED by every index/search/dedup query against it,
     * not re-trained per query. The centroid table is k×dim doubles
     * (tiny), so it round-trips through the driver safely. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Seq[Double])]]()
 
   /** Coarse-quantizer TRAINING CAP (mirrors [[PqTrainCap]]): Lloyd's
     * rounds broadcast k centroids against every training row, so
@@ -315,7 +313,9 @@ object Similarity {
   val KmTrainCap = 65536L
 
   def trainedCentroids(s: SparkSession, d: String, k: Int): DataFrame = {
-    val rows = centroidCache.computeIfAbsent((d, k), _ => {
+    // freshness-keyed per (corpus fingerprint, k): regenerating the
+    // fixture in place must retrain, not serve the old snapshot's model
+    val rows = graft.Tables.corpusValue(d, Seq("embeddings"), s"centroids:$k") {
       val e = corpus(s, d)
       val n = e.count()
       val sample =
@@ -323,7 +323,7 @@ object Similarity {
         else e.filter(pmod(xxhash64(col("vec_id")), lit(n)) < lit(KmTrainCap))
       kmeansCentroids(sample, k).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq
-    })
+    }
     import s.implicits._
     rows.toDF("c_id", "c_emb")
   }
@@ -461,11 +461,8 @@ object Similarity {
     * bit-identical codes. */
   val PqTrainCap = 65536L
 
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
-
   private[graft] def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    pqCache.computeIfAbsent(d, { _ =>
+    graft.Tables.corpusValue(d, Seq("embeddings"), "pqCodebooks") {
       val ds = 64 / PqM
       val e = corpus(s, d)
       val n = e.count()
@@ -517,7 +514,7 @@ object Similarity {
         cb = next
       }
       cb
-    })
+    }
 
   /** PQ encoder (the index build): normalized vector → [[PqM]] 4-bit
     * codes, each the L2-nearest codebook entry of its subspace. A UDF

@@ -30,9 +30,6 @@ object TextOps {
     * arrays: past [[TokenArtifactMaxDocs]] the checkpoint (token rows
     * ≈ avg-doc-length × docs) stops being a storage win and consumers
     * recompute the split inline — the pre-artifact plan. */
-  private val docTokensCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-
   private[graft] val TokenArtifactMaxDocs = 1000000L
 
   private[graft] def docTokens(s: SparkSession, d: String): DataFrame = {
@@ -45,11 +42,9 @@ object TextOps {
         Seq(explode(tokens(col("text"))).as("token"))
       docs.select(cols: _*).filter(length(col("token")) > 0)
     }
-    val key = (Tables.sessionTag(s), d)
-    val hit = docTokensCache.get(key)
-    if (hit != null) hit
-    else if (Tables.rowCount(s, d, "documents") > TokenArtifactMaxDocs) build
-    else docTokensCache.computeIfAbsent(key, _ => build.localCheckpoint(true))
+    if (Tables.rowCount(s, d, "documents") > TokenArtifactMaxDocs) build
+    else Tables.artifact(s, d, Seq("documents"), "docTokens")(
+      build.localCheckpoint(true))
   }
 
   /** Deterministic content-hash train/val/test split: the first hex
@@ -995,10 +990,19 @@ object TextOps {
       .agg(countDistinct(col("token")).as("vocab"))
     val small = Tables.rowCount(s, d, "documents") <= broadcastMaxDocs
     def lm(t: DataFrame): DataFrame = if (small) broadcast(t) else t
-    docBg
-      .join(lm(c12), Seq("bigram"))
+    // ONE bigram-keyed LM table: c1 folds into c12 at BIGRAM-TYPE scale
+    // (the w1 exchange moves ~30M type rows at gen1000x), so the
+    // occurrence-scale docBg pays a single LM join on bigram instead of
+    // two — the old shape re-exchanged the joined OCCURRENCE table on w1
+    // (~600M rows at 5M docs) just to look up c1. Values are untouched:
+    // same (c12, c1) per bigram, and the per-doc sum is order-free by
+    // the DECIMAL(18,8) term quantization.
+    val lmTable = c12
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .join(lm(c1), Seq("w1"))
+      .join(c1, Seq("w1"))
+      .select(col("bigram"), col("c12"), col("c1"))
+    docBg
+      .join(lm(lmTable), Seq("bigram"))
       .crossJoin(broadcast(v))
       .withColumn("nll_term",
         (col("k") * -log((col("c12") + 1.0) / (col("c1") + col("vocab"))))

@@ -88,7 +88,12 @@ object Windows {
     graft.functions.Native.register(s)
     Chunked.windowArrays(s, d, k)
       .select(col("event_id"),
-        (graft.functions.Native.centsArraySum(col("w")) / 100.0).as("w_sum"),
+        // collect_list drops nulls, so an all-null frame arrives as an
+        // empty array; SQL sum over all nulls is NULL, not 0 — guard the
+        // empty case explicitly (w_min/w_max are already null there)
+        when(size(col("w")) === 0, lit(null).cast(DoubleType))
+          .otherwise(graft.functions.Native.centsArraySum(col("w")) / 100.0)
+          .as("w_sum"),
         array_min(col("w")).as("w_min"),
         array_max(col("w")).as("w_max"))
       .orderBy(col("event_id"))

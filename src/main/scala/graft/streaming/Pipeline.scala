@@ -255,11 +255,25 @@ object Pipeline {
       withStreamShuffle(s) {
         val started = scala.collection.mutable.ArrayBuffer[(String, String, StreamingQuery)]()
         try {
-          drainLaunchers.foreach { case (name, launch) =>
-            val (sink, q) = launch(s, d)
-            started += ((name, sink, q))
+          // Wave knob (SPARK_GRAFT_DRAIN_WAVES, default 1 = one fully
+          // concurrent group): the 13 concurrent drains contend on the
+          // shared single-driver machinery (one DAGScheduler event loop
+          // + listener bus — PROFILE_r11 measured ~3 s of the ~5 s group
+          // wall as cross-stream contention, invariant under per-drain
+          // child sessions). Waves trade concurrency for contention;
+          // semantics are untouched either way (each drain keeps its own
+          // checkpoint/sink/state — only WHEN micro-batches run moves).
+          val waves = math.max(1,
+            sys.env.getOrElse("SPARK_GRAFT_DRAIN_WAVES", "1").toInt)
+          val perWave = (drainLaunchers.size + waves - 1) / waves
+          drainLaunchers.grouped(perWave).foreach { wave =>
+            val launched = wave.map { case (name, launch) =>
+              val (sink, q) = launch(s, d)
+              started += ((name, sink, q))
+              q
+            }
+            launched.foreach(_.awaitTermination())
           }
-          started.foreach(_._3.awaitTermination())
         } catch {
           case e: Throwable =>
             // stop the survivors so a failed group never leaks running
@@ -902,6 +916,64 @@ object Pipeline {
         s"listener terminated event for latency probe $runId not received in time")
       lst.metricsDf(s, runId)
     } finally s.streams.removeListener(lst)
+  }
+
+  /** In-JVM sink for [[continuousFloorProbe]]: accumulators only report
+    * at task COMPLETION, and continuous-mode tasks are long-running
+    * until the query is stopped (their updates die with the kill), so
+    * the probe collects into driver-shared static state — valid exactly
+    * because local[*] runs executors in the driver JVM. */
+  private object FloorCollector {
+    private val cnt = new java.util.concurrent.atomic.AtomicLong(0)
+    private val sum = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = { cnt.set(0); sum.set(0) }
+    def add(latMs: Long): Unit = { cnt.incrementAndGet(); sum.addAndGet(latMs) }
+    def snapshot(): (Long, Long) = (cnt.get(), sum.get())
+  }
+
+  /** LOW-LATENCY MODE floor: per-record end-to-end latency of a
+    * rate-source → map → ForeachWriter pipeline under the given trigger
+    * (default Trigger.Continuous — Spark's epoch-based continuous
+    * engine, at-least-once, map-only operators). This is the measured
+    * adjudication of the stream panel (SCALING.md round 11): the ~200 ms
+    * micro-batch per-batch mean is the price of exactly-once
+    * checkpointed state, NOT an engine latency floor — where map-only
+    * semantics suffice, continuous mode delivers tens of ms on the same
+    * box (54 ms measured round 11 vs 607 ms micro-batch end-to-end).
+    * Registered as the `stream_floor_ms` bench artifact line so the
+    * claim is regression-guarded, not a one-time prose note.
+    *
+    * Per-record latency = wall clock at ForeachWriter.process() minus
+    * the rate source's own event timestamp. Returns (records, mean ms);
+    * (0, -1) if nothing arrived. */
+  def continuousFloorProbe(s: SparkSession, durationMs: Long = 10000,
+      rowsPerSecond: Int = 200,
+      trigger: Trigger = Trigger.Continuous("1 second")): (Long, Double) = {
+    import org.apache.spark.sql.{ForeachWriter, Row}
+    FloorCollector.reset()
+    val writer = new ForeachWriter[Row] {
+      def open(partitionId: Long, epochId: Long): Boolean = true
+      def process(r: Row): Unit = {
+        val ts = r.getAs[java.sql.Timestamp]("timestamp").getTime
+        FloorCollector.add(System.currentTimeMillis() - ts)
+      }
+      def close(errorOrNull: Throwable): Unit = ()
+    }
+    val q = s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .selectExpr("timestamp", "value", "value % 97 AS bucket")
+      .writeStream.outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", tmp("graft_cont_"))
+      .foreach(writer)
+      .start()
+    Thread.sleep(durationMs)
+    val err = q.exception
+    q.stop()
+    err.foreach(e => throw new IllegalStateException(
+      s"continuous floor probe query failed: ${e.getMessage}", e))
+    val (cnt, sum) = FloorCollector.snapshot()
+    (cnt, if (cnt == 0) -1.0 else sum.toDouble / cnt)
   }
 
   /** Stateful streaming (T5 extension, explicitly beyond parity — the

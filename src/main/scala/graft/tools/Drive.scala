@@ -123,43 +123,17 @@ object Drive {
         // The round-8 floor experiment: is the ~200 ms micro-batch mean a
         // micro-batch-machinery floor, or could Spark's continuous engine
         // beat it on the append-only leg? Both modes run the SAME
-        // rate-source → ForeachWriter pipeline (no files, no state), so
-        // the comparison isolates trigger machinery from source/sink
-        // costs. Per-record latency = wall at process() minus the rate
-        // source's own event timestamp.
-        import org.apache.spark.sql.{ForeachWriter, Row}
+        // rate-source → map → ForeachWriter pipeline (no files, no
+        // state), so the comparison isolates trigger machinery from
+        // source/sink costs. The probe itself now lives in
+        // Pipeline.continuousFloorProbe (it is also Bench's
+        // stream_floor_ms artifact line); this tool keeps the
+        // side-by-side comparison at the longer 20 s horizon.
         import org.apache.spark.sql.streaming.Trigger
-        // accumulators only report at task COMPLETION, and continuous-mode
-        // tasks are long-running until the query is stopped (their updates
-        // die with the kill) — so the probe collects into a static
-        // in-JVM sink instead, valid exactly because local[*] runs
-        // executors in the driver JVM
         def run(label: String, trigger: Trigger): Unit = {
-          StreamFloorCollector.reset()
-          val writer = new ForeachWriter[Row] {
-            def open(partitionId: Long, epochId: Long): Boolean = true
-            def process(r: Row): Unit = {
-              val ts = r.getAs[java.sql.Timestamp]("timestamp").getTime
-              StreamFloorCollector.add(System.currentTimeMillis() - ts)
-            }
-            def close(errorOrNull: Throwable): Unit = ()
-          }
-          val q = spark.readStream.format("rate")
-            .option("rowsPerSecond", "200").load()
-            .selectExpr("timestamp", "value", "value % 97 AS bucket")
-            .writeStream.outputMode("append")
-            .trigger(trigger)
-            .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory(s"graft_cont_$label").toString)
-            .foreach(writer)
-            .start()
-          Thread.sleep(20000)
-          val err = q.exception
-          q.stop()
-          err.foreach(e => println(s"$label QUERY EXCEPTION: ${e.getMessage.take(300)}"))
-          val (cnt, sum) = StreamFloorCollector.snapshot()
-          println(f"$label%-12s records=$cnt " +
-            f"mean_record_latency_ms=${if (cnt == 0) -1.0 else sum.toDouble / cnt}%.1f")
+          val (cnt, mean) = graft.streaming.Pipeline.continuousFloorProbe(
+            spark, durationMs = 20000, trigger = trigger)
+          println(f"$label%-12s records=$cnt mean_record_latency_ms=$mean%.1f")
         }
         run("continuous", Trigger.Continuous("1 second"))
         run("microbatch", Trigger.ProcessingTime("0 seconds"))
@@ -479,12 +453,3 @@ object Drive {
   }
 }
 
-/** Static latency collector for the streamFloor probe — valid only under
-  * local[*] (executors share the driver JVM). */
-object StreamFloorCollector {
-  private val cnt = new java.util.concurrent.atomic.AtomicLong(0)
-  private val sum = new java.util.concurrent.atomic.AtomicLong(0)
-  def reset(): Unit = { cnt.set(0); sum.set(0) }
-  def add(latMs: Long): Unit = { cnt.incrementAndGet(); sum.addAndGet(latMs) }
-  def snapshot(): (Long, Long) = (cnt.get(), sum.get())
-}

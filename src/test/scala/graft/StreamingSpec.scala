@@ -294,4 +294,16 @@ class StreamingSpec extends SparkSpec {
     // the drained per-day totals conserve the corpus: Σ n_day == rows
     assert(rows.map(_.getAs[Long]("n_day")).sum == e.count())
   }
+
+  test("continuous-trigger pipeline drains: the stream_floor_ms probe delivers records") {
+    // regression guard for the low-latency mode behind Bench's
+    // stream_floor_ms line: the epoch-based continuous engine must still
+    // run the rate→map→foreach pipeline and deliver records end-to-end.
+    // Short horizon (4 s at 200 rows/s) — the spec pins LIVENESS, not
+    // the latency number itself (that is the bench artifact's job).
+    val (records, meanMs) = graft.streaming.Pipeline.continuousFloorProbe(
+      spark, durationMs = 4000, rowsPerSecond = 200)
+    assert(records > 0, "continuous engine delivered no records")
+    assert(meanMs > 0.0)
+  }
 }

@@ -309,6 +309,16 @@ case class NearestCentroidId(emb: Expression, nrm: Expression,
     val x = a.asInstanceOf[ArrayData]
     val nv = b.asInstanceOf[Double]
     val ne = x.numElements()
+    // hoist the row's coordinates into a primitive array ONCE: the
+    // centroid loop otherwise pays an ArrayData virtual get per
+    // (centroid, coordinate) — |cells|×dim calls per row, the measured
+    // wall of the 2M-vector assignment phase (same fix in codegen)
+    val xv = new Array[Double](ne)
+    var h = 0
+    while (h < ne) {
+      xv(h) = if (isFloat) x.getFloat(h).toDouble else x.getDouble(h)
+      h += 1
+    }
     var best = Double.NegativeInfinity
     var bestId = -1L
     var c = 0
@@ -318,8 +328,7 @@ case class NearestCentroidId(emb: Expression, nrm: Expression,
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        acc += xv * ce(i)
+        acc += xv(i) * ce(i)
         i += 1
       }
       val cos = acc / (nv * centNorms(c))
@@ -333,9 +342,17 @@ case class NearestCentroidId(emb: Expression, nrm: Expression,
     val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
     val embs = ctx.addReferenceObj("centEmbs", centEmbs, "double[][]")
     val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    // per-partition scratch buffer: copying the row's coordinates out of
+    // ArrayData once per row replaces |cells|×dim virtual getFloat calls
+    // with a primitive-array inner loop the JIT can vectorize — the
+    // assignment phase is a dense (rows×dim)·(dim×cells) product and was
+    // measured access-bound, not flop-bound, without this
+    val scratch = ctx.addMutableState("double[]", "ncidScratch",
+      v => s"$v = new double[0];")
     nullSafeCodeGen(ctx, ev, (x, nv) => {
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
       val n = ctx.freshName("n")
       val ne = ctx.freshName("ne")
       val ce = ctx.freshName("ce")
@@ -343,9 +360,11 @@ case class NearestCentroidId(emb: Expression, nrm: Expression,
       val cos = ctx.freshName("cos")
       val best = ctx.freshName("best")
       val bestId = ctx.freshName("bestId")
-      val xGet = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val xGet = if (isFloat) s"(double) $x.getFloat($h)" else s"$x.getDouble($h)"
       s"""
          |int $ne = $x.numElements();
+         |if ($scratch.length < $ne) $scratch = new double[$ne];
+         |for (int $h = 0; $h < $ne; $h++) $scratch[$h] = $xGet;
          |double $best = Double.NEGATIVE_INFINITY;
          |long $bestId = -1L;
          |for (int $c = 0; $c < $embs.length; $c++) {
@@ -353,7 +372,7 @@ case class NearestCentroidId(emb: Expression, nrm: Expression,
          |  int $n = java.lang.Math.min($ne, $ce.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $xGet * $ce[$i];
+         |    $acc += $scratch[$i] * $ce[$i];
          |  }
          |  double $cos = $acc / ($nv * $norms[$c]);
          |  if (java.lang.Double.compare($cos, $best) > 0) { $best = $cos; $bestId = $ids[$c]; }
@@ -396,6 +415,13 @@ case class NearestCentroidIds(emb: Expression, nrm: Expression,
     val x = a.asInstanceOf[ArrayData]
     val nv = b.asInstanceOf[Double]
     val ne = x.numElements()
+    // same per-row coordinate hoist as NearestCentroidId
+    val xv = new Array[Double](ne)
+    var h = 0
+    while (h < ne) {
+      xv(h) = if (isFloat) x.getFloat(h).toDouble else x.getDouble(h)
+      h += 1
+    }
     val m = math.min(nProbe, centEmbs.length)
     val bc = new Array[Double](m)
     val bi = new Array[Long](m)
@@ -407,8 +433,7 @@ case class NearestCentroidIds(emb: Expression, nrm: Expression,
       var acc = 0.0
       var i = 0
       while (i < n) {
-        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        acc += xv * ce(i)
+        acc += xv(i) * ce(i)
         i += 1
       }
       val cos = acc / (nv * centNorms(c))
@@ -433,6 +458,8 @@ case class NearestCentroidIds(emb: Expression, nrm: Expression,
     val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
     val embs = ctx.addReferenceObj("centEmbs", centEmbs, "double[][]")
     val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    val scratch = ctx.addMutableState("double[]", "ncidsScratch",
+      v => s"$v = new double[0];")
     nullSafeCodeGen(ctx, ev, (x, nv) => {
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
@@ -447,9 +474,12 @@ case class NearestCentroidIds(emb: Expression, nrm: Expression,
       val bc = ctx.freshName("bc")
       val bi = ctx.freshName("bi")
       val filled = ctx.freshName("filled")
-      val xGet = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val h = ctx.freshName("h")
+      val xGet = if (isFloat) s"(double) $x.getFloat($h)" else s"$x.getDouble($h)"
       s"""
          |int $ne = $x.numElements();
+         |if ($scratch.length < $ne) $scratch = new double[$ne];
+         |for (int $h = 0; $h < $ne; $h++) $scratch[$h] = $xGet;
          |int $m = java.lang.Math.min($nProbe, $embs.length);
          |double[] $bc = new double[$m];
          |long[] $bi = new long[$m];
@@ -459,7 +489,7 @@ case class NearestCentroidIds(emb: Expression, nrm: Expression,
          |  int $n = java.lang.Math.min($ne, $ce.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $xGet * $ce[$i];
+         |    $acc += $scratch[$i] * $ce[$i];
          |  }
          |  double $cos = $acc / ($nv * $norms[$c]);
          |  int $p = $filled;

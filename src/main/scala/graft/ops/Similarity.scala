@@ -15,6 +15,16 @@ import org.apache.spark.sql.types._
   * signature equi-join key so candidate generation is a hash join over
   * ~1/65536 of the cross product per table, then exact-reranks candidates.
   */
+/** One per-cell per-query candidate row surviving the IVF classifier's
+  * local top-k ([[Similarity.cellScoredCandidates]]). TOP-LEVEL and
+  * non-private deliberately: as a private nested class the Dataset
+  * encoder's GENERATED deserializer could not reference it — every
+  * execution logged a Janino "Failed to compile" and silently ran the
+  * interpreted fallback (a failed whole-stage compile per run plus an
+  * interpreted exec, repeated because compile failures are not cached). */
+private[graft] case class ScoredCand(vec_id: Long, true_label: Long,
+    ord1: Long, ord2: Long, lab: Double)
+
 object Similarity {
 
   /** Elementwise-deterministic cosine: left-to-right double fold (same
@@ -945,7 +955,13 @@ object Similarity {
         // in band t is scored only if the two members share NO earlier
         // band — the standard LSH exactly-once trick, no seen-set
         // memory. Survivors ≥ threshold are the only rows that leave
-        // the task.
+        // the task. (An SDC pre-filter on the 4-bit PQ codes was
+        // measured and REJECTED here: code-to-code scores lose
+        // 0.25-0.45 of true cosine at the threshold boundary on this
+        // profile — tools/Drive sdcError — so a loss-free margin
+        // filters nothing. The classifier's ADC+exact-rerank composes
+        // because it only needs ranking within a pool; threshold
+        // semantics need the exact dot.)
         cellBandVerifiedPairs(
           assigned.select(col("c_id"), col("vec_id"), col("embedding"),
             col("nrm")),
@@ -1053,6 +1069,36 @@ object Similarity {
           out.iterator
         }
       }
+  }
+
+  /** Symmetric (code, code) inner-product table from the corpus
+    * codebooks, flat ((m·K + i)·K + j): SDC pair score =
+    * Σ_m sym(m, code_m(a), code_m(b)) ≈ cos(a, b) (both sides encode
+    * normalized vectors; subspaces decompose the dot). Unlike ADC there
+    * is no per-query table build — 8 lookups per PAIR, nothing
+    * amortized — which is what a pair-scan (not a query-scan) needs. */
+  private[graft] def sdcFlatTable(cb: Array[Array[Array[Double]]]): Array[Double] = {
+    val mC = cb.length
+    val kC = cb(0).length
+    val ds = cb(0)(0).length
+    val t = new Array[Double](mC * kC * kC)
+    var m = 0
+    while (m < mC) {
+      var i = 0
+      while (i < kC) {
+        var j = 0
+        while (j < kC) {
+          var acc = 0.0
+          var x = 0
+          while (x < ds) { acc += cb(m)(i)(x) * cb(m)(j)(x); x += 1 }
+          t((m * kC + i) * kC + j) = acc
+          j += 1
+        }
+        i += 1
+      }
+      m += 1
+    }
+    t
   }
 
   /** Embedding-cosine near-duplicate DEDUP blocked on a coarse COLUMN key
@@ -1261,9 +1307,6 @@ object Similarity {
     * is already keyed per (corpus, cells)). Same vote pipeline; the
     * spec pins EXACT parity with a plain-Scala recompute of the
     * probed-cell semantics. */
-  /** One per-cell per-query candidate row surviving the local top-k. */
-  private case class ScoredCand(vec_id: Long, true_label: Long,
-      ord1: Long, ord2: Long, lab: Double)
 
   /** Cell-COGROUP candidate scoring — the IVF classifier's hot loop
     * without pair-row materialization. The join shape
@@ -1327,11 +1370,183 @@ object Similarity {
     }.toDF()
   }
 
+  /** Labeled-side threshold above which the IVF classifier's in-cell
+    * candidate scan switches from exact 64-float dots to ADC code
+    * scoring with an exact-cosine rerank pool ([[cellScoredCandidatesAdc]]).
+    * Sized so every driver fixture AND the 200k-vector scale decade stay
+    * on the exact scan (bit-stable results, specs and companions
+    * untouched); the regime engages at the 2M decade where the scan is
+    * the measured wall. Injectable so the spec can force both regimes
+    * on one fixture and pin their agreement. */
+  val KnnAdcMinLabeled = 400000L
+
+  /** Exact-rerank pool per (query, cell) for the ADC regime: the ADC
+    * scan cost is pool-independent (only the insertion arrays and the
+    * rerank grow), so the pool is the free recall lever — same sizing
+    * logic as [[pqTopK]], where pool=16 holds 0.84-0.90 recall@5 on the
+    * cluster-free worst case. 64 for a k=10 vote keeps the classifier's
+    * majority stable (spec-pinned agreement floor vs the exact regime). */
+  val KnnAdcRerankPool = 64
+
+  /** PqM 4-bit codes packed into one long (nibble m at bits 4m..4m+3):
+    * the "4-byte code" the 100 TB story ships per vector — the in-task
+    * scan reads one long per member instead of a 256-byte float array. */
+  private[graft] def packCodes(codes: Array[Int]): Long = {
+    var p = 0L
+    var m = 0
+    while (m < codes.length) { p |= (codes(m).toLong & 0xFL) << (4 * m); m += 1 }
+    p
+  }
+
+  /** ADC lookup table of one query against the corpus codebooks, flat
+    * (m * PqK + code): entry = dot(normalized query subvector,
+    * codebook centroid). Σ_m table(m, code_m(x)) then approximates
+    * cos(q, x) directly, because codes encode the NORMALIZED member
+    * vector (pqCodebooks doc). */
+  private def adcTable(cb: Array[Array[Array[Double]]], qe: Array[Float],
+      qn: Double): Array[Double] = {
+    val mCount = cb.length
+    val kCount = cb(0).length
+    val ds = cb(0)(0).length
+    val t = new Array[Double](mCount * kCount)
+    var m = 0
+    while (m < mCount) {
+      var c = 0
+      while (c < kCount) {
+        val cent = cb(m)(c)
+        var acc = 0.0
+        var i = 0
+        while (i < ds) {
+          val idx = m * ds + i
+          if (idx < qe.length && qn != 0.0) acc += (qe(idx).toDouble / qn) * cent(i)
+          i += 1
+        }
+        t(m * kCount + c) = acc
+        c += 1
+      }
+      m += 1
+    }
+    t
+  }
+
+  /** [[cellScoredCandidates]] with ADC code scoring — the composition
+    * the 2M-vector decade asked for (SCALING.md round 11: everything
+    * that scans 256-byte floats inside its blocks pays the decade;
+    * q_ann_ivfpq's 4-byte ADC codes make it the only 3×-per-decade
+    * member). Per (query, cell): one M×K lookup table from the query's
+    * normalized vector (1024 mults, amortized over the cell's members),
+    * then each labeled member costs M=8 table lookups instead of a
+    * 64-float dot; the `pool` best by approximate score rerank by EXACT
+    * cosine and only the exact top-k leave the task — so emitted
+    * cosines/orders are bit-identical to the exact scan's WHENEVER the
+    * true top-k survives the ADC pool (guaranteed when pool ≥ cell
+    * size, the spec's small-fixture case; at scale the pool is the
+    * recall lever, floor-pinned by the agreement spec and the
+    * `_check` companion). */
+  private def cellScoredCandidatesAdc(probes: DataFrame, labCells: DataFrame,
+      k: Int, pool: Int, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val kCount = cb(0).length
+    val qds = probes.select(col("c_id"), col("vec_id"),
+        col("embedding"), col("nrm"), col("true_label").cast(LongType))
+      .as[(Long, Long, Array[Float], Double, Long)]
+    val lds = labCells.select(col("c_id"), col("n_id"),
+        col("n_emb"), col("n_nrm"), col("n_label").cast(DoubleType),
+        col("n_codes"))
+      .as[(Long, Long, Array[Float], Double, Double, Long)]
+    qds.groupByKey(_._1).cogroup(lds.groupByKey(_._1)) { (_, qs, ls) =>
+      val lab = ls.toArray
+      if (lab.isEmpty) Iterator.empty
+      else {
+        // hoist the cell's members into primitive arrays ONCE — every
+        // query probing the cell then scans unboxed longs/doubles
+        // instead of re-unboxing Tuple6 fields per (query, member)
+        val nMem = lab.length
+        val ids = new Array[Long](nMem)
+        val embs = new Array[Array[Float]](nMem)
+        val nrms = new Array[Double](nMem)
+        val labs = new Array[Double](nMem)
+        val codes = new Array[Long](nMem)
+        var x = 0
+        while (x < nMem) {
+          val t6 = lab(x)
+          ids(x) = t6._2; embs(x) = t6._3; nrms(x) = t6._4
+          labs(x) = t6._5; codes(x) = t6._6
+          x += 1
+        }
+        qs.flatMap { case (_, vid, qe, qn, tl) =>
+          val t = adcTable(cb, qe, qn)
+          val pm = math.min(pool, nMem)
+          // ADC pool: keep pm best by (approx bits desc, n_id asc)
+          val po = new Array[Long](pm)  // sortable approx bits
+          val px = new Array[Int](pm)   // member index
+          var filled = 0
+          var c = 0
+          while (c < nMem) {
+            val cd = codes(c)
+            var acc = 0.0
+            var m = 0
+            while (m < cb.length) {
+              acc += t(m * kCount + ((cd >>> (4 * m)) & 0xFL).toInt)
+              m += 1
+            }
+            val bits = java.lang.Double.doubleToLongBits(acc)
+            val ord = bits ^ ((bits >> 63) & Long.MaxValue)
+            val nid = ids(c)
+            var p = filled
+            while (p > 0 && (po(p - 1) < ord ||
+                (po(p - 1) == ord && ids(px(p - 1)) > nid))) p -= 1
+            if (p < pm) {
+              var j = math.min(filled, pm - 1)
+              while (j > p) { po(j) = po(j - 1); px(j) = px(j - 1); j -= 1 }
+              po(p) = ord; px(p) = c
+              if (filled < pm) filled += 1
+            }
+            c += 1
+          }
+          // exact-cosine rerank of the pool — same fold/order/tie rules as
+          // the exact scan, so survivors carry bit-identical ord1/ord2
+          val km = math.min(k, filled)
+          val bo = new Array[Long](km)
+          val bi = new Array[Long](km)
+          val bl = new Array[Double](km)
+          var kept = 0
+          var pi = 0
+          while (pi < filled) {
+            val mi = px(pi)
+            val ne = embs(mi)
+            val n = math.min(qe.length, ne.length)
+            var acc = 0.0
+            var i = 0
+            while (i < n) { acc += qe(i).toDouble * ne(i).toDouble; i += 1 }
+            val bits = java.lang.Double.doubleToLongBits(acc / (qn * nrms(mi)))
+            val ord1 = bits ^ ((bits >> 63) & Long.MaxValue)
+            val nid = ids(mi)
+            var p = kept
+            while (p > 0 && (bo(p - 1) < ord1 ||
+                (bo(p - 1) == ord1 && bi(p - 1) > nid))) p -= 1
+            if (p < km) {
+              var j = math.min(kept, km - 1)
+              while (j > p) { bo(j) = bo(j - 1); bi(j) = bi(j - 1); bl(j) = bl(j - 1); j -= 1 }
+              bo(p) = ord1; bi(p) = nid; bl(p) = labs(mi)
+              if (kept < km) kept += 1
+            }
+            pi += 1
+          }
+          (0 until kept).iterator.map(idx =>
+            ScoredCand(vid, tl, bo(idx), -bi(idx), bl(idx)))
+        }
+      }
+    }.toDF()
+  }
+
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5, nProbe: Int = 4,
-      cells: Int = 0): DataFrame = {
+      cells: Int = 0, adcMinLabeled: Long = KnnAdcMinLabeled): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
+    val nLab = cachedCount(labeled.select(col("vec_id")))
     // cells = 0 means AUTO: per-query candidate work is
     // |labeled|·nProbe/cells, so a fixed cell count makes the whole
     // query quadratic in corpus size (measured super-linear on the
@@ -1339,26 +1554,34 @@ object Similarity {
     // keeps candidates/query at ~nProbe·√|labeled| — the standard IVF
     // sizing — once the corpus outgrows the small-fixture regime
     // (below it, the 16-cell default is kept so driver-scale results
-    // are bit-stable with earlier rounds).
+    // are bit-stable with earlier rounds; the 4k guard must sit BELOW
+    // the first generated decade — at 16k labeled the 16-cell regime
+    // already costs ~4k candidates/query, measured 19.7 s at gen10x).
     val c =
       if (cells > 0) cells
-      else {
-        val nLab = labeled.count()
-        // the small-fixture guard must sit BELOW the first generated
-        // decade: at 16k labeled the 16-cell regime already costs
-        // |labeled|·nProbe/16 ≈ 4k candidates/query (measured 19.7 s
-        // at gen10x under the hardened action vs ~2 s with √n cells).
-        // Driver scales hold 1.6k labeled — bit-stable either way.
-        if (nLab <= 4000L) NumCentroids
-        else math.min(4096L, math.round(math.sqrt(nLab.toDouble))).toInt
-      }
+      else if (nLab <= 4000L) NumCentroids
+      else math.min(4096L, math.round(math.sqrt(nLab.toDouble))).toInt
     val centroids = trainedCentroids(s, d, c)
       .withColumn("c_nrm", l2norm(col("c_emb")))
+    val useAdc = nLab > adcMinLabeled
     // label rides the assignment aggregate (carry) — a separate
     // label-recovery self-join would re-shuffle the labeled mass
-    val labCells = assignToCentroids(labeled, centroids, carry = Seq("label"))
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm"), col("label").as("n_label"), col("c_id"))
+    val assignedLab = assignToCentroids(labeled, centroids, carry = Seq("label"))
+    val labCells =
+      if (!useAdc)
+        assignedLab.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("label").as("n_label"), col("c_id"))
+      else {
+        // ADC regime: members additionally carry their packed 4-byte PQ
+        // codes (one encode pass over the labeled mass — the index-build
+        // cost IVFPQ already pays; at 100 TB the code column is a stored
+        // index table, not a per-query derivation)
+        val cb = pqCodebooks(s, d)
+        val enc = udf((emb: Seq[Float]) => packCodes(pqEncodeOne(cb, emb)))
+        assignedLab.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("label").as("n_label"), col("c_id"),
+          enc(col("embedding")).as("n_codes"))
+      }
     val q = e.filter(col("vec_id") % holdoutMod === 0)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("label").as("true_label"))
@@ -1369,7 +1592,11 @@ object Similarity {
     val probes = topCentroidIds(q, centroids, nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("true_label"), explode(col("c_ids")).as("c_id"))
-    val voted = voteTail(cellScoredCandidates(probes, labCells, k), k)
+    val scored =
+      if (useAdc) cellScoredCandidatesAdc(probes, labCells, k, KnnAdcRerankPool,
+        pqCodebooks(s, d))
+      else cellScoredCandidates(probes, labCells, k)
+    val voted = voteTail(scored, k)
     // a query whose probed cells hold NO labeled rows must surface as
     // an explicit null prediction, not silently vanish from the output
     // (possible once cells ≈ √|labeled| leaves some cells holdout-only)

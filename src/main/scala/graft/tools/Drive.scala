@@ -138,6 +138,56 @@ object Drive {
         run("continuous", Trigger.Continuous("1 second"))
         run("microbatch", Trigger.ProcessingTime("0 seconds"))
         spark.range(1).toDF("x")
+      case "sdcError" =>
+        // Distortion of the SDC (code-to-code) score vs exact cosine —
+        // the measurement that sizes Similarity.SdcMargin. Three pair
+        // regimes: (a) random corpus pairs (where the band blocker's
+        // collisions mostly live), (b) synthesized pairs at exact target
+        // cosines around the dedup threshold (the boundary the margin
+        // protects), built as v = t·a + √(1−t²)·ĝ⊥ so cos(v,a) = t by
+        // construction. All driver-side plain Scala over a bounded
+        // sample — a measurement, not an operator.
+        import graft.ops.{Similarity => S}
+        import org.apache.spark.sql.functions.col
+        val rows = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).limit(4000).collect()
+        val cb = S.pqCodebooks(spark, sfDir)
+        val sym = S.sdcFlatTable(cb)
+        def unit(v: Array[Double]): Array[Double] = {
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0) v else v.map(_ / n)
+        }
+        def sdc(a: Array[Double], b: Array[Double]): Double = {
+          val ca = S.packCodes(S.pqEncodeOne(cb, a.map(_.toFloat).toSeq))
+          val cbb = S.packCodes(S.pqEncodeOne(cb, b.map(_.toFloat).toSeq))
+          (0 until S.PqM).map(m => sym((m * S.PqK +
+            ((ca >>> (4 * m)) & 0xFL).toInt) * S.PqK +
+            ((cbb >>> (4 * m)) & 0xFL).toInt)).sum
+        }
+        def stats(label: String, errs: Seq[Double]): Unit = {
+          val s0 = errs.sorted
+          println(f"$label%-28s n=${s0.size} p50=${s0(s0.size / 2)}%.4f " +
+            f"p99=${s0((s0.size * 99) / 100)}%.4f max=${s0.last}%.4f")
+        }
+        val es = rows.map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray))
+        val rand = (0 until es.length - 1).map { i =>
+          val (a, b) = (es(i), es(i + 1))
+          val exact = a.zip(b).map { case (x, y) => x * y }.sum
+          math.abs(sdc(a, b) - exact)
+        }
+        stats("random-pairs", rand)
+        for (t <- Seq(0.3, 0.4, 0.5)) {
+          val errs = (0 until math.min(1000, es.length - 1)).map { i =>
+            val a = es(i)
+            val g = es(i + 1)
+            val proj = a.zip(g).map { case (x, y) => x * y }.sum
+            val gp = unit(g.zipWithIndex.map { case (y, j) => y - proj * a(j) })
+            val v = a.zipWithIndex.map { case (x, j) => t * x + math.sqrt(1 - t * t) * gp(j) }
+            math.abs(sdc(a, v) - t)
+          }
+          stats(f"planted-cos-$t%.1f", errs)
+        }
+        spark.range(1).toDF("x")
       case "dedupWidePhases" =>
         // bisect the wide-regime cell-cogroup dedup: projection alone vs
         // the grouped scorer (perf attribution for the map-stage wall)

@@ -302,6 +302,32 @@ class SimilaritySpec extends SparkSpec {
       s"covered-query agreement ${agree}/${covered.size} below 0.3")
   }
 
+  test("ADC classify regime: same query set and coverage, high agreement with the exact scan") {
+    // Force the ADC regime on the fixture via the injectable labeled
+    // budget (default keeps every fixture and the 200k decade on the
+    // exact in-cell scan — bit-stable with prior rounds). The fixture's
+    // ~100-member cells exceed the 64-entry rerank pool, so the pool
+    // approximation is genuinely engaged, not vacuously exact.
+    val exact = Similarity.knnClassifyIvf(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    val adc = Similarity.knnClassifyIvf(spark, sf, adcMinLabeled = 0L)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    // identical query set AND identical coverage: whether a query's
+    // probed cells hold labeled members is scoring-independent
+    assert(adc.map(_._1) == exact.map(_._1))
+    assert(adc.map(_._2.isDefined) == exact.map(_._2.isDefined))
+    val both = adc.zip(exact).collect {
+      case ((_, Some(a)), (_, Some(e))) => a == e }
+    val agree = both.count(identity).toDouble / both.size
+    // the rerank is EXACT cosine over the ADC pool, so disagreement
+    // requires a true top-10 member to fall outside the 64-best-by-code
+    // pool of its cell — rare even on the cluster-free worst case
+    assert(agree >= 0.7, f"ADC/exact prediction agreement $agree%.3f below 0.7")
+    info(f"ADC/exact agreement $agree%.3f over ${both.size} covered queries")
+  }
+
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {
     val truth = q("q_ann_bruteforce").select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1309,18 +1309,17 @@ object SparkEntry {
       """WITH arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
          occ AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
                  FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 1))) t(i)),
-         docbg AS (SELECT doc_id, bigram, count(*) AS k FROM occ GROUP BY doc_id, bigram),
-         c12 AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c12 FROM docbg GROUP BY bigram),
+         c12 AS (SELECT bigram, count(*) AS c12 FROM occ GROUP BY bigram),
          c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
                 FROM c12 GROUP BY 1),
          v AS (SELECT count(DISTINCT tok) AS vocab FROM (
                  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                  FROM documents) WHERE tok <> ''),
-         sc AS (SELECT doc_id, k,
-                 CAST(k * -ln((c12 + 1.0) / (c1 + vocab)) AS DECIMAL(18,8)) AS nll_term
-               FROM docbg JOIN c12 USING (bigram)
-               JOIN c1 ON split_part(docbg.bigram, ' ', 1) = c1.w1, v),
-         agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         sc AS (SELECT doc_id,
+                 CAST(-ln((c12 + 1.0) / (c1 + vocab)) AS DECIMAL(18,8)) AS nll_term
+               FROM occ JOIN c12 USING (bigram)
+               JOIN c1 ON split_part(occ.bigram, ' ', 1) = c1.w1, v),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
                  CAST(CAST(sum(nll_term) AS DECIMAL(18,8)) AS DOUBLE) AS nll_sum
                FROM sc GROUP BY doc_id)
          SELECT doc_id, n_bigrams, nll_sum / n_bigrams AS avg_nll,

@@ -980,9 +980,13 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val occ = docs.select(col("doc_id"),
       explode(bigramAllUdf(tokens(col("text")))).as("bigram"))
-    val docBg = occ.groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("k"))
-    val c12 = docBg.groupBy(col("bigram")).agg(sum(col("k")).as("c12"))
+    // LM tables reduce the RAW occurrence stream with map-side combine:
+    // each map task emits at most one row per bigram type it saw, so
+    // the exchange is TYPE-scale (~30M rows at 5M docs) even though the
+    // input is ~1.3B occurrences, and no per-doc pre-reduction is
+    // needed to keep a corpus-hot bigram from funnelling (the hot key's
+    // final reducer receives ≤ one partial row per map task).
+    val c12 = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
     val c1 = c12
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -990,25 +994,28 @@ object TextOps {
       .agg(countDistinct(col("token")).as("vocab"))
     val small = Tables.rowCount(s, d, "documents") <= broadcastMaxDocs
     def lm(t: DataFrame): DataFrame = if (small) broadcast(t) else t
-    // ONE bigram-keyed LM table: c1 folds into c12 at BIGRAM-TYPE scale
-    // (the w1 exchange moves ~30M type rows at gen1000x), so the
-    // occurrence-scale docBg pays a single LM join on bigram instead of
-    // two — the old shape re-exchanged the joined OCCURRENCE table on w1
-    // (~600M rows at 5M docs) just to look up c1. Values are untouched:
-    // same (c12, c1) per bigram, and the per-doc sum is order-free by
-    // the DECIMAL(18,8) term quantization.
+    // ONE bigram-keyed LM table: c1 folds into c12 at BIGRAM-TYPE scale,
+    // then the occurrence stream pays exactly ONE occurrence-scale
+    // exchange — the LM join on bigram. The previous shape paid three:
+    // a per-(doc, bigram) pre-reduction, the c12 join, and a w1
+    // re-exchange of the joined occurrence table. Per-occurrence NLL
+    // terms quantize through DECIMAL(18,8) individually (k identical
+    // terms sum to exactly k·term in decimal, so dropping the k-grouped
+    // form only moves WHERE the quantization happens — the oracle SQL
+    // computes the identical per-occurrence form), and the final per-doc
+    // reduction map-side combines to doc scale before its exchange.
     val lmTable = c12
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(c1, Seq("w1"))
       .select(col("bigram"), col("c12"), col("c1"))
-    docBg
+    occ
       .join(lm(lmTable), Seq("bigram"))
       .crossJoin(broadcast(v))
       .withColumn("nll_term",
-        (col("k") * -log((col("c12") + 1.0) / (col("c1") + col("vocab"))))
+        (-log((col("c12") + 1.0) / (col("c1") + col("vocab"))))
           .cast(DecimalType(18, 8)))
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"),
+      .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll_term")).cast(DecimalType(18, 8))
           .cast(DoubleType).as("nll_sum"))
       .select(col("doc_id"), col("n_bigrams"),

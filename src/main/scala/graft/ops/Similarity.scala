@@ -878,20 +878,112 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
   }
 
+  /** Plain-Scala band keys for EITHER geometry — bit-for-bit the
+    * [[signBandKeys]] column (narrow: 8 bands × 8 bits; wide past
+    * [[SignWideThreshold]]: 4 bands × 16 bits). */
+  private def scalaBandKeysFor(e: Array[Float], wide: Boolean): Array[Int] =
+    if (!wide) scalaBandKeys(e)
+    else Array.tabulate(SignBands / 2) { t =>
+      var k = 0
+      var j = 0
+      while (j < 2 * SignBitsPerBand) {
+        val idx = 2 * SignBitsPerBand * t + j
+        if (idx < e.length && e(idx) >= 0) k |= 1 << j
+        j += 1
+      }
+      k
+    }
+
+  /** The sign-band dedup's verify as ONE BUCKET COGROUP — the cell-free
+    * sibling of [[cellBandVerifiedPairs]], with the (band, key) bucket
+    * itself as the grouping key. Each member ships L = 4-8 replicated
+    * rows (one per band) through a single exchange; within a bucket
+    * every id-ordered pair whose FIRST shared band is this bucket's
+    * band gets the exact cosine (the standard LSH exactly-once rule —
+    * the emitted pair SET equals "shares ≥ 1 bucket", each pair once),
+    * and only survivors ≥ threshold leave the task. The join shape this
+    * replaces — bucket self-join → 16-byte pair distinct → TWO
+    * embedding join-backs — materialized ~120M candidate pairs each
+    * dragging 560 bytes of vector payload at the 2M decade (~67 GB of
+    * join rows for 64 multiplies each): measured 130 s vs this shape's
+    * in-task loop. Worst case remains the bucket histogram (a key
+    * holding k members costs k²/2 in ITS task — same quadratic the
+    * old hash join had, minus AQE's skew splitting); the wide 16-bit
+    * geometry keeps buckets ~n/65536, and the IVF-cell variant is the
+    * deliberate scale path past that. */
+  private def bucketBandVerifiedPairs(en: DataFrame, threshold: Double,
+      wide: Boolean): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val s = en.sparkSession
+    import s.implicits._
+    en.as[(Long, Array[Float], Double)]
+      .flatMap { m =>
+        val keys = scalaBandKeysFor(m._2, wide)
+        (0 until keys.length).iterator.map(t =>
+          ((t.toLong << 32) | (keys(t).toLong & 0xffffffffL), m._1, m._2, m._3))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (gk, it) =>
+        val t = (gk >>> 32).toInt
+        val raw = it.toArray
+        if (raw.length < 2) Iterator.empty
+        else {
+          val mem = raw.map(r => (r._2, r._3, r._4, scalaBandKeysFor(r._3, wide)))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var a = 0
+          while (a < mem.length - 1) {
+            var b = a + 1
+            while (b < mem.length) {
+              val ma = mem(a)
+              val mb = mem(b)
+              // exactly-once: skip if any EARLIER band already paired them
+              var tp = 0
+              var dup = false
+              while (tp < t && !dup) {
+                if (ma._4(tp) == mb._4(tp)) dup = true
+                tp += 1
+              }
+              if (!dup && ma._1 != mb._1) {
+                // same left-to-right float→double fold as the codegen'd
+                // cosineFromNorms (spec-pinned bit-identical)
+                val (ea, eb) = (ma._2, mb._2)
+                val n = math.min(ea.length, eb.length)
+                var acc = 0.0
+                var k = 0
+                while (k < n) { acc += ea(k).toDouble * eb(k).toDouble; k += 1 }
+                val cos = acc / (ma._3 * mb._3)
+                if (cos >= threshold) {
+                  if (ma._1 < mb._1) out += ((ma._1, mb._1, cos))
+                  else out += ((mb._1, ma._1, cos))
+                }
+              }
+              b += 1
+            }
+            a += 1
+          }
+          out.iterator
+        }
+      }
+  }
+
   /** Embedding-cosine near-duplicate DEDUP, blocked on sign-band LSH
-    * buckets: candidates from [[signBandCandidates]], then exact cosine
-    * verify against the threshold. Recall is the LSH collision curve —
-    * near-total for true near-dups (cos ≥ 0.8 → p ≥ 0.8 per bit) and
-    * deliberately lossy for barely-similar pairs; SimilaritySpec measures
-    * it against the all-pairs truth. Oracle-exact because the oracle
-    * mirrors the same bucket definition in SQL. */
+    * buckets: same bucket definition as [[signBandCandidates]] (which
+    * stays as the candidate-generation contract the wideband companion
+    * and the spec's plan assertion pin), with candidate generation,
+    * exactly-once cross-band dedup and the exact cosine verify fused
+    * into one bucket cogroup ([[bucketBandVerifiedPairs]]). Recall is
+    * the LSH collision curve — near-total for true near-dups
+    * (cos ≥ 0.8 → p ≥ 0.8 per bit) and deliberately lossy for
+    * barely-similar pairs; SimilaritySpec measures it against the
+    * all-pairs truth. Oracle-exact because the oracle mirrors the same
+    * bucket definition in SQL. */
   def embedNearDupLsh(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {
     val e = corpus(s, d)
-    signBandCandidates(e)
-      .withColumn("cos", cosineFromNorms(col("ea"), col("eb"), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val wide = cachedCount(e) > SignWideThreshold
+    bucketBandVerifiedPairs(en, threshold, wide)
+      .toDF("id_a", "id_b", "cos")
       .orderBy(col("id_a"), col("id_b"))
   }
 

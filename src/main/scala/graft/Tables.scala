@@ -132,6 +132,10 @@ object Tables {
     val hit = artifactCache.get(k)
     if (hit != null) return hit.asInstanceOf[T]
     val v = build
+    if (artifactCache.size > 192) {
+      val it = artifactCache.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     val prev = artifactCache.putIfAbsent(k, v.asInstanceOf[AnyRef])
     if (prev != null) prev.asInstanceOf[T] else v
   }

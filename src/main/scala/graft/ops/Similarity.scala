@@ -138,16 +138,25 @@ object Similarity {
   def centroidClassify(s: SparkSession, d: String,
       holdoutMod: Int = 5): DataFrame = {
     val e = corpus(s, d)
-    val protos = e.filter(col("vec_id") % holdoutMod =!= 0)
-      .select(col("label"), posexplode(col("embedding").cast(ArrayType(DoubleType))))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .withColumn("mq", round(col("m"), 6))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mq")))).as("pm"))
-      .select(col("label").cast(LongType).as("c_label"),
-        expr("transform(pm, x -> x.mq)").as("c_emb"))
-      .withColumn("c_nrm", l2norm(col("c_emb")))
+    // the prototype table IS the shipped model artifact (a per-label
+    // mean vector trained once per corpus snapshot) — build-once per
+    // (session, corpus fingerprint) like the k-means centroids; the
+    // labeled-mass explode+aggregate (|labeled|·dim rows — 102M at the
+    // 2M decade) runs on the cold leg only, and the artifact itself is
+    // nLabels tiny rows
+    val protos = Tables.artifact(s, d, Seq("embeddings"),
+        s"centroidProtos:$holdoutMod")(
+      e.filter(col("vec_id") % holdoutMod =!= 0)
+        .select(col("label"), posexplode(col("embedding").cast(ArrayType(DoubleType))))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .withColumn("mq", round(col("m"), 6))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mq")))).as("pm"))
+        .select(col("label").cast(LongType).as("c_label"),
+          expr("transform(pm, x -> x.mq)").as("c_emb"))
+        .withColumn("c_nrm", l2norm(col("c_emb")))
+        .localCheckpoint(true))
     val q = e.filter(col("vec_id") % holdoutMod === 0)
       .withColumn("nrm", l2norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -265,6 +274,10 @@ object Similarity {
     * lineage (the tiny centroid table is collected and re-broadcast).
     * Empty clusters keep their previous centroid. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    // self-register the native functions: this entry point takes a raw
+    // DataFrame (not a corpus dir), so callers — specs included — may
+    // reach it before any corpus-loading path has registered them
+    graft.functions.Native.register(e.sparkSession)
     val en = e.withColumn("nrm", l2norm(col("embedding")))
     var centroids = e
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))

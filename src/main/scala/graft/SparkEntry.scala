@@ -266,6 +266,7 @@ object SparkEntry {
     // expressible) → rows-only + the hash-gated parity companion
     "q_knn_classify_ivf"       -> ((s, d) => Similarity.knnClassifyIvf(s, d)),
     "q_knn_classify_ivf_check" -> ((s, d) => Checks.knnClassifyIvfCheck(s, d)),
+    "q_knn_classify_adc_check" -> ((s, d) => Checks.adcClassifyCheck(s, d)),
     "q_dedup_wideband_check" -> ((s, d) => Checks.widebandRecallCheck(s, d)),
     // north-star: multimodal plumbing (stub decode, real Spark shape).
     // The registered query emits SCALAR feature columns (declarative,
@@ -2546,6 +2547,14 @@ object SparkEntry {
     "q_knn_classify_ivf_check" ->
       """SELECT count(*) AS n_queries, TRUE AS nulls_accounted,
            TRUE AS agree_ok, TRUE AS coverage_ok
+         FROM embeddings WHERE vec_id % 5 = 0""",
+    // ADC-regime parity companion (Checks.adcClassifyCheck): the code-scan
+    // + exact-rerank classifier answers the same query set with identical
+    // coverage and >= 0.7 covered-prediction agreement vs the exact
+    // in-cell scan; n_queries (the holdout count) checks value-for-value
+    "q_knn_classify_adc_check" ->
+      """SELECT count(*) AS n_queries, TRUE AS coverage_same,
+           TRUE AS agree_ok
          FROM embeddings WHERE vec_id % 5 = 0""",
     // wide-band regime gate: the >20k fixture is synthesized INSIDE the
     // Spark query (deterministic xxhash64 coordinates + 50 planted

@@ -459,4 +459,39 @@ object Checks {
       nCov.toDouble / n >= coverageFloor))
       .toDF("n_queries", "nulls_accounted", "agree_ok", "coverage_ok")
   }
+
+  /** ADC-regime companion for the IVF classifier: the 4-byte-code scan
+    * with exact-cosine rerank ([[Similarity.cellScoredCandidatesAdc]],
+    * forced here via adcMinLabeled = 0 — the production gate engages it
+    * only past 400k labeled) must answer the SAME query set with the
+    * SAME coverage as the exact in-cell scan, and agree on at least
+    * `agreeFloor` of covered predictions. Coverage is scoring-
+    * independent (a query emits iff its probed cells hold labeled
+    * members), so `coverage_same` is deterministic TRUE; agreement is
+    * 1.000 measured at the driver fixtures (the rerank is exact — a
+    * disagreement needs a true top-10 member outside the 64-best-by-code
+    * pool), so the 0.7 floor holds with maximal margin. `n_queries`
+    * (the holdout count) hash-checks value-for-value. */
+  def adcClassifyCheck(s: SparkSession, d: String,
+      agreeFloor: Double = 0.7): DataFrame =
+      corpusVerdict(s, d, Seq("embeddings"), s"adcClassify:$agreeFloor") {
+    val exact = Similarity.knnClassifyIvf(s, d)
+      .select(col("vec_id"), col("pred_label").as("exact_label"))
+      .localCheckpoint(true)
+    val adc = Similarity.knnClassifyIvf(s, d, adcMinLabeled = 0L)
+      .select(col("vec_id"), col("pred_label"))
+      .localCheckpoint(true)
+    val j = exact.join(adc, Seq("vec_id")).localCheckpoint(true)
+    val n = exact.count()
+    val coverageSame = j.filter(
+      col("exact_label").isNull =!= col("pred_label").isNull).count() == 0L
+    val both = j.filter(col("exact_label").isNotNull && col("pred_label").isNotNull)
+    val nBoth = both.count()
+    val nAgree = both.filter(col("exact_label") === col("pred_label")).count()
+    import s.implicits._
+    Seq((n,
+      j.count() == n && coverageSame,
+      nBoth == 0 || nAgree.toDouble / nBoth >= agreeFloor))
+      .toDF("n_queries", "coverage_same", "agree_ok")
+  }
 }

@@ -894,7 +894,7 @@ object Similarity {
   /** Plain-Scala band keys for EITHER geometry — bit-for-bit the
     * [[signBandKeys]] column (narrow: 8 bands × 8 bits; wide past
     * [[SignWideThreshold]]: 4 bands × 16 bits). */
-  private def scalaBandKeysFor(e: Array[Float], wide: Boolean): Array[Int] =
+  private[graft] def scalaBandKeysFor(e: Array[Float], wide: Boolean): Array[Int] =
     if (!wide) scalaBandKeys(e)
     else Array.tabulate(SignBands / 2) { t =>
       var k = 0

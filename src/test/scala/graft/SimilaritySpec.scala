@@ -302,6 +302,28 @@ class SimilaritySpec extends SparkSpec {
       s"covered-query agreement ${agree}/${covered.size} below 0.3")
   }
 
+  test("scala band keys are bit-identical to the column form in BOTH geometries") {
+    // the bucket-cogroup dedup computes its (band, key) grouping keys
+    // in-task (scalaBandKeysFor); the oracle and the wideband companion
+    // pin the COLUMN form (signBandKeys), so the two must agree bit for
+    // bit in both the narrow (8 bands x 8 bits) and the wide
+    // (4 bands x 16 bits, engaged past SignWideThreshold) geometry —
+    // the wide geometry otherwise only runs on generated >20k-vector
+    // corpora no spec scans.
+    for (wide <- Seq(false, true)) {
+      val rows = Tables.embeddings(spark, sf)
+        .select(col("embedding"),
+          Similarity.signBandKeysPublic(wide).as("keys")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val emb = r.getSeq[Float](0).toArray
+        val colKeys = r.getSeq[Int](1)
+        val scalaKeys = Similarity.scalaBandKeysFor(emb, wide).toSeq
+        assert(scalaKeys == colKeys, s"wide=$wide keys diverge: $scalaKeys vs $colKeys")
+      }
+    }
+  }
+
   test("ADC classify regime: same query set and coverage, high agreement with the exact scan") {
     // Force the ADC regime on the fixture via the injectable labeled
     // budget (default keeps every fixture and the 200k decade on the

@@ -1485,12 +1485,22 @@ object Similarity {
     * on one fixture and pin their agreement. */
   val KnnAdcMinLabeled = 400000L
 
-  /** Exact-rerank pool per (query, cell) for the ADC regime: the ADC
-    * scan cost is pool-independent (only the insertion arrays and the
-    * rerank grow), so the pool is the free recall lever — same sizing
-    * logic as [[pqTopK]], where pool=16 holds 0.84-0.90 recall@5 on the
-    * cluster-free worst case. 64 for a k=10 vote keeps the classifier's
-    * majority stable (spec-pinned agreement floor vs the exact regime). */
+  /** Exact-rerank pool per (query, cell) for the ADC regime — the
+    * wall/agreement knob, MEASURED at the engaged scale (2M vectors,
+    * cluster-free worst case, tools/Drive adcAgree; exact scan 165 s):
+    *
+    *   pool   64 →  31 s, 0.42 prediction agreement vs exact
+    *   pool  256 →  46 s, 0.77
+    *   pool 1024 → 134 s, 0.9993 (rerank flops dominate past ~256)
+    *
+    * The default stays 64: on this worst-case profile that matches the
+    * IVF-vs-exact agreement band itself (the companion's 0.25-floor
+    * honesty regime — random labels make absolute agreement modest),
+    * and on real clustered embeddings the pool holds the true
+    * neighborhood. Deployments size it via knnClassifyIvf(adcPool=...);
+    * at driver-fixture cell sizes the pool covers whole cells and
+    * agreement is exactly 1.0 (the oracled companion + forced-regime
+    * spec pin that). */
   val KnnAdcRerankPool = 64
 
   /** PqM 4-bit codes packed into one long (nibble m at bits 4m..4m+3):
@@ -1648,7 +1658,8 @@ object Similarity {
 
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5, nProbe: Int = 4,
-      cells: Int = 0, adcMinLabeled: Long = KnnAdcMinLabeled): DataFrame = {
+      cells: Int = 0, adcMinLabeled: Long = KnnAdcMinLabeled,
+      adcPool: Int = KnnAdcRerankPool): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
     val nLab = cachedCount(labeled.select(col("vec_id")))
@@ -1698,7 +1709,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("true_label"), explode(col("c_ids")).as("c_id"))
     val scored =
-      if (useAdc) cellScoredCandidatesAdc(probes, labCells, k, KnnAdcRerankPool,
+      if (useAdc) cellScoredCandidatesAdc(probes, labCells, k, adcPool,
         pqCodebooks(s, d))
       else cellScoredCandidates(probes, labCells, k)
     val voted = voteTail(scored, k)

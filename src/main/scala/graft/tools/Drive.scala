@@ -138,6 +138,38 @@ object Drive {
         run("continuous", Trigger.Continuous("1 second"))
         run("microbatch", Trigger.ProcessingTime("0 seconds"))
         spark.range(1).toDF("x")
+      case "adcAgree" =>
+        // ADC-vs-exact prediction agreement AT THE ENGAGED SCALE: the
+        // spec and the oracled companion force the ADC regime on driver
+        // fixtures (where cells are pool-sized and agreement is 1.000);
+        // this runs BOTH regimes on a generated corpus past the gate so
+        // the pool approximation is measured where it actually deploys.
+        import graft.ops.{Similarity => S}
+        import org.apache.spark.sql.functions.col
+        def side(label: String, adcMin: Long, pool: Int = S.KnnAdcRerankPool) = {
+          val t0 = System.nanoTime()
+          val r = S.knnClassifyIvf(spark, sfDir, adcMinLabeled = adcMin,
+              adcPool = pool)
+            .select(col("vec_id"), col("pred_label").as(label))
+            .localCheckpoint(true)
+          println(f"$label%-8s wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          r
+        }
+        val exact = side("exact", Long.MaxValue)
+        def report(adc: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+          val j = exact.join(adc, Seq("vec_id")).localCheckpoint(true)
+          val n = j.count()
+          val covMismatch = j.filter(col("exact").isNull =!= col(tag).isNull).count()
+          val both = j.filter(col("exact").isNotNull && col(tag).isNotNull)
+          val nBoth = both.count()
+          val agree = both.filter(col("exact") === col(tag)).count()
+          println(f"$tag: queries=$n coverage_mismatch=$covMismatch " +
+            f"agree=${agree.toDouble / math.max(1L, nBoth)}%.4f over $nBoth covered")
+        }
+        for (pool <- Seq(64, 256, 1024)) {
+          report(side(s"adc$pool", S.KnnAdcMinLabeled, pool), s"adc$pool")
+        }
+        spark.range(1).toDF("x")
       case "sdcError" =>
         // Distortion of the SDC (code-to-code) score vs exact cosine —
         // the measurement that sizes Similarity.SdcMargin. Three pair

@@ -61,26 +61,51 @@ object Tables {
     * the fingerprint moves and the stale cache entry is unreachable.
     * Same discipline as Similarity.cachedCount's inputFiles hash.
     * Listing a table dir is tens of entries (hundreds at the generated
-    * scale fixtures) — microseconds against the queries it keys. */
-  private[graft] def tableFingerprint(path: String): Long = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) return -1L
-    var h = 1125899906842597L
-    def mix(x: Long): Unit = h = h * 31 + x
-    val st = java.nio.file.Files.walk(p)
+    * scale fixtures) — microseconds against the queries it keys.
+    *
+    * IO-FAULT posture: a file vanishing mid-walk (the concurrent
+    * in-place rewrite this fingerprint exists to catch) or any other
+    * stat/walk failure must DEGRADE, not propagate — the callers are
+    * load()/rowCount()/artifact(), none of which should fail because a
+    * freshness probe hiccuped. Per-file stat errors skip that file;
+    * anything else returns an always-fresh sentinel (monotonic, never
+    * equal to a real hash of this fold nor to a prior sentinel), so the
+    * caches MISS and rebuild rather than serve a stale entry — the
+    * conservative direction for a freshness key. */
+  private[graft] def tableFingerprint(path: String): Long =
     try {
-      val it = st.sorted().iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (java.nio.file.Files.isRegularFile(f)) {
-          mix(f.toString.hashCode.toLong)
-          mix(java.nio.file.Files.size(f))
-          mix(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) return -1L
+      var h = 1125899906842597L
+      def mix(x: Long): Unit = h = h * 31 + x
+      val st = java.nio.file.Files.walk(p)
+      try {
+        val it = st.sorted().iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          try {
+            if (java.nio.file.Files.isRegularFile(f)) {
+              mix(f.toString.hashCode.toLong)
+              mix(java.nio.file.Files.size(f))
+              mix(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            }
+          } catch {
+            // vanished between walk and stat: the rewrite itself moves
+            // sibling mtimes, so skipping the ghost still changes the fold
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
-      }
-    } finally st.close()
-    h
-  }
+      } finally st.close()
+      h
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // walk itself failed (UncheckedIOException, InvalidPathException
+        // on non-path tags, …): unique negative sentinel = forced miss
+        -math.abs(freshSentinel.incrementAndGet())
+    }
+
+  private val freshSentinel =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
 
   /** Session + freshness prefix for a cached Dataset derived from the
     * named tables of corpus `d`: a Dataset is bound to the session that
@@ -108,6 +133,10 @@ object Tables {
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Any), AnyRef]()
 
+  /** Test hook: simulate a fresh JVM (cold in-memory caches) so the
+    * disk-sidecar path of [[corpusValue]] can be exercised in-process. */
+  private[graft] def clearMemoryArtifactsForTest(): Unit = artifactCache.clear()
+
   private[graft] def artifact[T <: AnyRef](s: SparkSession, d: String,
       tables: Seq[String], key: Any)(build: => T): T = {
     val k = (artifactTag(s, d, tables), key)
@@ -124,14 +153,30 @@ object Tables {
 
   /** Like [[artifact]] for plain driver-side values (trained centroids,
     * PQ codebooks, counts) — freshness-keyed but session-free, since a
-    * value is not bound to the session that computed it. */
+    * value is not bound to the session that computed it.
+    *
+    * ALSO DISK-PERSISTED, per (corpus, per-table content fingerprint,
+    * key, format version), under [[artifactRoot]] — the production
+    * shape: an index model (coarse quantizer, PQ codebook) is trained
+    * once per corpus SNAPSHOT and shipped as a sidecar next to the
+    * data, not retrained by every JVM that opens the table. Locally
+    * this is what takes the gen-scale classifier's cold run from
+    * k-means+PQ-training-dominated to scan-dominated (SCALING.md
+    * round 13). Freshness is the same fingerprint discipline as every
+    * cache here: an in-place part-file rewrite moves the fingerprint,
+    * which moves the sidecar FILE NAME, so a stale sidecar is simply
+    * never opened (and ages out with tmp). All IO is best-effort —
+    * any read/write/deserialize failure degrades to an in-memory
+    * rebuild, never to an error or a stale value. */
   private[graft] def corpusValue[T <: AnyRef](d: String,
       tables: Seq[String], key: Any)(build: => T): T = {
     val fp = tables.map(t => tableFingerprint(s"$d/$t.parquet")).mkString(",")
     val k = (s"$d|$fp", key)
     val hit = artifactCache.get(k)
     if (hit != null) return hit.asInstanceOf[T]
-    val v = build
+    val fromDisk = diskRead[T](d, fp, key)
+    val v = fromDisk.getOrElse(build)
+    if (fromDisk.isEmpty) diskWrite(d, fp, key, v)
     if (artifactCache.size > 192) {
       val it = artifactCache.keySet().iterator()
       if (it.hasNext) { it.next(); it.remove() }
@@ -139,6 +184,61 @@ object Tables {
     val prev = artifactCache.putIfAbsent(k, v.asInstanceOf[AnyRef])
     if (prev != null) prev.asInstanceOf[T] else v
   }
+
+  /** Bump when the serialized shape OR the producing algorithm of any
+    * disk-persisted corpus value changes — old sidecars must become
+    * unreachable, not deserialized into a shape the new code misreads. */
+  private val ArtifactFormatVersion = 1
+
+  /** Sidecar root for cross-JVM corpus artifacts. Overridable so tests
+    * (and deployments whose tmp is small) can point it elsewhere; the
+    * corpus dirs themselves are read-only, so the sidecar cannot live
+    * beside the data here — at 100 TB it would be a path in the same
+    * object store as the table, keyed by the snapshot id. */
+  private[graft] def artifactRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      sys.props("java.io.tmpdir") + "/graft_artifacts"))
+
+  /** Content-addressed sidecar path: the fingerprint (and key, and
+    * format version) is IN the name, so freshness needs no
+    * invalidation protocol — a rewrite changes the name. */
+  private def diskPath(d: String, fp: String, key: Any): java.nio.file.Path = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bytes = md.digest(
+      s"v$ArtifactFormatVersion|$d|$fp|$key".getBytes("UTF-8"))
+    artifactRoot.resolve(
+      bytes.take(16).map(b => f"$b%02x").mkString + ".bin")
+  }
+
+  private def diskRead[T](d: String, fp: String, key: Any): Option[T] =
+    try {
+      val p = diskPath(d, fp, key)
+      if (!java.nio.file.Files.isRegularFile(p)) None
+      else {
+        val in = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(p)))
+        try Some(in.readObject().asInstanceOf[T]) finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Atomic publish: serialize to a unique temp sibling, then move into
+    * place — concurrent JVMs building the same artifact race benignly
+    * (deterministic inputs ⇒ equal values; last move wins). */
+  private def diskWrite(d: String, fp: String, key: Any, v: AnyRef): Unit =
+    try {
+      val p = diskPath(d, fp, key)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(
+        p.getFileName.toString + "." + java.util.UUID.randomUUID() + ".tmp")
+      val out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp)))
+      try out.writeObject(v) finally out.close()
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.file.Files.deleteIfExists(tmp); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def cached(spark: SparkSession, path: String, variant: String = "")(
       build: => DataFrame): DataFrame = {

@@ -141,10 +141,17 @@ object Chunked {
     * session that built them, and for path-shaped corpus tags the events
     * fingerprint invalidates entries when the fixture is rewritten in
     * place (non-path tags — tests — fingerprint to the constant -1 and
-    * rely on the documented corpus-string identity contract). */
-  private def cacheTag(df: DataFrame, corpus: String): String =
+    * rely on the documented corpus-string identity contract). Derived
+    * corpora ("dir#returns" — Market.rsi and friends) fingerprint the
+    * BASE dir's events table: the fragment names a derivation of the
+    * same underlying file set, so its chunk plan must invalidate when
+    * that file set is rewritten (the '#' suffix is not a path and would
+    * otherwise fingerprint to a constant, pinning a stale plan). */
+  private def cacheTag(df: DataFrame, corpus: String): String = {
+    val base = corpus.takeWhile(_ != '#')
     graft.Tables.sessionTag(df.sparkSession) + "|" +
-      graft.Tables.tableFingerprint(s"$corpus/events.parquet") + "|" + corpus
+      graft.Tables.tableFingerprint(s"$base/events.parquet") + "|" + corpus
+  }
 
   private[graft] def chunkPlanCached(df: DataFrame, corpus: String, series: String,
       time: String, minRows: Long, nBoundaries: Int): (Column, DataFrame) =

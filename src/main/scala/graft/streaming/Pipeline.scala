@@ -263,8 +263,11 @@ object Pipeline {
           // child sessions). Waves trade concurrency for contention;
           // semantics are untouched either way (each drain keeps its own
           // checkpoint/sink/state — only WHEN micro-batches run moves).
+          // malformed values degrade to the default single wave rather
+          // than failing the whole 13-stream group on a typo'd env var
           val waves = math.max(1,
-            sys.env.getOrElse("SPARK_GRAFT_DRAIN_WAVES", "1").toInt)
+            scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_DRAIN_WAVES", "1").trim.toInt)
+              .getOrElse(1))
           val perWave = (drainLaunchers.size + waves - 1) / waves
           drainLaunchers.grouped(perWave).foreach { wave =>
             val launched = wave.map { case (name, launch) =>
@@ -948,7 +951,12 @@ object Pipeline {
     * (0, -1) if nothing arrived. */
   def continuousFloorProbe(s: SparkSession, durationMs: Long = 10000,
       rowsPerSecond: Int = 200,
-      trigger: Trigger = Trigger.Continuous("1 second")): (Long, Double) = {
+      trigger: Trigger = Trigger.Continuous("1 second")): (Long, Double) =
+    // the collector is JVM-global by necessity (see its doc); the probe
+    // itself serializes so two concurrent invocations (parallel suites)
+    // can't cross-contaminate each other's counts — a probe is seconds
+    // long and rare, so the lock costs nothing
+    FloorCollector.synchronized {
     import org.apache.spark.sql.{ForeachWriter, Row}
     FloorCollector.reset()
     val writer = new ForeachWriter[Row] {
@@ -974,7 +982,7 @@ object Pipeline {
       s"continuous floor probe query failed: ${e.getMessage}", e))
     val (cnt, sum) = FloorCollector.snapshot()
     (cnt, if (cnt == 0) -1.0 else sum.toDouble / cnt)
-  }
+    }
 
   /** Stateful streaming (T5 extension, explicitly beyond parity — the
     * reference is stateless per batch): carry the last-k prices per

@@ -101,4 +101,34 @@ class TablesCacheSpec extends SparkSpec {
     assert(get() === 31L, "artifact memo served a stale Dataset after an in-place rewrite")
     assert(builds === 2)
   }
+
+  test("corpusValue disk sidecar survives a cold JVM and dies with an in-place rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp4_")
+    val part = writeTable(dir, "embeddings", 9L)
+
+    var builds = 0
+    def get(): Long = Tables.corpusValue(dir.toString, Seq("embeddings"), "spec-v") {
+      builds += 1
+      java.lang.Long.valueOf(Tables.load(spark, dir.toString, "embeddings").count())
+    }.longValue()
+
+    assert(get() === 9L)
+    assert(builds === 1)
+
+    // fresh-JVM simulation: memory caches gone, the sidecar must answer
+    Tables.clearMemoryArtifactsForTest()
+    assert(get() === 9L)
+    assert(builds === 1,
+      "corpusValue retrained on a cold JVM instead of loading the disk sidecar")
+
+    // in-place rewrite (same names, pinned mtimes): the fingerprint moves,
+    // so the sidecar's content-addressed NAME moves — the stale file is
+    // unreachable and the value retrains against the new content
+    val stage = java.nio.file.Files.createTempDirectory("graft_fp4_stage_")
+    rewriteInPlace(part, writeTable(stage, "embeddings", 23L))
+    Tables.clearMemoryArtifactsForTest()
+    assert(get() === 23L,
+      "corpusValue served a stale disk sidecar after an in-place rewrite")
+    assert(builds === 2)
+  }
 }

@@ -51,15 +51,50 @@ object Aggregates {
 
   /** ROLLUP hierarchy totals (SURVEY A5). Null group slots from the rollup
     * are coalesced to 'ALL' so cross-engine null ordering never matters. */
-  def rollupSummary(s: SparkSession, d: String): DataFrame =
+  /** Base cuboid for the rollup/cube/grouping-sets family: ONE
+    * partial/final aggregate of lineitem on (rf, ls), sums kept at
+    * DECIMAL precision so coarser cuboids re-aggregate EXACTLY. Spark's
+    * built-in ROLLUP/CUBE plan is Expand — every input row is REPLICATED
+    * once per grouping set before the partial aggregate, so a 2-dim
+    * CUBE scans the 100 TB fact table once but pushes 4× its rows
+    * through the aggregate. count/sum are algebraic, so every coarser
+    * set is derivable from the ~|rf|·|ls|-row base cuboid instead
+    * (Gray et al.'s cube lattice): same one scan, 1× rows through the
+    * partial aggregate, and the derivations aggregate a handful of
+    * rows. Grouping-null fidelity holds because the base cuboid KEEPS
+    * null group keys as groups — deriving (rf) from it yields exactly
+    * the rows CUBE's {(rf)} set yields, null groups included. */
+  private def baseCuboid(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-        col("n"), col("sum_qty"))
+      .groupBy(col("l_returnflag").as("rf0"), col("l_linestatus").as("ls0"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("dq"))
+
+  /** Re-aggregate the base cuboid onto a coarser grouping set; keys
+    * absent from the set surface as the 'ALL' margin label. The dummy
+    * literal grouping key makes the () set emit ZERO rows on empty
+    * input — matching GROUP BY GROUPING SETS semantics, where even the
+    * global set produces no group when there is no input (a bare
+    * `.agg` would emit one count-0 row). */
+  private def cuboid(base: DataFrame, keepRf: Boolean, keepLs: Boolean): DataFrame = {
+    val rfKey = if (keepRf) col("rf0") else lit(null).cast(StringType)
+    val lsKey = if (keepLs) col("ls0") else lit(null).cast(StringType)
+    base.groupBy(rfKey.as("rfk"), lsKey.as("lsk"), lit(0).as("_g"))
+      .agg(sum(col("n")).as("n"), sum(col("dq")).as("dq"))
+      .select(coalesce(col("rfk"), lit("ALL")).as("rf"),
+        coalesce(col("lsk"), lit("ALL")).as("ls"),
+        col("n"), col("dq").cast(DoubleType).as("sum_qty"))
+  }
+
+  def rollupSummary(s: SparkSession, d: String): DataFrame = {
+    // materialized once (~|rf|·|ls| rows): without it each derived set
+    // re-plans the fact-table aggregate and the one-scan win is lost
+    val base = baseCuboid(s, d).localCheckpoint(true)
+    cuboid(base, keepRf = true, keepLs = true)
+      .union(cuboid(base, keepRf = true, keepLs = false))
+      .union(cuboid(base, keepRf = false, keepLs = false))
       .orderBy(col("rf"), col("ls"))
+  }
 
   /** Global metric summary — the reference's latency-stats computation
     * (`stream_consumer.py:110-111`: mean/min/max over the collected series)
@@ -132,30 +167,30 @@ object Aggregates {
       .orderBy(col("user_id"))
 
   /** CUBE over both group dimensions (SURVEY A5 family): all 2^k
-    * grouping-set combinations in one pass. */
-  def cubeSummary(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-        col("n"), col("sum_qty"))
+    * grouping-set combinations — derived from the one-scan base cuboid
+    * ([[baseCuboid]]) instead of `.cube`'s 4×-row Expand plan. */
+  def cubeSummary(s: SparkSession, d: String): DataFrame = {
+    val base = baseCuboid(s, d).localCheckpoint(true)
+    cuboid(base, keepRf = true, keepLs = true)
+      .union(cuboid(base, keepRf = true, keepLs = false))
+      .union(cuboid(base, keepRf = false, keepLs = true))
+      .union(cuboid(base, keepRf = false, keepLs = false))
       .orderBy(col("rf"), col("ls"))
+  }
 
-  /** Explicit GROUPING SETS (A5 family) — arbitrary grouping combinations
-    * in one pass, via the SQL surface (the DataFrame API exposes only
-    * rollup/cube). */
+  /** Explicit GROUPING SETS (A5 family) — arbitrary grouping
+    * combinations, derived from the shared base cuboid like
+    * [[cubeSummary]] (every requested set here is coarser than
+    * (rf, ls), so the lattice derivation applies; a set NOT derivable
+    * from a common base — e.g. over a different dimension — would fall
+    * back to the SQL `GROUP BY GROUPING SETS` surface, whose Expand
+    * plan replicates rows per set). */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
-    s.sql("""
-      SELECT coalesce(l_returnflag, 'ALL') AS rf,
-             coalesce(l_linestatus, 'ALL') AS ls,
-             count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-      FROM graft_lineitem_gs
-      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-      ORDER BY rf, ls""")
+    val base = baseCuboid(s, d).localCheckpoint(true)
+    cuboid(base, keepRf = true, keepLs = false)
+      .union(cuboid(base, keepRf = false, keepLs = true))
+      .union(cuboid(base, keepRf = false, keepLs = false))
+      .orderBy(col("rf"), col("ls"))
   }
 
   /** Exact percentiles per group (linear interpolation — the same

@@ -467,11 +467,15 @@ object Checks {
     * SAME coverage as the exact in-cell scan, and agree on at least
     * `agreeFloor` of covered predictions. Coverage is scoring-
     * independent (a query emits iff its probed cells hold labeled
-    * members), so `coverage_same` is deterministic TRUE; agreement is
-    * 1.000 measured at the driver fixtures (the rerank is exact — a
-    * disagreement needs a true top-10 member outside the 64-best-by-code
-    * pool), so the 0.7 floor holds with maximal margin. `n_queries`
-    * (the holdout count) hash-checks value-for-value. */
+    * members), so `coverage_same` is deterministic TRUE. Agreement:
+    * the rerank is exact cosine, so a disagreement needs a true top-10
+    * member outside the pool — with the AUTO pool (floor 256,
+    * Similarity.autoAdcPool) the pool covers typical fixture cells
+    * (~100 members) entirely and agreement is 1.0 wherever no probed
+    * cell exceeds the floor; the 0.7 gate is the committed margin, not
+    * the expectation (SimilaritySpec measures the fixture agreement,
+    * tools/Drive adcAgree measures it at the engaged gen1000x scale).
+    * `n_queries` (the holdout count) hash-checks value-for-value. */
   def adcClassifyCheck(s: SparkSession, d: String,
       agreeFloor: Double = 0.7): DataFrame =
       corpusVerdict(s, d, Seq("embeddings"), s"adcClassify:$agreeFloor") {

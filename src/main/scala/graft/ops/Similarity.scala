@@ -1485,23 +1485,38 @@ object Similarity {
     * on one fixture and pin their agreement. */
   val KnnAdcMinLabeled = 400000L
 
-  /** Exact-rerank pool per (query, cell) for the ADC regime — the
-    * wall/agreement knob, MEASURED at the engaged scale (2M vectors,
-    * cluster-free worst case, tools/Drive adcAgree; exact scan 165 s):
+  /** Bounds for the AUTO-sized exact-rerank pool per (query, cell) in
+    * the ADC regime ([[autoAdcPool]]). The r12 curve at the engaged
+    * scale (2M vectors, cluster-free worst case, tools/Drive adcAgree)
+    * measured pool 64 → 0.42 prediction agreement vs the exact scan,
+    * 256 → 0.77, 1024 → 0.9993 — a fixed small default silently
+    * degrades the moment the gate engages, so the pool now tracks the
+    * cell geometry instead:
     *
-    *   pool   64 →  31 s, 0.42 prediction agreement vs exact
-    *   pool  256 →  46 s, 0.77
-    *   pool 1024 → 134 s, 0.9993 (rerank flops dominate past ~256)
+    *   pool = clamp(Floor, Cap, ⌈avgCell / CellFrac⌉),  avgCell = nLab/cells
     *
-    * The default stays 64: on this worst-case profile that matches the
-    * IVF-vs-exact agreement band itself (the companion's 0.25-floor
-    * honesty regime — random labels make absolute agreement modest),
-    * and on real clustered embeddings the pool holds the true
-    * neighborhood. Deployments size it via knnClassifyIvf(adcPool=...);
-    * at driver-fixture cell sizes the pool covers whole cells and
-    * agreement is exactly 1.0 (the oracled companion + forced-regime
-    * spec pin that). */
-  val KnnAdcRerankPool = 64
+    * With cells ∝ √nLab (the IVF sizing rule) avgCell is also ∝ √nLab,
+    * so the pool covers a CONSTANT fraction (1/CellFrac) of the average
+    * cell as the corpus grows — agreement holds roughly flat per decade
+    * instead of collapsing. The Floor means every corpus small enough
+    * that cells fit inside it (driver fixtures: ~100-member cells) gets
+    * whole-cell pools, where the exact-cosine rerank makes the ADC path
+    * agree exactly with the exact scan unless a probed cell exceeds the
+    * pool. The Cap bounds the rerank flops at the decade where the
+    * 4096-cell cap makes avgCell grow linearly; past it, agreement
+    * becomes the deployment's explicit knob (knnClassifyIvf(adcPool=)).
+    * Engaged-scale agreement with this rule is measured per round at
+    * gen1000x (tools/Drive adcAgree; SCALING.md round-13). */
+  val KnnAdcPoolFloor = 256
+  val KnnAdcPoolCap = 1024
+  val KnnAdcPoolCellFrac = 4
+
+  /** Auto pool size for the ADC regime — see [[KnnAdcPoolFloor]]. */
+  def autoAdcPool(nLabeled: Long, cells: Int): Int = {
+    val avgCell = nLabeled.toDouble / math.max(1, cells)
+    math.max(KnnAdcPoolFloor,
+      math.min(KnnAdcPoolCap.toDouble, math.ceil(avgCell / KnnAdcPoolCellFrac)).toInt)
+  }
 
   /** PqM 4-bit codes packed into one long (nibble m at bits 4m..4m+3):
     * the "4-byte code" the 100 TB story ships per vector — the in-task
@@ -1593,9 +1608,21 @@ object Similarity {
         qs.flatMap { case (_, vid, qe, qn, tl) =>
           val t = adcTable(cb, qe, qn)
           val pm = math.min(pool, nMem)
-          // ADC pool: keep pm best by (approx bits desc, n_id asc)
+          // ADC pool: keep pm best by (approx bits desc, n_id asc).
+          // Bounded MIN-heap on that order (root = worst kept member):
+          // the old insertion-sorted array cost O(pool) shifts per
+          // accepted candidate, which made the pool knob itself the
+          // wall (the r12 curve's 46→134 s between pool 256 and 1024
+          // was mostly memmove); the heap admits at O(log pool) and
+          // rejects at O(1), and keeps an IDENTICAL member set (total
+          // order, ties by id) — the exact rerank below re-sorts, so
+          // emitted rows are bit-identical to the sorted-array pool.
           val po = new Array[Long](pm)  // sortable approx bits
           val px = new Array[Int](pm)   // member index
+          // heap order: entry i WORSE than j iff po(i) < po(j) or
+          // (po(i) == po(j) && ids(px(i)) > ids(px(j)))
+          @inline def worse(o1: Long, i1: Long, o2: Long, i2: Long): Boolean =
+            o1 < o2 || (o1 == o2 && i1 > i2)
           var filled = 0
           var c = 0
           while (c < nMem) {
@@ -1609,14 +1636,38 @@ object Similarity {
             val bits = java.lang.Double.doubleToLongBits(acc)
             val ord = bits ^ ((bits >> 63) & Long.MaxValue)
             val nid = ids(c)
-            var p = filled
-            while (p > 0 && (po(p - 1) < ord ||
-                (po(p - 1) == ord && ids(px(p - 1)) > nid))) p -= 1
-            if (p < pm) {
-              var j = math.min(filled, pm - 1)
-              while (j > p) { po(j) = po(j - 1); px(j) = px(j - 1); j -= 1 }
-              po(p) = ord; px(p) = c
-              if (filled < pm) filled += 1
+            if (filled < pm) {
+              // sift up
+              var i = filled
+              po(i) = ord; px(i) = c
+              filled += 1
+              while (i > 0 && worse(po(i), ids(px(i)),
+                  po((i - 1) / 2), ids(px((i - 1) / 2)))) {
+                val par = (i - 1) / 2
+                val to = po(i); val tx = px(i)
+                po(i) = po(par); px(i) = px(par)
+                po(par) = to; px(par) = tx
+                i = par
+              }
+            } else if (worse(po(0), ids(px(0)), ord, nid)) {
+              // replace root, sift down
+              po(0) = ord; px(0) = c
+              var i = 0
+              var done = false
+              while (!done) {
+                val l = 2 * i + 1
+                val r = l + 1
+                var w = i
+                if (l < pm && worse(po(l), ids(px(l)), po(w), ids(px(w)))) w = l
+                if (r < pm && worse(po(r), ids(px(r)), po(w), ids(px(w)))) w = r
+                if (w == i) done = true
+                else {
+                  val to = po(i); val tx = px(i)
+                  po(i) = po(w); px(i) = px(w)
+                  po(w) = to; px(w) = tx
+                  i = w
+                }
+              }
             }
             c += 1
           }
@@ -1659,7 +1710,7 @@ object Similarity {
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5, nProbe: Int = 4,
       cells: Int = 0, adcMinLabeled: Long = KnnAdcMinLabeled,
-      adcPool: Int = KnnAdcRerankPool): DataFrame = {
+      adcPool: Int = 0): DataFrame = {
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
     val nLab = cachedCount(labeled.select(col("vec_id")))
@@ -1708,8 +1759,14 @@ object Similarity {
     val probes = topCentroidIds(q, centroids, nProbe)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("true_label"), explode(col("c_ids")).as("c_id"))
+    // adcPool = 0 means AUTO: a constant fraction of the average cell
+    // (floor/cap bounds in KnnAdcPoolFloor's doc) — the r12 fixed-64
+    // default measured 0.42 agreement vs the exact scan at the engaged
+    // 2M-vector scale, which is the wrong production posture for a
+    // silent regime switch
+    val pool = if (adcPool > 0) adcPool else autoAdcPool(nLab, c)
     val scored =
-      if (useAdc) cellScoredCandidatesAdc(probes, labCells, k, adcPool,
+      if (useAdc) cellScoredCandidatesAdc(probes, labCells, k, pool,
         pqCodebooks(s, d))
       else cellScoredCandidates(probes, labCells, k)
     val voted = voteTail(scored, k)

@@ -77,26 +77,52 @@ object Windows {
     * instead of funnelling through one sort task — row-identical output
     * to the plain `Window.partitionBy(event_type)` formulation (the
     * oracle pins it). */
-  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60): DataFrame = {
-    // stats fold over the shared per-(corpus, k) window-array artifact
-    // (Chunked.windowArrays) instead of re-running the chunked frame
-    // WindowExec. w_sum rides the codegen'd CentsArraySum — per-element
-    // semantics identical to the windowed Σ cast(value AS DECIMAL(18,2))
-    // (see the expression's doc; an interpreted aggregate() HOF fold
-    // measured SLOWER than the WindowExec it replaced); min/max are
-    // order-free.
-    graft.functions.Native.register(s)
-    Chunked.windowArrays(s, d, k)
-      .select(col("event_id"),
-        // collect_list drops nulls, so an all-null frame arrives as an
-        // empty array; SQL sum over all nulls is NULL, not 0 — guard the
-        // empty case explicitly (w_min/w_max are already null there)
-        when(size(col("w")) === 0, lit(null).cast(DoubleType))
-          .otherwise(graft.functions.Native.centsArraySum(col("w")) / 100.0)
-          .as("w_sum"),
-        array_min(col("w")).as("w_min"),
-        array_max(col("w")).as("w_max"))
-      .orderBy(col("event_id"))
+  def slidingWindowStats(s: SparkSession, d: String, k: Int = 60,
+      artifactMaxRows: Long = Chunked.WindowArtifactMaxRows): DataFrame = {
+    if (Tables.rowCount(s, d, "events") > artifactMaxRows) {
+      // Past the window-array artifact's size gate the arrays are not
+      // materialized (48 GB at 100M events × k=60) — and this query
+      // never needed them: its three stats are native frame aggregates,
+      // so the direct form runs the SAME chunked one-exchange WindowExec
+      // with three scalar accumulators instead of building a 60-double
+      // array per row first (the array allocation was most of the
+      // gen1000x wall — SCALING.md round 13). Decimal-routed sum, so
+      // frame-evaluation order cannot perturb bits; cast(double) of the
+      // exact 2-digit decimal equals the artifact path's cents/100.0.
+      Chunked.frames(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value")),
+        d, "event_type", "ts", "event_id", k) { w =>
+        Seq(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast(DoubleType).as("w_sum"),
+          min(col("value")).over(w).as("w_min"),
+          max(col("value")).over(w).as("w_max"))
+      }
+        .select(col("event_id"), col("w_sum"), col("w_min"), col("w_max"))
+        .orderBy(col("event_id"))
+    } else {
+      // stats fold over the shared per-(corpus, k) window-array artifact
+      // (Chunked.windowArrays) instead of re-running the chunked frame
+      // WindowExec — below the gate the artifact is ALSO what the
+      // predict/GRU/LSTM family reads, so this query's frame pass is
+      // genuinely shared work there. w_sum rides the codegen'd
+      // CentsArraySum — per-element semantics identical to the windowed
+      // Σ cast(value AS DECIMAL(18,2)) (see the expression's doc; an
+      // interpreted aggregate() HOF fold measured SLOWER than the
+      // WindowExec it replaced); min/max are order-free.
+      graft.functions.Native.register(s)
+      Chunked.windowArrays(s, d, k)
+        .select(col("event_id"),
+          // collect_list drops nulls, so an all-null frame arrives as an
+          // empty array; SQL sum over all nulls is NULL, not 0 — guard the
+          // empty case explicitly (w_min/w_max are already null there)
+          when(size(col("w")) === 0, lit(null).cast(DoubleType))
+            .otherwise(graft.functions.Native.centsArraySum(col("w")) / 100.0)
+            .as("w_sum"),
+          array_min(col("w")).as("w_min"),
+          array_max(col("w")).as("w_max"))
+        .orderBy(col("event_id"))
+    }
   }
 
   /** W5 — running (cumulative) aggregates per user in event-time order:

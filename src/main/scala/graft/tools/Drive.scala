@@ -146,7 +146,7 @@ object Drive {
         // the pool approximation is measured where it actually deploys.
         import graft.ops.{Similarity => S}
         import org.apache.spark.sql.functions.col
-        def side(label: String, adcMin: Long, pool: Int = S.KnnAdcRerankPool) = {
+        def side(label: String, adcMin: Long, pool: Int = 0) = {
           val t0 = System.nanoTime()
           val r = S.knnClassifyIvf(spark, sfDir, adcMinLabeled = adcMin,
               adcPool = pool)
@@ -166,8 +166,11 @@ object Drive {
           println(f"$tag: queries=$n coverage_mismatch=$covMismatch " +
             f"agree=${agree.toDouble / math.max(1L, nBoth)}%.4f over $nBoth covered")
         }
-        for (pool <- Seq(64, 256, 1024)) {
-          report(side(s"adc$pool", S.KnnAdcMinLabeled, pool), s"adc$pool")
+        // pool 0 = the production AUTO sizing (constant fraction of the
+        // average cell); fixed points span the r12 curve for comparison
+        for (pool <- Seq(0, 64, 256, 1024)) {
+          val tag = if (pool == 0) "adcAuto" else s"adc$pool"
+          report(side(tag, S.KnnAdcMinLabeled, pool), tag)
         }
         spark.range(1).toDF("x")
       case "sdcError" =>

@@ -327,27 +327,45 @@ class SimilaritySpec extends SparkSpec {
   test("ADC classify regime: same query set and coverage, high agreement with the exact scan") {
     // Force the ADC regime on the fixture via the injectable labeled
     // budget (default keeps every fixture and the 200k decade on the
-    // exact in-cell scan — bit-stable with prior rounds). The fixture's
-    // ~100-member cells exceed the 64-entry rerank pool, so the pool
-    // approximation is genuinely engaged, not vacuously exact.
+    // exact in-cell scan — bit-stable with prior rounds). Two pool
+    // regimes: the production AUTO sizing (floor 256 ≥ the fixture's
+    // ~100-member cells, so pools cover whole cells and the exact
+    // rerank makes agreement exactly 1.0), and a deliberately
+    // undersized pool=8 that genuinely engages the approximation (the
+    // pool is the recall lever; coverage must stay scoring-independent
+    // even when the approximation bites).
     val exact = Similarity.knnClassifyIvf(spark, sf)
       .collect().map(r => (r.getAs[Long]("vec_id"),
         if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
-    val adc = Similarity.knnClassifyIvf(spark, sf, adcMinLabeled = 0L)
-      .collect().map(r => (r.getAs[Long]("vec_id"),
-        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
-    // identical query set AND identical coverage: whether a query's
-    // probed cells hold labeled members is scoring-independent
-    assert(adc.map(_._1) == exact.map(_._1))
-    assert(adc.map(_._2.isDefined) == exact.map(_._2.isDefined))
-    val both = adc.zip(exact).collect {
-      case ((_, Some(a)), (_, Some(e))) => a == e }
-    val agree = both.count(identity).toDouble / both.size
-    // the rerank is EXACT cosine over the ADC pool, so disagreement
-    // requires a true top-10 member to fall outside the 64-best-by-code
-    // pool of its cell — rare even on the cluster-free worst case
-    assert(agree >= 0.7, f"ADC/exact prediction agreement $agree%.3f below 0.7")
-    info(f"ADC/exact agreement $agree%.3f over ${both.size} covered queries")
+    for ((pool, floor, label) <- Seq((0, 1.0, "auto"), (8, 0.2, "pool=8"))) {
+      val adc = Similarity.knnClassifyIvf(spark, sf, adcMinLabeled = 0L,
+          adcPool = pool)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+      // identical query set AND identical coverage: whether a query's
+      // probed cells hold labeled members is scoring-independent
+      assert(adc.map(_._1) == exact.map(_._1))
+      assert(adc.map(_._2.isDefined) == exact.map(_._2.isDefined))
+      val both = adc.zip(exact).collect {
+        case ((_, Some(a)), (_, Some(e))) => a == e }
+      val agree = both.count(identity).toDouble / both.size
+      assert(agree >= floor,
+        f"ADC/exact agreement ($label) $agree%.3f below $floor")
+      info(f"ADC/exact agreement ($label) $agree%.3f over ${both.size} covered")
+    }
+  }
+
+  test("autoAdcPool: floor at fixture scale, cell-fraction at engaged scale, cap past the cell cap") {
+    // fixture scale (16 cells, ~100-member cells): the floor covers
+    // whole cells, making the ADC path exact there
+    assert(Similarity.autoAdcPool(1600L, 16) == Similarity.KnnAdcPoolFloor)
+    // gen1000x (1.6M labeled, √n cells): a constant 1/4 of the average
+    // cell — the measured 0.83-agreement / 56 s operating point
+    // (tools/Drive adcAgree, SCALING.md round 13)
+    assert(Similarity.autoAdcPool(1600000L, 1265) == 317)
+    // past the 4096-cell cap avgCell grows linearly; the cap bounds the
+    // rerank and agreement becomes the deployment's explicit knob
+    assert(Similarity.autoAdcPool(100000000L, 4096) == Similarity.KnnAdcPoolCap)
   }
 
   test("LSH and IVF ANN recall vs bruteforce is substantial on unclustered data") {

@@ -18,6 +18,18 @@ class WindowSpec extends SparkSpec {
     assert(q("q_sliding_windows").count() == expected)
   }
 
+  test("sliding windows: direct (past-gate) regime equals the artifact regime row-for-row") {
+    // artifactMaxRows = 0 forces the path production takes past the 20M
+    // window-array gate (native frame aggregates, no array build); the
+    // default path reads the shared array artifact. Bit-equality keeps
+    // the gate a pure performance switch — the oracle only ever sees
+    // one of the two.
+    val viaArtifact = Windows.slidingWindowStats(spark, sf).collect().toSeq
+    val direct = Windows.slidingWindowStats(spark, sf, artifactMaxRows = 0L)
+      .collect().toSeq
+    assert(direct == viaArtifact)
+  }
+
   test("last5 stats bound each other") {
     q("q_last5_window").collect().foreach { r =>
       assert(r.getAs[Long]("n") == 5L)

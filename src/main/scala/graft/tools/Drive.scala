@@ -41,7 +41,8 @@ object Drive {
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         graft.Tuning.diskTmpDir("graft_wh_").toString)
@@ -484,6 +485,20 @@ object Drive {
         preds.groupBy(col("symbol"))
           .agg(count(lit(1)).as("n_windows"), avg(col("predicted")).as("avg_pred"))
           .orderBy(col("symbol"))
+      case "timeQuery" =>
+        // time any registered SparkEntry query N times in one JVM —
+        // the quickest way to see whether a query's repeat cost reuses
+        // the per-corpus build-once artifacts (iter 2+ should drop to
+        // steady state) without a full Bench run
+        val name = args(2)
+        val n = if (args.length > 3) args(3).toInt else 3
+        for (i <- 1 to n) {
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.toRdd.count()
+          println(f"RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        spark.range(1).toDF("x")
       case "kafkaProbe" =>
         try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
         catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }

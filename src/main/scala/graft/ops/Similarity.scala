@@ -575,13 +575,20 @@ object Similarity {
 
   /** (vec_id, codes) for the whole corpus. At 100 TB this IS the index
     * table, materialized once next to the embeddings and re-read by
-    * every search (4 bytes/vector); at fixture scale it is cheap enough
-    * to derive per run. */
-  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val cb = pqCodebooks(s, d)
-    val enc = udf((emb: Seq[Float]) => pqEncodeOne(cb, emb))
-    corpus(s, d).select(col("vec_id"), enc(col("embedding")).as("codes"))
-  }
+    * every search (4 bytes/vector) — so it is a build-once corpus
+    * artifact here too (fingerprint-keyed, like the dedup pair index):
+    * the r13 gen1000x sweep caught every ivfpq execution re-encoding
+    * the 2M-vector corpus through the boxed UDF (~30 s/iteration on
+    * that host), exactly the per-query derivation the 100 TB story
+    * says not to do. Cold carries the one encode pass; warm reads the
+    * ~4-byte-per-vector checkpoint. */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+    Tables.artifact(s, d, Seq("embeddings"), "pqCodes") {
+      val cb = pqCodebooks(s, d)
+      val enc = udf((emb: Seq[Float]) => pqEncodeOne(cb, emb))
+      corpus(s, d).select(col("vec_id"), enc(col("embedding")).as("codes"))
+        .localCheckpoint(true)
+    }
 
   /** PQ ANN search with ADC (asymmetric distance computation) + exact
     * rerank. The queries' per-(subspace, code) inner-product lookup

@@ -251,15 +251,15 @@ object Bench {
       "q_token_count", "q_dedup_exact").filter(best.contains)
     val probe = probeNames.map(n => "\"" + n + "\":" + best(n))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sf":"$sfDir"}""")
-    // the full line above carries two 160+-entry maps and has been
-    // truncated mid-stream by log-tail capture twice (rounds 6/7 —
-    // "parsed": null in the driver artifact even on a clean run). This
-    // SHORT summary line repeats only the totals; small enough that any
-    // tail keeps it intact, and parseable on its own.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sf":"$sfDir"}"""
+    // the full line carries two 160+-entry maps and has been truncated
+    // mid-stream by log-tail capture twice (rounds 6/7 — "parsed": null
+    // in the driver artifact even on a clean run). This SHORT summary
+    // line repeats only the totals; small enough that any tail keeps it
+    // intact, and parseable on its own.
     val probeSum = probeNames.map(best).sum
     val meanMs = "\"stream_batch_ms_mean\":" + extractMeanMs(streamPanel)
-    println(s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir"}"""
     // SELF-SUFFICIENT FILE ARTIFACT: the driver's log-tail capture has
     // truncated the full stdout line mid-map three rounds running
     // ("parsed": null in BENCH_r06/07/08 even on clean runs), leaving the
@@ -293,7 +293,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_summary.json write skipped: ${e.getMessage}")
     }
+    // THE SUMMARY LINES ARE THE ABSOLUTE LAST STDOUT (round-13 postmortem:
+    // async TaskKilled warn spam from the floor probe's cancellation
+    // arrived AFTER the summary and pushed it out of the driver's tail
+    // window — "parsed": null on an otherwise clean run, the third
+    // tail-eviction incident). Stop Spark FIRST so its executor/scheduler
+    // threads can emit nothing afterward, then drop the log level to
+    // ERROR so even a late shutdown-hook warning cannot follow the
+    // artifact lines, then print.
     spark.stop()
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+    println(fullLine)
+    println(summaryLine)
+    System.out.flush()
     // a run with zero successful timings must not read as success
     // (round 6: every events-fed query errored, rc stayed 0, and the
     // driver recorded a timing-free artifact as a clean run)

@@ -1714,10 +1714,22 @@ object Similarity {
     }.toDF()
   }
 
+  /** IVF-routed kNN classification (the scale path [[knnClassify]]
+    * switches to past its broadcast budget). `cells = 0` and
+    * `adcPool = 0` are both AUTO sentinels: cells AUTO picks
+    * √|labeled| past the fixture regime; adcPool AUTO sizes the
+    * per-cell exact-rerank pool from cell geometry via [[autoAdcPool]]
+    * (clamp(256, 1024, ⌈avgCell/4⌉)). Negative values are rejected —
+    * a caller passing a nonsense pool must fail loudly, not be
+    * silently routed to AUTO. The ADC regime itself engages only past
+    * `adcMinLabeled` labeled rows; below it every candidate is scored
+    * exactly and `adcPool` is unused. */
   def knnClassifyIvf(s: SparkSession, d: String, k: Int = 10,
       holdoutMod: Int = 5, nProbe: Int = 4,
       cells: Int = 0, adcMinLabeled: Long = KnnAdcMinLabeled,
       adcPool: Int = 0): DataFrame = {
+    require(adcPool >= 0, s"adcPool must be >= 0 (0 = AUTO), got $adcPool")
+    require(cells >= 0, s"cells must be >= 0 (0 = AUTO), got $cells")
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     val labeled = e.filter(col("vec_id") % holdoutMod =!= 0)
     val nLab = cachedCount(labeled.select(col("vec_id")))

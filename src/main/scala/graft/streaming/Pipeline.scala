@@ -977,7 +977,22 @@ object Pipeline {
       .start()
     Thread.sleep(durationMs)
     val err = q.exception
+    // stopping a continuous query KILLS its long-running epoch tasks;
+    // TaskSetManager logs each kill as a WARN with a stack trace, and
+    // those arrive asynchronously — AFTER the caller has moved on. In
+    // round 13 that spam landed after Bench's summary lines and evicted
+    // them from the driver's log tail ("parsed": null). The kills are
+    // expected shutdown mechanics here, never actionable: silence the
+    // kill-path loggers for good before stopping, then await the
+    // query's full termination so no task-end event can trail the stop.
+    try {
+      import org.apache.logging.log4j.{Level => L4jLevel}
+      import org.apache.logging.log4j.core.config.Configurator
+      Configurator.setLevel("org.apache.spark.scheduler.TaskSetManager", L4jLevel.ERROR)
+      Configurator.setLevel("org.apache.spark.executor.Executor", L4jLevel.ERROR)
+    } catch { case _: Throwable => () }
     q.stop()
+    try q.awaitTermination(30000) catch { case _: Throwable => () }
     err.foreach(e => throw new IllegalStateException(
       s"continuous floor probe query failed: ${e.getMessage}", e))
     val (cnt, sum) = FloorCollector.snapshot()

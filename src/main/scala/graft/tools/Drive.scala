@@ -490,12 +490,16 @@ object Drive {
         // the quickest way to see whether a query's repeat cost reuses
         // the per-corpus build-once artifacts (iter 2+ should drop to
         // steady state) without a full Bench run
+        if (args.length < 3)
+          sys.error("usage: Drive <sfDir> timeQuery <queryName> [iters]")
         val name = args(2)
+        val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(
+          s"unknown query '$name'; valid names: " +
+            graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
         val n = if (args.length > 3) args(3).toInt else 3
         for (i <- 1 to n) {
           val t0 = System.nanoTime()
-          graft.SparkEntry.queries(name)(spark, sfDir)
-            .queryExecution.toRdd.count()
+          fn(spark, sfDir).queryExecution.toRdd.count()
           println(f"RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         spark.range(1).toDF("x")

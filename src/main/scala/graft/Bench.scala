@@ -251,7 +251,26 @@ object Bench {
       "q_token_count", "q_dedup_exact").filter(best.contains)
     val probe = probeNames.map(n => "\"" + n + "\":" + best(n))
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sf":"$sfDir"}"""
+    // JOB-SCHEDULING LATENCY PROBE (second host-health axis): per-micro-
+    // batch streaming machinery — offset-log writes, state commits, a
+    // handful of tiny per-batch jobs — is bounded by the host's SMALL-OP
+    // LATENCY, not its parallel throughput, so the 5-query CPU probe
+    // cannot price it (rounds 13/14: stream floor 0.6→4.5 ms and the
+    // WAL/commit phases +60% while the CPU probe moved only 8–25%, and
+    // the checkpoint dirs are on tmpfs — the latency is scheduling, not
+    // disk). 20 round trips of the tiniest possible job give the
+    // per-job latency floor; streaming-family lines are adjudicated
+    // against THIS number, batch lines against the CPU probe.
+    val schedProbe =
+      try {
+        spark.range(1).count() // untimed warm-up round trip
+        val n = 20
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < n) { spark.range(1).count(); i += 1 }
+        f"${(System.nanoTime() - t0) / 1e6 / n}%.2f"
+      } catch { case _: Throwable => "null" }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sched_probe_ms":$schedProbe,"sf":"$sfDir"}"""
     // the full line carries two 160+-entry maps and has been truncated
     // mid-stream by log-tail capture twice (rounds 6/7 — "parsed": null
     // in the driver artifact even on a clean run). This SHORT summary
@@ -259,7 +278,7 @@ object Bench {
     // intact, and parseable on its own.
     val probeSum = probeNames.map(best).sum
     val meanMs = "\"stream_batch_ms_mean\":" + extractMeanMs(streamPanel)
-    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir"}"""
+    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,$meanMs,"unit":"sec","sf":"$sfDir"}"""
     // SELF-SUFFICIENT FILE ARTIFACT: the driver's log-tail capture has
     // truncated the full stdout line mid-map three rounds running
     // ("parsed": null in BENCH_r06/07/08 even on clean runs), leaving the
@@ -280,6 +299,7 @@ object Bench {
         s"""{
            |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$iters},
            |"probe":$probe,
+           |"sched_probe_ms":$schedProbe,
            |"warm":$qs,
            |"cold":$colds,
            |"stream_batch_ms":$streamPanel,

@@ -185,6 +185,74 @@ object Tables {
     if (prev != null) prev.asInstanceOf[T] else v
   }
 
+  /** Like [[artifact]] for DataFrame-shaped per-corpus artifacts (pair
+    * indexes, truth sets, check verdicts, PQ code tables): the same
+    * in-memory memo per session, PLUS a PARQUET SIDECAR under
+    * [[artifactRoot]] keyed by the same content fingerprint — a cold
+    * JVM READS the artifact instead of rebuilding it. Before this, the
+    * Dataset-shaped artifacts localCheckpointed per JVM, so every cold
+    * bench leg re-paid each truth-index scan, pair-index shuffle, and
+    * verdict intersect job; the sidecar is the production shape (an
+    * index table ships with the corpus snapshot, it is not re-derived
+    * by every reader).
+    *
+    * Atomic publish: Spark writes to a unique temp sibling directory,
+    * then ONE rename moves it into place — concurrent builders race
+    * benignly (deterministic inputs ⇒ equal contents; first move wins,
+    * the loser keeps its in-JVM copy). All IO is best-effort: any
+    * read/write failure degrades to the in-JVM checkpointed build,
+    * never to an error or a stale value. Freshness is content-
+    * addressed like [[corpusValue]]: a rewritten input table moves the
+    * fingerprint, which moves the sidecar DIRECTORY NAME.
+    *
+    * Contract for callers: row ORDER is not preserved across the
+    * parquet round trip (consumers must join/aggregate/sort
+    * downstream — every registered consumer does), the build must NOT
+    * localCheckpoint (dfArtifact materializes either way), and the
+    * schema must be parquet-representable (no void/interval columns). */
+  private[graft] def dfArtifact(s: SparkSession, d: String,
+      tables: Seq[String], key: Any)(build: => DataFrame): DataFrame =
+    artifact(s, d, tables, key) {
+      val fp = tables.map(t => tableFingerprint(s"$d/$t.parquet")).mkString(",")
+      val dir = diskPath(d, fp, s"df:$key").toString + ".parquet"
+      val done = java.nio.file.Paths.get(dir, "_SUCCESS")
+      val fromDisk =
+        try {
+          if (!java.nio.file.Files.isRegularFile(done)) None
+          else {
+            val df = s.read.parquet(dir)
+            df.schema // force footer/schema resolution now, fail early
+            Some(df)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      fromDisk.getOrElse {
+        val built = build.localCheckpoint(true)
+        try {
+          val tmpDir = dir + "." + java.util.UUID.randomUUID() + ".tmp"
+          built.write.parquet(tmpDir)
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmpDir), java.nio.file.Paths.get(dir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case scala.util.control.NonFatal(_) =>
+            // another JVM published first, or the rename failed: keep
+            // the in-JVM checkpoint, drop the orphaned temp dir
+            deleteDirBestEffort(java.nio.file.Paths.get(tmpDir))
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        built
+      }
+    }
+
+  private def deleteDirBestEffort(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+            case scala.util.control.NonFatal(_) => () })
+      else java.nio.file.Files.deleteIfExists(p)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Bump when the serialized shape OR the producing algorithm of any
     * disk-persisted corpus value changes — old sidecars must become
     * unreachable, not deserialized into a shape the new code misreads. */

@@ -123,8 +123,8 @@ object Behavior {
     * once per (JVM, corpus), checkpointed, shared by every downstream
     * graph query. Bench attributes the build via its cold column. */
   def coPurchasePairCounts(s: SparkSession, d: String): DataFrame =
-    Tables.artifact(s, d, Seq("events"), "coPurchasePairCounts")(
-      coPurchasePairCountsUncached(s, d).localCheckpoint(true))
+    Tables.dfArtifact(s, d, Seq("events"), "coPurchasePairCounts")(
+      coPurchasePairCountsUncached(s, d))
 
   private def coPurchasePairCountsUncached(s: SparkSession, d: String): DataFrame = {
     val pd = Tables.events(s, d)
@@ -193,7 +193,7 @@ object Behavior {
     * edge set IS the graph index; Bench's cold column attributes the
     * build. */
   def coPurchaseKnnEdges(s: SparkSession, d: String, k: Int = 3): DataFrame =
-    Tables.artifact(s, d, Seq("events"), s"coPurchaseKnnEdges:$k") {
+    Tables.dfArtifact(s, d, Seq("events"), s"coPurchaseKnnEdges:$k") {
       val pd = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
@@ -459,7 +459,7 @@ object Behavior {
     * minimum user id — exact, so the oracle is the same recursive-CTE
     * transitive closure already proved for the dedup clusters. */
   def coPurchaseComponents(s: SparkSession, d: String, k: Int = 3): DataFrame =
-    Tables.artifact(s, d, Seq("events"), s"coPurchaseComponents:$k") {
+    Tables.dfArtifact(s, d, Seq("events"), s"coPurchaseComponents:$k") {
       // the labeled node set is a built artifact of the corpus, like
       // the kNN edge index it derives from: the O(log diameter)
       // propagation rounds run once per (corpus, k) and later calls
@@ -471,7 +471,6 @@ object Behavior {
       Dedup.components(nodes,
         edges.select(col("ua").as("id_a"), col("ub").as("id_b")))
         .select(col("doc_id").as("user_id"), col("component"))
-        .localCheckpoint(true)
     }.orderBy(col("user_id"))
 
   /** Markov TRANSITION counts: for each user's event sequence (ordered

@@ -140,8 +140,8 @@ object Dedup {
     * checkpointed result is tiny (matched pairs only), so the cache
     * stores kilobytes while saving the shingle+signature scans. */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
-    Tables.artifact(s, d, Seq("documents"), s"minhashLshPairs:$threshold")(
-      minhashLshPairsUncached(s, d, threshold).localCheckpoint(true))
+    Tables.dfArtifact(s, d, Seq("documents"), s"minhashLshPairs:$threshold")(
+      minhashLshPairsUncached(s, d, threshold))
 
   private def minhashLshPairsUncached(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = shingleDocs(s, d)

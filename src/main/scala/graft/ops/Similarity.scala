@@ -144,7 +144,7 @@ object Similarity {
     // labeled-mass explode+aggregate (|labeled|·dim rows — 102M at the
     // 2M decade) runs on the cold leg only, and the artifact itself is
     // nLabels tiny rows
-    val protos = Tables.artifact(s, d, Seq("embeddings"),
+    val protos = Tables.dfArtifact(s, d, Seq("embeddings"),
         s"centroidProtos:$holdoutMod")(
       e.filter(col("vec_id") % holdoutMod =!= 0)
         .select(col("label"), posexplode(col("embedding").cast(ArrayType(DoubleType))))
@@ -155,8 +155,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("mq")))).as("pm"))
         .select(col("label").cast(LongType).as("c_label"),
           expr("transform(pm, x -> x.mq)").as("c_emb"))
-        .withColumn("c_nrm", l2norm(col("c_emb")))
-        .localCheckpoint(true))
+        .withColumn("c_nrm", l2norm(col("c_emb"))))
     val q = e.filter(col("vec_id") % holdoutMod === 0)
       .withColumn("nrm", l2norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -583,11 +582,14 @@ object Similarity {
     * says not to do. Cold carries the one encode pass; warm reads the
     * ~4-byte-per-vector checkpoint. */
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
-    Tables.artifact(s, d, Seq("embeddings"), "pqCodes") {
+    // parquet-sidecar-persisted (round 14): with the codebook already a
+    // disk sidecar, the code TABLE was the remaining per-JVM encode
+    // pass — a cold JVM now reads 4 bytes/vector instead of pushing the
+    // whole corpus through the boxed encode UDF
+    Tables.dfArtifact(s, d, Seq("embeddings"), "pqCodes") {
       val cb = pqCodebooks(s, d)
       val enc = udf((emb: Seq[Float]) => pqEncodeOne(cb, emb))
       corpus(s, d).select(col("vec_id"), enc(col("embedding")).as("codes"))
-        .localCheckpoint(true)
     }
 
   /** PQ ANN search with ADC (asymmetric distance computation) + exact

@@ -131,4 +131,39 @@ class TablesCacheSpec extends SparkSpec {
       "corpusValue served a stale disk sidecar after an in-place rewrite")
     assert(builds === 2)
   }
+
+  test("dfArtifact parquet sidecar survives a cold JVM and dies with an in-place rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp5_")
+    val part = writeTable(dir, "documents", 11L)
+
+    var builds = 0
+    def get(): (Long, Long) = {
+      val df = Tables.dfArtifact(spark, dir.toString, Seq("documents"), "spec-df") {
+        builds += 1
+        Tables.load(spark, dir.toString, "documents")
+      }
+      (df.count(), df.agg(sum(col("v"))).head().getLong(0))
+    }
+    // v = 2*id, so sum(v) over range(n) = n*(n-1)
+    assert(get() === ((11L, 110L)))
+    assert(builds === 1)
+
+    // fresh-JVM simulation: in-memory memo gone, the parquet sidecar
+    // must answer — with the same CONTENTS, not just the same count
+    Tables.clearMemoryArtifactsForTest()
+    assert(get() === ((11L, 110L)),
+      "dfArtifact's parquet sidecar round trip changed the artifact's contents")
+    assert(builds === 1,
+      "dfArtifact rebuilt on a cold JVM instead of reading the parquet sidecar")
+
+    // in-place rewrite moves the fingerprint, which moves the sidecar
+    // directory name: the stale sidecar is unreachable, the artifact
+    // rebuilds against the new content
+    val stage = java.nio.file.Files.createTempDirectory("graft_fp5_stage_")
+    rewriteInPlace(part, writeTable(stage, "documents", 29L))
+    Tables.clearMemoryArtifactsForTest()
+    assert(get() === ((29L, 812L)),
+      "dfArtifact served a stale parquet sidecar after an in-place rewrite")
+    assert(builds === 2)
+  }
 }

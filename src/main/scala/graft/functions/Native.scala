@@ -255,6 +255,30 @@ case class CentsArraySum(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Scalar sibling of [[CentsArraySum]]: Spark-cast-faithful integer
+  * cents of ONE double (same [[CentsArraySum.cents]] conversion, same
+  * non-finite → 0 = the cast-to-null → sum-skips-null equivalence under
+  * a later sum). Exists so a sliding-frame SUM can run over
+  * pre-converted longs: Spark's SlidingWindowFunctionFrame RE-EVALUATES
+  * the whole frame per output row, so a k=60 frame pays 60 aggregate
+  * updates per row — with sum(DECIMAL) each update allocates and
+  * scale-checks a Decimal (measured 116.9 s for q_sliding_windows at
+  * the 100M-event decade, 2× the r11-basis array form), while
+  * sum(LONG) over a cents column projected ONCE before the window is a
+  * bare long add (the conversion itself is paid n times, not n·k). */
+case class CentsValue(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    CentsArraySum.cents(a.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.CentsArraySum.cents($x)")
+
+  override protected def withNewChildInternal(c: Expression): CentsValue =
+    copy(child = c)
+}
+
 object CentsArraySum {
   /** Spark-cast-faithful cents of one double; 0 for non-finite (the
     * cast-to-null → sum-skips-null path). Fast path: when x IS exactly
@@ -619,6 +643,8 @@ object Native {
     "graft_sorted_intersect" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "graft_sorted_struct_intersect" -> (exprs => SortedStructIntersectCount(exprs(0), exprs(1))),
     "graft_cents_array_sum" -> (exprs => CentsArraySum(exprs.head)),
+    "graft_cents" -> (exprs => CentsValue(exprs.head)),
+    "graft_frame_stats" -> (exprs => FrameStatsAgg(exprs.head)),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
     "graft_sortable_double" -> (exprs => DoubleSortableLong(exprs.head)),
@@ -653,6 +679,13 @@ object Native {
   /** Σ cast(x AS DECIMAL(18,2)) over a double array, as integer cents
     * (see [[CentsArraySum]]). */
   def centsArraySum(a: Column): Column = call_function("graft_cents_array_sum", a)
+
+  /** Integer cents of one double (see [[CentsValue]]). */
+  def cents(c: Column): Column = call_function("graft_cents", c)
+
+  /** One-pass (cents sum, min, max) frame aggregate — struct(cs, mn, mx)
+    * (see [[FrameStatsAgg]]). */
+  def frameStats(c: Column): Column = call_function("graft_frame_stats", c)
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
 

@@ -233,14 +233,26 @@ object Chunked {
     val wp = Window.partitionBy(col(series), col("_fc"))
       .orderBy(col(time), col(id))
     val w  = wp.rowsBetween(-(k - 1), 0)
-    val wf = wp.rowsBetween(0, k - 1)
     val fcols = frameCols(w)
+    // frame-completeness bookkeeping rides O(1) window functions, NOT
+    // sliding-frame counts: count(1) over a ROWS frame is a full frame
+    // REPLAY per output row in Spark's SlidingWindowFunctionFrame, so
+    // the two old completeness counts (trailing [-(k-1),0] and forward
+    // [0,k-1]) cost two extra k-row replays per row in EVERY frames()
+    // consumer — at the 100M-event decade they were ~40% of the whole
+    // WindowExec (SCALING.md round 14). row_number is an offset
+    // function (O(1)/row) and the unbounded count aggregates each
+    // partition once; the predicates are equivalent:
+    //   trailing count == k  ⇔  rn ≥ k
+    //   forward  count <  k  ⇔  np − rn < k − 1  (np = partition size)
     val windowed = based.select((df.columns.map(col).toSeq :+ col("_fc")) ++
-      fcols :+ count(lit(1)).over(w).as("_n") :+ count(lit(1)).over(wf).as("_nf"): _*)
+      fcols :+ row_number().over(wp).as("_rn") :+
+      count(lit(1)).over(wp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("_np"): _*)
     val frameNames = windowed.columns
       .slice(df.columns.length + 1, df.columns.length + 1 + fcols.length)
     val outCols = (df.columns ++ frameNames).map(col).toSeq
-    val mainOut = windowed.filter(col("_n") === k).select(outCols: _*)
+    val mainOut = windowed.filter(col("_rn") >= k).select(outCols: _*)
     // boundary mini-pass: heads (frame incomplete in-chunk) re-evaluate
     // with the predecessor chunk's last k−1 rows replicated in as warm-up.
     // The boundary SET depends only on (corpus, series, time, id, k) —
@@ -248,18 +260,18 @@ object Chunked {
     // cached and shared across the whole family (sliding stats, batched
     // predict, GRU all chunk the same corpus at the same k): each query
     // pays ONE corpus-sized pass, not two. The cached branch prunes the
-    // frame columns out of its WindowExec (only _n/_nf are referenced),
+    // frame columns out of its WindowExec (only _rn/_np are referenced),
     // so even the first computation skips the collect_list work.
     val boundary = boundaryCache.computeIfAbsent(
       (cacheTag(df, corpus), df.columns.mkString(","), series, time, id, k, minRows, nBoundaries),
       _ => windowed
-        .filter(col("_n") < k || col("_nf") < k)
-        .select((df.columns.map(col) :+ col("_fc") :+ col("_n") :+ col("_nf")): _*)
+        .filter(col("_rn") < k || col("_np") - col("_rn") < k - 1)
+        .select((df.columns.map(col) :+ col("_fc") :+ col("_rn") :+ col("_np")): _*)
         .localCheckpoint(true))
-    val heads = boundary.filter(col("_n") < k).withColumn("_warm", lit(false))
-    val tails = boundary.filter(col("_nf") < k)
+    val heads = boundary.filter(col("_rn") < k).withColumn("_warm", lit(false))
+    val tails = boundary.filter(col("_np") - col("_rn") < k - 1)
       .withColumn("_fc", col("_fc") + 1).withColumn("_warm", lit(true))
-    val tiny = heads.unionByName(tails).drop("_n", "_nf")
+    val tiny = heads.unionByName(tails).drop("_rn", "_np")
     val tinyCols = (df.columns.map(col).toSeq :+ col("_warm")) ++
       frameCols(w) :+ count(lit(1)).over(w).as("_n")
     val tinyOut = tiny.select(tinyCols: _*)

@@ -442,9 +442,20 @@ object TextOps {
       .filter(length(col("token")) > 0)
       .withColumn("block_id", expr(s"doc_id div $blockSize"))
       .groupBy(col("token"), col("block_id"))
-      .agg(countDistinct(col("doc_id")).as("df_block"),
-        count(lit(1)).as("n_postings"),
-        expr("array_join(transform(array_sort(collect_list(struct(doc_id, pos))), " +
+      // NO countDistinct here: a distinct aggregate mixed with plain
+      // ones plans an Expand that DOUBLES the occurrence stream (~1B
+      // rows at the 5M-doc decade) through the partial aggregate and
+      // the exchange. The per-block document frequency is instead read
+      // off the sorted posting list the aggregate already builds —
+      // distinct doc_ids of a ≤ blockSize-doc posting array, a bounded
+      // per-output-row expression, zero extra shuffled rows.
+      .agg(count(lit(1)).as("n_postings"),
+        expr("array_sort(collect_list(struct(doc_id, pos)))").as("_plist"))
+      .select(col("token"), col("block_id"),
+        expr("size(array_distinct(transform(_plist, x -> x.doc_id)))")
+          .cast(LongType).as("df_block"),
+        col("n_postings"),
+        expr("array_join(transform(_plist, " +
           "x -> cast(x.doc_id as string) || ':' || cast(x.pos as string)), ' ')")
           .as("postings"))
       .orderBy(col("token"), col("block_id"))

@@ -84,21 +84,28 @@ object Windows {
       // materialized (48 GB at 100M events × k=60) — and this query
       // never needed them: its three stats are native frame aggregates,
       // so the direct form runs the SAME chunked one-exchange WindowExec
-      // with three scalar accumulators instead of building a 60-double
-      // array per row first (the array allocation was most of the
-      // gen1000x wall — SCALING.md round 13). Decimal-routed sum, so
-      // frame-evaluation order cannot perturb bits; cast(double) of the
-      // exact 2-digit decimal equals the artifact path's cents/100.0.
+      // with ONE scalar-buffer aggregate instead of building a
+      // 60-double array per row first. Spark's sliding-frame processor
+      // replays the whole frame per output row ONCE PER AGGREGATE, so
+      // the stat count — not the stat kind — is the wall: measured at
+      // the 100M-event decade (SCALING.md round 14), three decimal/
+      // double frame aggregates 116.9 s, three with the sum as long
+      // cents 103.9 s, vs the r11-basis one-aggregate collect_list
+      // form 55.1 s. FrameStatsAgg folds all three stats into one
+      // replay with no per-row allocation (the collect_list form's
+      // remaining cost). Exactness is unchanged: the same cents
+      // conversion as the below-gate CentsArraySum path, long addition
+      // exactly associative, cents/100.0 = Decimal(18,2).toDouble.
+      graft.functions.Native.register(s)
       Chunked.frames(Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("ts"), col("value")),
         d, "event_type", "ts", "event_id", k) { w =>
-        Seq(
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .over(w).cast(DoubleType).as("w_sum"),
-          min(col("value")).over(w).as("w_min"),
-          max(col("value")).over(w).as("w_max"))
+        Seq(graft.functions.Native.frameStats(col("value")).over(w).as("_fs"))
       }
-        .select(col("event_id"), col("w_sum"), col("w_min"), col("w_max"))
+        .select(col("event_id"),
+          (col("_fs.cs") / lit(100.0)).as("w_sum"),
+          col("_fs.mn").as("w_min"),
+          col("_fs.mx").as("w_max"))
         .orderBy(col("event_id"))
     } else {
       // stats fold over the shared per-(corpus, k) window-array artifact

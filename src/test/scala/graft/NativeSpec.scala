@@ -242,4 +242,34 @@ class NativeSpec extends SparkSpec {
         s"cents mismatch on array $i: ${got(i.toLong)} vs ${ref(i.toLong)}")
     }
   }
+
+  test("FrameStatsAgg equals sum(cents)/min/max, null-skipping, through partial+merge") {
+    import graft.functions.Native
+    Native.register(spark)
+    import spark.implicits._
+    // groups exercise: plain values, nulls mixed in, an ALL-null group
+    // (every stat must be null), and a single row; repartition(7)
+    // forces partial buffers through the MERGE path
+    val rows = Seq[(Long, java.lang.Double)](
+      (1L, 2.675), (1L, -0.005), (1L, 7.25), (1L, null),
+      (2L, null), (2L, null),
+      (3L, 41.37))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = df.groupBy(col("g"))
+      .agg(Native.frameStats(col("v")).as("fs"))
+      .select(col("g"), (col("fs.cs") / 100.0).as("s"), col("fs.mn"), col("fs.mx"))
+    val ref = df.groupBy(col("g"))
+      .agg((sum(Native.cents(col("v"))) / 100.0).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val g = got.orderBy(col("g")).collect()
+    val r = ref.orderBy(col("g")).collect()
+    assert(g.length == r.length)
+    g.zip(r).foreach { case (a, b) =>
+      (1 to 3).foreach { i =>
+        assert((a.isNullAt(i) && b.isNullAt(i)) ||
+          (!a.isNullAt(i) && !b.isNullAt(i) && a.getDouble(i) == b.getDouble(i)),
+          s"group ${a.getLong(0)} col $i: $a vs $b")
+      }
+    }
+  }
 }

@@ -30,4 +30,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 concurrent tasks share the unified memory pool, so an 8g heap
   // gives each sort/aggregate task only ~70 MB before it spills
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Commit and touch the whole heap at JVM startup: without this the
+  // heap grows DURING the first expensive queries and G1 re-uncommits
+  // idle regions between queries, so 32 task threads stall in kernel
+  // page-fault/zeroing storms mid-query (observed: 95%+ SYSTEM time and
+  // +10 GB RSS growth inside a timed query at the generated-fixture
+  // scale — single-query JVM walls 3-6x their steady state, invariant
+  // across code versions). Pre-touching moves that cost to startup,
+  // where no measurement and no query pays it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
 )

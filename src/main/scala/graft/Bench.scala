@@ -186,7 +186,12 @@ object Bench {
     // ~100 batches of ~10 rows): an uncontended solo drain doing the
     // reference's per-batch work, summarized off the query listener
     val streamPanel =
-      try {
+      // subset runs are scale-curve sweeps over generated fixtures: the
+      // panel's ~100 micro-batches cost minutes of sweep wall there and
+      // the committed panel numbers come from full-suite runs only —
+      // same gating as the continuous floor probe below
+      if (only.nonEmpty) "null"
+      else try {
         val m = graft.streaming.Pipeline.streamLatencyProbe(spark, sfDir)
           .localCheckpoint(true) // summarized twice below
         val r = graft.streaming.Metrics.summarize(m).head()
@@ -213,7 +218,8 @@ object Bench {
     // machinery-bound, and the whole sweep must stay a bounded slice
     // of bench wall (~15-20 s).
     val streamCurve =
-      try {
+      if (only.nonEmpty) "null"
+      else try {
         val pts = Seq(20, 200, 1000, 5000).map { rpb =>
           val m = graft.streaming.Pipeline.streamLatencyProbe(
             spark, sfDir, rowsPerBatch = rpb, nBatches = 12)

@@ -276,7 +276,32 @@ object Bench {
         while (i < n) { spark.range(1).count(); i += 1 }
         f"${(System.nanoTime() - t0) / 1e6 / n}%.2f"
       } catch { case _: Throwable => "null" }
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sched_probe_ms":$schedProbe,"sf":"$sfDir"}"""
+    // third host-health axis: MEMORY BANDWIDTH (GB/s over an already-
+    // touched 256 MB copy, best of 4). The CPU probe is cache-resident
+    // and the sched probe measures dispatch latency; neither sees a
+    // bandwidth-starved memory subsystem (round 14 measured 0.7-1.2
+    // GB/s on a virtualized builder vs the 10+ GB/s a bare-metal host
+    // sustains — the shapes that stream big checkpoints or wide
+    // shuffles ran 2-6x slower while the CPU probe moved ~1.1x).
+    // Adjudicate artifact-scan / wide-shuffle lines against THIS.
+    val memProbe =
+      try {
+        val n = 256 * 1024 * 1024
+        val src = new Array[Byte](n)
+        val dst = new Array[Byte](n)
+        java.util.Arrays.fill(src, 1.toByte) // touch both before timing
+        System.arraycopy(src, 0, dst, 0, n)
+        var best = Double.MaxValue
+        var i = 0
+        while (i < 4) {
+          val t0 = System.nanoTime()
+          System.arraycopy(src, 0, dst, 0, n)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          i += 1
+        }
+        f"${n / best / 1e9}%.2f"
+      } catch { case _: Throwable => "null" }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,"sf":"$sfDir"}"""
     // the full line carries two 160+-entry maps and has been truncated
     // mid-stream by log-tail capture twice (rounds 6/7 — "parsed": null
     // in the driver artifact even on a clean run). This SHORT summary
@@ -284,7 +309,7 @@ object Bench {
     // intact, and parseable on its own.
     val probeSum = probeNames.map(best).sum
     val meanMs = "\"stream_batch_ms_mean\":" + extractMeanMs(streamPanel)
-    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,$meanMs,"unit":"sec","sf":"$sfDir"}"""
+    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,$meanMs,"unit":"sec","sf":"$sfDir"}"""
     // SELF-SUFFICIENT FILE ARTIFACT: the driver's log-tail capture has
     // truncated the full stdout line mid-map three rounds running
     // ("parsed": null in BENCH_r06/07/08 even on clean runs), leaving the
@@ -306,6 +331,7 @@ object Bench {
            |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$iters},
            |"probe":$probe,
            |"sched_probe_ms":$schedProbe,
+           |"mem_probe_gbps":$memProbe,
            |"warm":$qs,
            |"cold":$colds,
            |"stream_batch_ms":$streamPanel,

@@ -161,8 +161,12 @@ object Tables {
     * once per corpus SNAPSHOT and shipped as a sidecar next to the
     * data, not retrained by every JVM that opens the table. Locally
     * this is what takes the gen-scale classifier's cold run from
-    * k-means+PQ-training-dominated to scan-dominated (SCALING.md
-    * round 13). Freshness is the same fingerprint discipline as every
+    * k-means+PQ-training-dominated to scan-dominated — measured at 2M
+    * vectors in SCALING.md round 14: a fresh-store cold JVM pays
+    * 70.0 s (training + sidecar publish), a sidecar-reading cold JVM
+    * 31.3 s against a 25.4 s warm leg (1.23x, meeting the r12
+    * cold ≤ 2x warm criterion). Freshness is the same fingerprint
+    * discipline as every
     * cache here: an in-place part-file rewrite moves the fingerprint,
     * which moves the sidecar FILE NAME, so a stale sidecar is simply
     * never opened (and ages out with tmp). All IO is best-effort —

@@ -58,6 +58,30 @@ object Dedup {
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     shingleDocs(s, d).select(col("doc_id"), explode(col("sh")).as("shingle"))
 
+  /** doc_id → distinct shingle HASH array (xxhash64 per shingle) — the
+    * payload the consecutive-overlap calibration queries actually
+    * consume. Set-overlap counts need only set IDENTITY, and an 8-byte
+    * hash replaces a ~100-byte string object: the checkpointed artifact
+    * shrinks ~10x (at 5M docs the string-array checkpoint is tens of
+    * GB — it overflows the storage pool and every repeat pass streams
+    * it back through a bandwidth-limited memory subsystem; round 14
+    * measured the join leg at 43-87 s there vs ~14 s on earlier
+    * full-bandwidth hosts, and the hashed form divides that payload by
+    * ~10). Collisions only matter WITHIN one consecutive pair
+    * (~10^4 cross-hashes per pair at 2^-64 each — vanishing), so the
+    * Jaccard/containment values are bit-identical to the string form
+    * and the DuckDB oracle (which intersects strings) still matches.
+    * Strings stay in [[shingleDocs]] for the consumers whose contracts
+    * need them: simhash's oracle-reproducible rolling hash and the
+    * minhash verify's exact string tiebreak. */
+  private def shingleHashDocs(s: SparkSession, d: String): DataFrame =
+    Tables.artifact(s, d, Seq("documents"), "shingleHashDocs")(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true))
+
   /** Exact n-gram Jaccard between consecutive doc pairs (a calibration /
     * oracle query for the sketch-based paths): |A∩B| / |A∪B| over 3-token
     * shingle sets. Computed with array_intersect on the paired shingle
@@ -75,7 +99,7 @@ object Dedup {
     * where a pushed-down threshold re-evaluates the intersect per pair
     * (the SSJoin and minhash verifies keep it). */
   private def consecutivePairCounts(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d)
+    val docs = shingleHashDocs(s, d)
     docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         col("id_b") === col("id_a") + 1)
@@ -367,7 +391,23 @@ object Dedup {
   def contaminationFraction(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     require(k >= 2, s"contaminationFraction needs k >= 2, got $k")
     val split = TextOps.hashSplit(s, d)
-    val grams = Tables.documents(s, d)
+    // Per-split gram derivation with the split PUSHED INTO THE SCAN:
+    // the split is a pure function of doc_id (TextOps.splitOf), so each
+    // side explodes ONLY its own documents. The previous shape derived
+    // a full-corpus distinct-gram table and semi-joined the split in
+    // AFTER it — and because Spark shares no subtree without
+    // materialization, that ~100-grams-per-doc explode+distinct
+    // re-executed once for the train branch, once for the test branch,
+    // and twice more for the matched/totals consumers of the test
+    // branch: ~4 full-corpus gram passes per run (the round-14 gen1000x
+    // sweep read 179.6 s, almost all of it this). Now the train pass
+    // runs once over its 13/16 of the corpus and the test pass over its
+    // 1/16, checkpointed below so its two consumers read instead of
+    // re-deriving — at 100 TB the train side is the corpus-scale pass
+    // and the test side is a small table, which is exactly how an eval
+    // decontamination job shapes its IO.
+    def gramsOf(subset: String): DataFrame = Tables.documents(s, d)
+      .filter(TextOps.splitOf(col("doc_id")) === subset)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("n_windows",
         greatest(size(col("toks")) - (k - 1), lit(0)).cast(LongType))
@@ -380,11 +420,11 @@ object Dedup {
         xxhash64(col("gram")).as("h1"),
         xxhash64(lit(17L), col("gram")).as("h2"))
       .distinct() // membership is per distinct gram, per doc
-    val trainGrams = grams
-      .join(split.filter(col("split") === "train"), Seq("doc_id"), "left_semi")
+    val trainGrams = gramsOf("train")
       .select(col("h1"), col("h2")).distinct()
-    val testGrams = grams
-      .join(split.filter(col("split") === "test"), Seq("doc_id"), "left_semi")
+    // the test side is 1/16 of the corpus — small enough to pin for its
+    // two consumers (matched + totals) without a size gate
+    val testGrams = gramsOf("test").localCheckpoint(true)
     val matched = testGrams.join(trainGrams, Seq("h1", "h2"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
     val totals = testGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

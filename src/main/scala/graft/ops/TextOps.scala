@@ -52,14 +52,20 @@ object TextOps {
     * coordination-free, reproducible dataset split (any worker computes
     * the same assignment from the key alone; no sampling state, no
     * shuffle). The standard way training corpora are split at scale. */
-  def hashSplit(s: SparkSession, d: String): DataFrame = {
-    val h1 = substring(md5(col("doc_id").cast(StringType)), 1, 1)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(h1 <= "c", "train").when(h1 <= "e", "val").otherwise("test")
-          .as("split"))
-      .orderBy(col("doc_id"))
+  /** The split assignment as a pure COLUMN over a doc_id column — the
+    * coordination-free property that makes the split usable as a scan
+    * PREDICATE: a consumer that needs only one split's documents
+    * filters before any explode/join instead of joining the full split
+    * table after (contaminationFraction pushes it into the gram scan). */
+  private[graft] def splitOf(docId: Column): Column = {
+    val h1 = substring(md5(docId.cast(StringType)), 1, 1)
+    when(h1 <= "c", "train").when(h1 <= "e", "val").otherwise("test")
   }
+
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
 
   /** End-to-end CORPUS CURATION — the composition a training-data user
     * actually runs: keep a document iff it (a) passes the quality

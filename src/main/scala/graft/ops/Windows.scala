@@ -87,13 +87,19 @@ object Windows {
       // with ONE scalar-buffer aggregate instead of building a
       // 60-double array per row first. Spark's sliding-frame processor
       // replays the whole frame per output row ONCE PER AGGREGATE, so
-      // the stat count — not the stat kind — is the wall: measured at
-      // the 100M-event decade (SCALING.md round 14), three decimal/
-      // double frame aggregates 116.9 s, three with the sum as long
-      // cents 103.9 s, vs the r11-basis one-aggregate collect_list
-      // form 55.1 s. FrameStatsAgg folds all three stats into one
-      // replay with no per-row allocation (the collect_list form's
-      // remaining cost). Exactness is unchanged: the same cents
+      // the stat count — not the stat kind — is the wall: the round-14
+      // variant A/B at the 100M-event decade (SCALING.md round 14)
+      // read three decimal/double frame aggregates 116.9 s, three with
+      // the sum as long cents 103.9 s, one-aggregate collect_list (the
+      // r11 form) 55.1 s — same host, same conditions, so the ORDERING
+      // is the measurement even where absolute seconds carry that
+      // host's memory-bandwidth deficit. FrameStatsAgg folds all three
+      // stats into one replay with no per-row allocation (the
+      // collect_list form's remaining cost); the committed round-14
+      // single-replay reading is 86.0 s warm on the bandwidth-starved
+      // host (r12 basis: 71.2 s on a full-bandwidth host, ratio ~ the
+      // hosts' measured memory-probe gap). Exactness is unchanged: the
+      // same cents
       // conversion as the below-gate CentsArraySum path, long addition
       // exactly associative, cents/100.0 = Decimal(18,2).toDouble.
       graft.functions.Native.register(s)

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` stdout passes through VERBATIM instead of via
+// sbt's logger: the logger prefixes every line with "[info] ", which is
+// why the bench driver's JSON parser never matched the summary line
+// ("parsed": null in every round's BENCH artifact even when the line
+// survived intact in the tail — round-14 postmortem). Bench/Verify
+// print machine-parsed JSON lines; they must reach stdout bare.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,13 +30,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default sized to the target environment (local[32], 128 GiB):
+// 32 concurrent tasks share the unified memory pool, so an 8g heap
+// gives each sort/aggregate task only ~70 MB before it spills. But a
+// hard-coded 48g -Xms (below) fails to START on any host with less
+// RAM, so when SPARK_DRIVER_MEM is unset the default derives from the
+// host: min(48g, half of MemTotal), floor 2g. Explicit SPARK_DRIVER_MEM
+// always wins.
+val driverMem: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memTotalGb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemTotal"))
+        .map(_.split("\\s+")(1).toLong / (1024L * 1024L)).getOrElse(96L)
+      finally src.close()
+    } catch { case _: Throwable => 96L } // non-Linux: assume big host
+  s"${math.max(2L, math.min(48L, memTotalGb / 2))}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // default sized to the target environment (local[32], 128 GiB):
-  // 32 concurrent tasks share the unified memory pool, so an 8g heap
-  // gives each sort/aggregate task only ~70 MB before it spills
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$driverMem",
   // Commit and touch the whole heap at JVM startup: without this the
   // heap grows DURING the first expensive queries and G1 re-uncommits
   // idle regions between queries, so 32 task threads stall in kernel
@@ -37,7 +58,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // +10 GB RSS growth inside a timed query at the generated-fixture
   // scale — single-query JVM walls 3-6x their steady state, invariant
   // across code versions). Pre-touching moves that cost to startup,
-  // where no measurement and no query pays it.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // where no measurement and no query pays it. Safe to keep
+  // unconditionally now that the size derives from host RAM above.
+  s"-Xms$driverMem",
   "-XX:+AlwaysPreTouch",
 )

@@ -2,10 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query seconds at the SF dir in
-  * SPARK_GRAFT_SF_DIR. Two full iterations; "queries" carries the
-  * per-query MIN (warm): the first pass absorbs codegen/JIT/state-store
+  * SPARK_GRAFT_SF_DIR. "queries" carries the per-query MIN across
+  * iterations (warm): the first pass absorbs codegen/JIT/state-store
   * warm-up and machine noise (observed 2-3x swings on loaded hosts), the
   * min is the reproducible cost of the plan itself.
+  *
+  * ITERATION COUNT (round 15): when SPARK_GRAFT_BENCH_ITERS is unset,
+  * the suite runs 1 cold + AT LEAST 3 warm iterations, then keeps
+  * iterating (cap 6 total) until the published warm total — the sum of
+  * per-query mins — improves by less than 1.5% in a full extra pass.
+  * Rationale: the same suite measured 87.2–123.2 s across four
+  * same-host runs (SCALING.md round 14) — a ±25% run-to-run swing — so
+  * a min-of-ONE-warm-pass artifact publishes host noise, and the
+  * committed artifact sat 2.6x over the 2x-of-baseline contract line
+  * for two rounds while min-of-4 prose numbers were under it. The
+  * convergence loop makes the ARTIFACT the converged number. An
+  * explicit SPARK_GRAFT_BENCH_ITERS pins the count exactly (subset
+  * scale sweeps stay at iters=2: their statistic is the decade ratio
+  * of solo JVMs, not a converged suite total).
   *
   * "cold" carries each query's FIRST-iteration time so one-time index
   * builds are attributed, not hidden: the dedup pair index, the k-means
@@ -40,6 +54,11 @@ object Bench {
     * individual streaming query absorbs the shared machinery cost. */
   private[graft] val DrainLine = "stream_drain_group"
 
+  /** Observable sink for the memory-bandwidth probe's destination
+    * buffer — volatile so the timed arraycopies can never be elided as
+    * dead stores by a sufficiently aggressive JIT. */
+  @volatile private var memProbeSink: Int = 0
+
   /** Pull the numeric mean_ms out of the stream-panel JSON fragment for
     * the short summary line. Pure and unit-tested (BenchFormatSpec):
     * the summary line is the artifact the driver machine-parses when
@@ -63,7 +82,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // pinned count if the env var is set; adaptive otherwise (see doc)
+    val pinnedIters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
+    val minIters = pinnedIters.getOrElse(4) // 1 cold + ≥3 warm
+    val maxIters = pinnedIters.getOrElse(6)
+    val convergeFrac = 0.015
     // partitions default to the thread count, but must SCALE WITH DATA:
     // the frame-materializing families hold rows/partition × frame-width
     // transient state per task, so at 100× the fixture scale the
@@ -120,7 +143,11 @@ object Bench {
     val best   = scala.collection.mutable.Map[String, Double]()
     val cold   = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
-    for (it <- 1 to iters) {
+    var itersRun = 0
+    var prevPublished = Double.MaxValue
+    var converged = false
+    while (itersRun < maxIters && !(converged && itersRun >= minIters)) {
+      val it = itersRun + 1
       // forget the drained streaming sinks so EVERY iteration — warm
       // included — re-pays one full concurrent drain group: the warm
       // number measures the consolidated drain, never a stale parquet
@@ -169,6 +196,18 @@ object Bench {
             errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
         }
       }
+      itersRun = it
+      // convergence statistic = the number the artifact publishes (sum
+      // of per-query mins, drain line included): once a full extra pass
+      // moves it by <convergeFrac, more passes buy noise, not signal
+      val published =
+        (if (only.isEmpty) DrainLine +: names else names)
+          .flatMap(best.get).filter(_ >= 0).sum
+      converged = prevPublished - published < convergeFrac * prevPublished
+      prevPublished = published
+      System.err.println(
+        f"[bench] iteration $it done: published warm total $published%.2f s" +
+          (if (converged) " (converged)" else ""))
     }
     // a query that failed every iteration is loud: -1 timing + errors entry
     val outNames = if (only.isEmpty) DrainLine +: names else names
@@ -276,12 +315,17 @@ object Bench {
         while (i < n) { spark.range(1).count(); i += 1 }
         f"${(System.nanoTime() - t0) / 1e6 / n}%.2f"
       } catch { case _: Throwable => "null" }
-    // third host-health axis: MEMORY BANDWIDTH (GB/s over an already-
-    // touched 256 MB copy, best of 4). The CPU probe is cache-resident
-    // and the sched probe measures dispatch latency; neither sees a
-    // bandwidth-starved memory subsystem (round 14 measured 0.7-1.2
-    // GB/s on a virtualized builder vs the 10+ GB/s a bare-metal host
-    // sustains — the shapes that stream big checkpoints or wide
+    // third host-health axis: MEMORY BANDWIDTH — SINGLE-THREAD copy
+    // GB/s over an already-touched 256 MB System.arraycopy, best of 4.
+    // This is ONE core's streaming-copy rate, not aggregate machine
+    // bandwidth; it's the right comparator anyway because it's a RATIO
+    // axis: the same probe ran on every host, and SCALING.md
+    // adjudicates cross-host inflation by the probe ratio, not by an
+    // absolute GB/s model of a 32-thread shuffle. The CPU probe is
+    // cache-resident and the sched probe measures dispatch latency;
+    // neither sees a bandwidth-starved memory subsystem (round 14
+    // measured ~5 GB/s here on a virtualized builder vs 15-30 on
+    // earlier hosts — the shapes that stream big checkpoints or wide
     // shuffles ran 2-6x slower while the CPU probe moved ~1.1x).
     // Adjudicate artifact-scan / wide-shuffle lines against THIS.
     val memProbe =
@@ -299,9 +343,12 @@ object Bench {
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
           i += 1
         }
+        // consume dst so no JIT may treat the timed copies as dead
+        // stores (observable sink: a volatile write of real bytes)
+        memProbeSink = dst(0) + dst(n / 2) + dst(n - 1)
         f"${n / best / 1e9}%.2f"
       } catch { case _: Throwable => "null" }
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"probe":$probe,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"iters":$itersRun,"probe":$probe,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,"sf":"$sfDir"}"""
     // the full line carries two 160+-entry maps and has been truncated
     // mid-stream by log-tail capture twice (rounds 6/7 — "parsed": null
     // in the driver artifact even on a clean run). This SHORT summary
@@ -309,7 +356,7 @@ object Bench {
     // intact, and parseable on its own.
     val probeSum = probeNames.map(best).sum
     val meanMs = "\"stream_batch_ms_mean\":" + extractMeanMs(streamPanel)
-    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,$meanMs,"unit":"sec","sf":"$sfDir"}"""
+    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"iters":$itersRun,"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,$meanMs,"unit":"sec","sf":"$sfDir"}"""
     // SELF-SUFFICIENT FILE ARTIFACT: the driver's log-tail capture has
     // truncated the full stdout line mid-map three rounds running
     // ("parsed": null in BENCH_r06/07/08 even on clean runs), leaving the
@@ -328,7 +375,7 @@ object Bench {
         else "\"" + jsonEscape(cpus) + "\""
       val body =
         s"""{
-           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$iters},
+           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$itersRun},
            |"probe":$probe,
            |"sched_probe_ms":$schedProbe,
            |"mem_probe_gbps":$memProbe,

@@ -137,6 +137,18 @@ object Tables {
     * disk-sidecar path of [[corpusValue]] can be exercised in-process. */
   private[graft] def clearMemoryArtifactsForTest(): Unit = artifactCache.clear()
 
+  /** Non-building lookup into the artifact memo: Some only when the
+    * keyed artifact is ALREADY materialized for this (session, corpus
+    * fingerprint). Lets a derived artifact choose the cheaper of two
+    * equivalent builds — e.g. the hashed-shingle table projects off an
+    * already-checkpointed string-shingle table instead of re-running
+    * the corpus tokenize+shingle pass, but only when that (much larger)
+    * artifact exists anyway; peeking never forces it into existence. */
+  private[graft] def artifactPeek[T <: AnyRef](s: SparkSession, d: String,
+      tables: Seq[String], key: Any): Option[T] =
+    Option(artifactCache.get((artifactTag(s, d, tables), key): (String, Any)))
+      .map(_.asInstanceOf[T])
+
   private[graft] def artifact[T <: AnyRef](s: SparkSession, d: String,
       tables: Seq[String], key: Any)(build: => T): T = {
     val k = (artifactTag(s, d, tables), key)

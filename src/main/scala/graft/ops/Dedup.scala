@@ -76,10 +76,20 @@ object Dedup {
     * minhash verify's exact string tiebreak. */
   private def shingleHashDocs(s: SparkSession, d: String): DataFrame =
     Tables.artifact(s, d, Seq("documents"), "shingleHashDocs")(
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
-        .filter(size(col("sh")) > 0)
+      // a run that already materialized the STRING artifact (simhash /
+      // minhash ran first) derives the hashes with one projection over
+      // that checkpoint instead of paying the corpus tokenize+shingle
+      // UDF pass a second time; the peek never forces the string
+      // artifact into existence, so a hash-only run still takes the
+      // documents-rooted branch and never builds the ~10x-larger table
+      Tables.artifactPeek[DataFrame](s, d, Seq("documents"), "shingleDocs")
+        .map(_.select(col("doc_id"),
+          transform(col("sh"), x => xxhash64(x)).as("sh")))
+        .getOrElse(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              transform(shingles(col("text")), x => xxhash64(x)).as("sh"))
+            .filter(size(col("sh")) > 0))
         .localCheckpoint(true))
 
   /** Exact n-gram Jaccard between consecutive doc pairs (a calibration /
@@ -420,11 +430,26 @@ object Dedup {
         xxhash64(col("gram")).as("h1"),
         xxhash64(lit(17L), col("gram")).as("h2"))
       .distinct() // membership is per distinct gram, per doc
-    val trainGrams = gramsOf("train")
-      .select(col("h1"), col("h2")).distinct()
+    // The train-gram TYPE TABLE is the corpus-scale pass (380M distinct
+    // gram hashes at 5M docs — the round-14 gen1000x wall was almost
+    // entirely this distinct, re-run every execution) and it is a pure
+    // function of the corpus snapshot + k, i.e. index-shaped: persist
+    // it as a content-addressed parquet sidecar exactly like pqCodes /
+    // the pair indexes. A later run — warm OR a cold JVM — reads two
+    // 8-byte hash columns instead of re-exploding 13/16 of the corpus.
+    // Row order is irrelevant (semi-join probe side only), matching the
+    // dfArtifact contract.
+    val trainGrams = Tables.dfArtifact(s, d, Seq("documents"),
+      s"contamTrainGrams:k=$k")(
+      gramsOf("train").select(col("h1"), col("h2")).distinct())
     // the test side is 1/16 of the corpus — small enough to pin for its
-    // two consumers (matched + totals) without a size gate
-    val testGrams = gramsOf("test").localCheckpoint(true)
+    // two consumers (matched + totals) without a size gate. LAZY
+    // checkpoint inside the artifact memo: building the plan (explain /
+    // plan-audit tooling) triggers no scan; the first ACTION
+    // materializes it once per (session, corpus, k) and repeat calls
+    // reuse the memoized frame instead of re-checkpointing.
+    val testGrams = Tables.artifact(s, d, Seq("documents"),
+      s"contamTestGrams:k=$k")(gramsOf("test").localCheckpoint(false))
     val matched = testGrams.join(trainGrams, Seq("h1", "h2"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
     val totals = testGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

@@ -220,6 +220,35 @@ class DedupSpec extends SparkSpec {
       want.values.exists(_._3 > 0.0))
   }
 
+  test("contamination: cold-JVM sidecar read is value-identical; warm construction runs no jobs") {
+    // first call builds (and publishes) the train-gram sidecar
+    val first = Dedup.contaminationFraction(spark, sf).collect().toSeq
+
+    // warm-memo plan CONSTRUCTION must launch no Spark job: the train
+    // grams are a memoized dfArtifact and the test grams a LAZY
+    // checkpoint — before round 15 the eager test-gram checkpoint made
+    // every construction (explain tooling included) pay a gram scan
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.contaminationFraction(spark, sf) // construct only, no action
+      Thread.sleep(1000) // listener bus is async; zero-event case settles
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs === 0,
+      s"constructing the contamination plan launched $jobs Spark job(s)")
+
+    // fresh-JVM simulation: the in-memory memo is gone, the parquet
+    // train-gram sidecar must answer with identical values
+    Tables.clearMemoryArtifactsForTest()
+    val second = Dedup.contaminationFraction(spark, sf).collect().toSeq
+    assert(second === first,
+      "contamination result changed across the train-gram sidecar round trip")
+  }
+
   test("keep-best retention: argmax of (quality, -doc_id) per cluster, sizes conserved") {
     val comps = Dedup.nearDupComponents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap

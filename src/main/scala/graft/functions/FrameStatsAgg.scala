@@ -71,3 +71,56 @@ case class FrameStatsAgg(value: Expression) extends DeclarativeAggregate {
       newChildren: IndexedSeq[Expression]): FrameStatsAgg =
     copy(value = newChildren.head)
 }
+
+/** ONE-PASS pair of long frame sums: struct(s1, s2) = (sum(a), sum(b))
+  * in a single declarative aggregate with a 2-field long buffer.
+  *
+  * Same motivation as [[FrameStatsAgg]], for the indicator shapes that
+  * need TWO sums over one frame rather than (sum, min, max) of one
+  * column: Bollinger/breakout need Σcents and Σcents² for the rolling
+  * moments, RSI needs Σgain and Σloss. As two `sum().over(w)` calls
+  * Spark plans two aggregate processors and SlidingWindowFunctionFrame
+  * replays the whole k-row frame once PER PROCESSOR per output row;
+  * folding both into one aggregate halves the frame replays (the
+  * dominant cost of the event-scale indicator family at the generated
+  * decades — SCALING.md round 14 established replay count, not stat
+  * kind, as the wall).
+  *
+  * Null semantics match `sum(LONG)` slot-for-slot: null inputs are
+  * skipped, an all-null (or empty) frame yields a null slot. Callers
+  * pass already-long expressions (cents conversions), so every update
+  * is a bare long add — no allocation, fully codegen-friendly. */
+case class FrameSum2Agg(a: Expression, b: Expression) extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("s1", LongType),
+    StructField("s2", LongType)))
+
+  private lazy val s1 = AttributeReference("s1", LongType)()
+  private lazy val s2 = AttributeReference("s2", LongType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(s1, s2)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, LongType),
+    Literal.create(null, LongType))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(a), s1, Add(Coalesce(Seq(s1, Literal(0L))), a)),
+    If(IsNull(b), s2, Add(Coalesce(Seq(s2, Literal(0L))), b)))
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    If(And(IsNull(s1.left), IsNull(s1.right)), Literal.create(null, LongType),
+      Add(Coalesce(Seq(s1.left, Literal(0L))), Coalesce(Seq(s1.right, Literal(0L))))),
+    If(And(IsNull(s2.left), IsNull(s2.right)), Literal.create(null, LongType),
+      Add(Coalesce(Seq(s2.left, Literal(0L))), Coalesce(Seq(s2.right, Literal(0L))))))
+
+  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("s1"), s1, Literal("s2"), s2))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrameSum2Agg =
+    copy(a = newChildren(0), b = newChildren(1))
+}

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *
   * ITERATION COUNT (round 15): when SPARK_GRAFT_BENCH_ITERS is unset,
   * the suite runs 1 cold + AT LEAST 3 warm iterations, then keeps
-  * iterating (cap 6 total) until the published warm total — the sum of
+  * iterating (cap 5 total) until the published warm total — the sum of
   * per-query mins — improves by less than 1.5% in a full extra pass.
   * Rationale: the same suite measured 87.2–123.2 s across four
   * same-host runs (SCALING.md round 14) — a ±25% run-to-run swing — so
@@ -85,7 +85,11 @@ object Bench {
     // pinned count if the env var is set; adaptive otherwise (see doc)
     val pinnedIters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
     val minIters = pinnedIters.getOrElse(4) // 1 cold + ≥3 warm
-    val maxIters = pinnedIters.getOrElse(6)
+    // cap the adaptive extension at 5 total: one bonus pass if the sum
+    // of mins is still moving >1.5% after 3 warm passes — bounded wall
+    // (a full-suite pass is ~2 min at sf0.1) while killing the
+    // min-of-one-warm noise the r14 verdict graded
+    val maxIters = pinnedIters.getOrElse(5)
     val convergeFrac = 0.015
     // partitions default to the thread count, but must SCALE WITH DATA:
     // the frame-materializing families hold rows/partition × frame-width

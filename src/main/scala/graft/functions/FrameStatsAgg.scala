@@ -72,55 +72,22 @@ case class FrameStatsAgg(value: Expression) extends DeclarativeAggregate {
     copy(value = newChildren.head)
 }
 
-/** ONE-PASS pair of long frame sums: struct(s1, s2) = (sum(a), sum(b))
-  * in a single declarative aggregate with a 2-field long buffer.
-  *
-  * Same motivation as [[FrameStatsAgg]], for the indicator shapes that
-  * need TWO sums over one frame rather than (sum, min, max) of one
-  * column: Bollinger/breakout need Σcents and Σcents² for the rolling
-  * moments, RSI needs Σgain and Σloss. As two `sum().over(w)` calls
-  * Spark plans two aggregate processors and SlidingWindowFunctionFrame
-  * replays the whole k-row frame once PER PROCESSOR per output row;
-  * folding both into one aggregate halves the frame replays (the
-  * dominant cost of the event-scale indicator family at the generated
-  * decades — SCALING.md round 14 established replay count, not stat
-  * kind, as the wall).
-  *
-  * Null semantics match `sum(LONG)` slot-for-slot: null inputs are
-  * skipped, an all-null (or empty) frame yields a null slot. Callers
-  * pass already-long expressions (cents conversions), so every update
-  * is a bare long add — no allocation, fully codegen-friendly. */
-case class FrameSum2Agg(a: Expression, b: Expression) extends DeclarativeAggregate {
-
-  override def children: Seq[Expression] = Seq(a, b)
-  override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("s1", LongType),
-    StructField("s2", LongType)))
-
-  private lazy val s1 = AttributeReference("s1", LongType)()
-  private lazy val s2 = AttributeReference("s2", LongType)()
-
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(s1, s2)
-
-  override lazy val initialValues: Seq[Expression] = Seq(
-    Literal.create(null, LongType),
-    Literal.create(null, LongType))
-
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(a), s1, Add(Coalesce(Seq(s1, Literal(0L))), a)),
-    If(IsNull(b), s2, Add(Coalesce(Seq(s2, Literal(0L))), b)))
-
-  override lazy val mergeExpressions: Seq[Expression] = Seq(
-    If(And(IsNull(s1.left), IsNull(s1.right)), Literal.create(null, LongType),
-      Add(Coalesce(Seq(s1.left, Literal(0L))), Coalesce(Seq(s1.right, Literal(0L))))),
-    If(And(IsNull(s2.left), IsNull(s2.right)), Literal.create(null, LongType),
-      Add(Coalesce(Seq(s2.left, Literal(0L))), Coalesce(Seq(s2.right, Literal(0L))))))
-
-  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
-    Literal("s1"), s1, Literal("s2"), s2))
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): FrameSum2Agg =
-    copy(a = newChildren(0), b = newChildren(1))
-}
+// NEGATIVE RESULT (round 15), recorded so it is not retried: a sibling
+// "FrameSum2Agg" (struct of two long sums in one buffer, for the
+// two-moment indicators: Bollinger/breakout Σcents+Σcents², RSI
+// Σgain+Σloss) measured STRICTLY WORSE than two plain sum().over(w)
+// calls at the 100M-event decade — bollinger 74.1 → 86.7 s warm, RSI
+// 31.5 → 400 s (solo JVMs, both directions, artifacts in SCALING.md
+// round 15). Two reasons, established by the A/B: (1) WindowExec
+// groups ALL aggregates sharing one frame spec into a single
+// AggregateProcessor pass — "one replay per aggregate" is per FRAME,
+// not per function, so there was no replay to save; (2) Catalyst
+// extracts the children of built-in window aggregates into the
+// pre-window projection (evaluated once per input row), while the
+// custom aggregate's children were re-evaluated inside every frame
+// update — k× per output row, catastrophic when the child is a
+// decimal multiply (the RSI 12.7× regression). FrameStatsAgg above
+// stands on its own committed A/B (SCALING.md round 14: 86.0 s vs
+// 103.9/116.9 for the three-builtin forms on this host class) and its
+// call site passes a bare column reference, so neither failure mode
+// applies to it.

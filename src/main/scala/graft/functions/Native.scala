@@ -645,7 +645,6 @@ object Native {
     "graft_cents_array_sum" -> (exprs => CentsArraySum(exprs.head)),
     "graft_cents" -> (exprs => CentsValue(exprs.head)),
     "graft_frame_stats" -> (exprs => FrameStatsAgg(exprs.head)),
-    "graft_frame_sum2" -> (exprs => FrameSum2Agg(exprs(0), exprs(1))),
     "graft_rolling_hash" -> (exprs => new RollingHash(exprs.head)),
     "graft_xor_fold" -> (exprs => XorFoldBytes(exprs.head)),
     "graft_sortable_double" -> (exprs => DoubleSortableLong(exprs.head)),
@@ -687,11 +686,6 @@ object Native {
   /** One-pass (cents sum, min, max) frame aggregate — struct(cs, mn, mx)
     * (see [[FrameStatsAgg]]). */
   def frameStats(c: Column): Column = call_function("graft_frame_stats", c)
-
-  /** One-pass pair of long frame sums — struct(s1, s2)
-    * (see [[FrameSum2Agg]]). */
-  def frameSum2(a: Column, b: Column): Column =
-    call_function("graft_frame_sum2", a, b)
 
   def rollingHash(c: Column): Column = call_function("graft_rolling_hash", c)
 

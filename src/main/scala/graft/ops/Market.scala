@@ -197,7 +197,6 @@ object Market {
   }
   def bollinger(s: SparkSession, d: String, k: Int = 20,
       nSigma: Double = 2.0): DataFrame = {
-    graft.functions.Native.register(s)
     val kd = lit(k.toDouble)
     Chunked.frames(
       Tables.events(s, d).select(col("event_id"), col("event_type"),
@@ -205,15 +204,10 @@ object Market {
         centsGuarded(k).as("_cx"))
         .withColumn("_cxx", col("_cx") * col("_cx")),
       d, "event_type", "ts", "event_id", k) { w =>
-      // BOTH rolling moments in ONE frame replay (FrameSum2Agg): as two
-      // sum().over(w) processors the sliding frame replayed k rows per
-      // output row twice — replay count, not stat kind, is the wall of
-      // this family at the generated decades (SCALING.md rounds 14/15)
-      Seq(graft.functions.Native.frameSum2(col("_cx"), col("_cxx"))
-        .over(w).as("_s2"))
+      Seq(
+        (sum(col("_cx")).over(w).cast(DoubleType) / lit(100.0)).as("_sx"),
+        (sum(col("_cxx")).over(w).cast(DoubleType) / lit(10000.0)).as("_sxx"))
     }
-      .withColumn("_sx", col("_s2.s1").cast(DoubleType) / lit(100.0))
-      .withColumn("_sxx", col("_s2.s2").cast(DoubleType) / lit(10000.0))
       .withColumn("bb_mid", col("_sx") / kd)
       .withColumn("_sd",
         sqrt((col("_sxx") - col("_sx") * col("_sx") / kd) / (kd - lit(1.0))))
@@ -232,7 +226,6 @@ object Market {
     * frames, never a new shuffle. */
   def breakouts(s: SparkSession, d: String, k: Int = 20,
       nSigma: Double = 2.0): DataFrame = {
-    graft.functions.Native.register(s)
     val kd = lit(k.toDouble)
     Chunked.frames(
       Tables.events(s, d).select(col("event_id"), col("event_type"),
@@ -240,12 +233,10 @@ object Market {
         centsGuarded(k).as("_cx"))
         .withColumn("_cxx", col("_cx") * col("_cx")),
       d, "event_type", "ts", "event_id", k) { w =>
-      // one frame replay for both moments (see bollinger)
-      Seq(graft.functions.Native.frameSum2(col("_cx"), col("_cxx"))
-        .over(w).as("_s2"))
+      Seq(
+        (sum(col("_cx")).over(w).cast(DoubleType) / lit(100.0)).as("_sx"),
+        (sum(col("_cxx")).over(w).cast(DoubleType) / lit(10000.0)).as("_sxx"))
     }
-      .withColumn("_sx", col("_s2.s1").cast(DoubleType) / lit(100.0))
-      .withColumn("_sxx", col("_s2.s2").cast(DoubleType) / lit(10000.0))
       .withColumn("bb_mid", col("_sx") / kd)
       .withColumn("_sd",
         sqrt((col("_sxx") - col("_sx") * col("_sx") / kd) / (kd - lit(1.0))))
@@ -458,7 +449,6 @@ object Market {
     * losses stay DECIMAL until the final ratio; an all-gain window
     * (L = 0) pins to RSI 100 exactly, both engines. */
   def rsi(s: SparkSession, d: String, k: Int = 14): DataFrame = {
-    graft.functions.Native.register(s)
     val zero = lit(0).cast(DecimalType(18, 2))
     // diff is stored as a (losslessly) doubled 2-dp delta; cast back to
     // DECIMAL so the frame sums below stay exact
@@ -468,17 +458,15 @@ object Market {
         greatest(dd, zero).as("gain"),
         greatest(-dd, zero).as("loss")),
       d + "#returns", "event_type", "ts", "event_id", k) { w =>
-      // integer-cents frame sums (see bollinger's doc): primitive long
-      // accumulation, value-identical doubles — and BOTH sums in one
-      // frame replay via FrameSum2Agg (two sum processors would replay
-      // the k-row frame twice per output row)
-      Seq(graft.functions.Native.frameSum2(
-        (col("gain") * 100).cast(LongType),
-        (col("loss") * 100).cast(LongType)).over(w).as("_s2"))
+      Seq(
+        // integer-cents frame sums (see bollinger's doc): primitive
+        // long accumulation, value-identical doubles
+        (sum((col("gain") * 100).cast(LongType)).over(w)
+          .cast(DoubleType) / lit(100.0)).as("_g"),
+        (sum((col("loss") * 100).cast(LongType)).over(w)
+          .cast(DoubleType) / lit(100.0)).as("_l"))
     }
     framed
-      .withColumn("_g", col("_s2.s1").cast(DoubleType) / lit(100.0))
-      .withColumn("_l", col("_s2.s2").cast(DoubleType) / lit(100.0))
       .select(col("event_id"),
         when(col("_l") === 0.0, lit(100.0))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("_g") / col("_l")))

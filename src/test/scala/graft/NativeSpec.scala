@@ -272,39 +272,4 @@ class NativeSpec extends SparkSpec {
       }
     }
   }
-  test("FrameSum2Agg equals two long sums — groupBy merge path AND a sliding frame") {
-    import graft.functions.Native
-    Native.register(spark)
-    import spark.implicits._
-    // nulls per-slot (sum skips), an all-null group (null slots), and a
-    // repartition(7) to force partial buffers through MERGE
-    val rows = Seq[(Long, java.lang.Long, java.lang.Long)](
-      (1L, 5L, 2L), (1L, -3L, null), (1L, null, 7L),
-      (2L, null, null),
-      (3L, 11L, 13L))
-    val df = rows.toDF("g", "a", "b").repartition(7)
-    val got = df.groupBy(col("g"))
-      .agg(Native.frameSum2(col("a"), col("b")).as("s2"))
-      .select(col("g"), col("s2.s1"), col("s2.s2"))
-    val ref = df.groupBy(col("g"))
-      .agg(sum(col("a")).as("s1"), sum(col("b")).as("s2"))
-    val gm = got.collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
-    val rm = ref.collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
-    assert(gm === rm)
-
-    // sliding-frame parity: one FrameSum2 replay vs two sum processors
-    // over the same ROWS BETWEEN frame — row-identical outputs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("i")).rowsBetween(-2, 0)
-    val ser = (1L to 40L).map(i => (i % 3, i, i * 2 - 30, 100 - i)).toDF("g", "i", "a", "b")
-    val both = ser
-      .withColumn("s2", Native.frameSum2(col("a"), col("b")).over(w))
-      .withColumn("r1", sum(col("a")).over(w))
-      .withColumn("r2", sum(col("b")).over(w))
-      .collect()
-    both.foreach { r =>
-      assert(r.getStruct(4).getLong(0) === r.getLong(5), s"s1 mismatch: $r")
-      assert(r.getStruct(4).getLong(1) === r.getLong(6), s"s2 mismatch: $r")
-    }
-  }
 }

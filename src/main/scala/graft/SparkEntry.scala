@@ -226,6 +226,7 @@ object SparkEntry {
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
     "q_zorder"           -> ((s, d) => Layout.zorder(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
     "q_mixture_sample"   -> ((s, d) => TextOps.mixtureSample(s, d)),
@@ -2422,6 +2423,32 @@ object SparkEntry {
     // per-term scores cast to DECIMAL(18,8) BEFORE the per-doc sum so
     // the score is order-independent on both engines
     "q_bm25_topk" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                     FROM documents),
+         qt AS (SELECT unnest(['vector', 'hash', 'dup']) AS token),
+         t AS (SELECT doc_id, token FROM ex
+               WHERE length(token) > 0 AND token IN (SELECT token FROM qt)),
+         dl AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                       x -> length(x) > 0)) AS BIGINT) AS dl
+                FROM documents),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         term AS (SELECT tf.doc_id,
+             CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               AS DECIMAL(18,8)) AS tscore
+           FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats)
+         SELECT doc_id, CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score,
+                count(*) AS n_hits
+         FROM term GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+    // identical SQL (and therefore identical values) as q_bm25_topk: the
+    // index-served path must score exactly what the scan-served path
+    // scores — the oracle pins index fidelity, not a new formula
+    "q_bm25_from_index" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
                      FROM documents),
          qt AS (SELECT unnest(['vector', 'hash', 'dup']) AS token),

@@ -482,6 +482,63 @@ object TextOps {
     base.orderBy(col("token"), col("block_id"))
   }
 
+  /** Per-document token-count norms — Lucene's "norms" file as a
+    * content-addressed parquet sidecar: doc_id → dl (count of non-empty
+    * tokens), built once per corpus snapshot via [[graft.Tables.dfArtifact]]
+    * and READ by every retrieval run thereafter. Same dl expression as
+    * [[bm25TopK]]'s scan-side length, so index-served scores are
+    * value-identical to scan-served ones. */
+  private[graft] def docNorms(s: SparkSession, d: String): DataFrame =
+    Tables.dfArtifact(s, d, Seq("documents"), "docNorms")(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(filter(tokens(col("text")), t => length(t) > 0))
+          .cast(LongType).as("dl")))
+
+  /** BM25 top-k SERVED FROM THE PERSISTED INDEX — the production
+    * retrieval shape [[bm25TopK]]'s doc promises: the candidate stream
+    * comes from the [[invertedPostings]] sidecar pruned to the query
+    * vocabulary (a (token, block) segment read — O(query postings), no
+    * corpus scan anywhere), per-doc tf is recovered from the posting
+    * lists themselves, per-token df is the sum of per-block df (blocks
+    * partition documents, so the block dfs add exactly), and document
+    * lengths come from the [[docNorms]] sidecar. Scoring is the
+    * identical Okapi formula and DECIMAL(18,8) per-term quantization
+    * as [[bm25TopK]], so the two paths are value-identical row for row
+    * (spec-pinned) and this query carries the SAME value-exact DuckDB
+    * oracle. At 100 TB this is the difference between a query cost of
+    * (query-vocabulary posting rows + a norms-table join) and
+    * re-tokenizing the corpus per query batch. */
+  def bm25FromIndex(s: SparkSession, d: String,
+      queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
+      k: Int = 10): DataFrame = {
+    val post = invertedPostings(s, d).filter(col("token").isin(queryTokens: _*))
+    // one posting entry per occurrence ("doc:pos doc:pos …"), so the
+    // per-doc entry count IS tf — the segment-serving decode
+    val tf = post
+      .select(col("token"), explode(split(col("postings"), " ")).as("e"))
+      .select(col("token"),
+        split(col("e"), ":").getItem(0).cast(LongType).as("doc_id"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfTok = post.groupBy(col("token")).agg(sum(col("df_block")).as("df"))
+    val dl = docNorms(s, d)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tscore = (idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .cast(DecimalType(18, 8))
+    tf.join(broadcast(dfTok), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), tscore.as("tscore"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tscore")).cast(DecimalType(18, 8))
+        .cast(DoubleType).as("score"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Edit-distance between consecutive documents' prefixes — the fuzzy
     * VERIFY stage of a dedup pipeline (levenshtein is O(len²) per pair,
     * so at scale it only ever runs on blocked candidates, here the

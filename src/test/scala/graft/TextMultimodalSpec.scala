@@ -46,6 +46,13 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bm25 served from the persisted index is row-identical to the scan-served form") {
+    val scan = q("q_bm25_topk").collect().toSeq
+    val index = q("q_bm25_from_index").collect().toSeq
+    assert(index === scan,
+      "index-served BM25 diverged from the scan-served ranking")
+  }
+
   test("bm25 top-k equals a plain-Scala recompute, term-quantized") {
     val qtoks = Seq("vector", "hash", "dup")
     val docs = Tables.documents(spark, sf)

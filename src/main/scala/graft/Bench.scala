@@ -149,6 +149,7 @@ object Bench {
     val errors = scala.collection.mutable.Map[String, String]()
     var itersRun = 0
     var prevPublished = Double.MaxValue
+    var prevOkSet = Set.empty[String]
     var converged = false
     while (itersRun < maxIters && !(converged && itersRun >= minIters)) {
       val it = itersRun + 1
@@ -203,12 +204,20 @@ object Bench {
       itersRun = it
       // convergence statistic = the number the artifact publishes (sum
       // of per-query mins, drain line included): once a full extra pass
-      // moves it by <convergeFrac, more passes buy noise, not signal
+      // moves it by <convergeFrac, more passes buy noise, not signal.
+      // Two guards (r15 ADVICE): the delta is ABSOLUTE — a query that
+      // first succeeds late RAISES the published total, and a negative
+      // delta must not read as converged — and the set of succeeded
+      // queries must be unchanged between the two passes, so no query
+      // can be published off a single warm sample.
       val published =
         (if (only.isEmpty) DrainLine +: names else names)
           .flatMap(best.get).filter(_ >= 0).sum
-      converged = prevPublished - published < convergeFrac * prevPublished
+      val okSet = best.keySet.toSet
+      converged = okSet == prevOkSet &&
+        math.abs(prevPublished - published) < convergeFrac * prevPublished
       prevPublished = published
+      prevOkSet = okSet
       System.err.println(
         f"[bench] iteration $it done: published warm total $published%.2f s" +
           (if (converged) " (converged)" else ""))
@@ -340,19 +349,30 @@ object Bench {
         java.util.Arrays.fill(src, 1.toByte) // touch both before timing
         System.arraycopy(src, 0, dst, 0, n)
         var best = Double.MaxValue
+        var acc = 0
         var i = 0
         while (i < 4) {
           val t0 = System.nanoTime()
           System.arraycopy(src, 0, dst, 0, n)
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          // fold a dst byte into the accumulator INSIDE the loop so
+          // every timed copy (not just the last) feeds the observable
+          // sink below; belt-and-braces — arraycopy intrinsics aren't
+          // elided in practice, but the dependence makes it structural
+          acc += dst(i * (n / 4)) + dst(n - 1 - i)
           i += 1
         }
-        // consume dst so no JIT may treat the timed copies as dead
-        // stores (observable sink: a volatile write of real bytes)
-        memProbeSink = dst(0) + dst(n / 2) + dst(n - 1)
+        memProbeSink = acc
         f"${n / best / 1e9}%.2f"
       } catch { case _: Throwable => "null" }
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"iters":$itersRun,"probe":$probe,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,"sf":"$sfDir"}"""
+    // sidecar-lifecycle indicator (r15 ADVICE): a cold_total with
+    // artifact_disk_hits > 0 rode pre-built parquet sidecars under
+    // Tables.artifactRoot and omits those build costs — the number
+    // makes the attribution self-describing instead of relying on the
+    // verify skill's wipe instruction being followed
+    val artHits = graft.Tables.artifactDiskHits.get()
+    val artBuilds = graft.Tables.artifactBuilds.get()
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal,"stream_batch_ms":$streamPanel,"stream_curve":$streamCurve,"stream_floor_ms":$streamFloor,"errors":$errs,"n_errors":${errors.size},"n_ok":${best.size},"iters":$itersRun,"probe":$probe,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,"artifact_disk_hits":$artHits,"artifact_builds":$artBuilds,"sf":"$sfDir"}"""
     // the full line carries two 160+-entry maps and has been truncated
     // mid-stream by log-tail capture twice (rounds 6/7 — "parsed": null
     // in the driver artifact even on a clean run). This SHORT summary
@@ -360,7 +380,7 @@ object Bench {
     // intact, and parseable on its own.
     val probeSum = probeNames.map(best).sum
     val meanMs = "\"stream_batch_ms_mean\":" + extractMeanMs(streamPanel)
-    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"iters":$itersRun,"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,$meanMs,"unit":"sec","sf":"$sfDir"}"""
+    val summaryLine = s"""{"metric":"summary","warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"iters":$itersRun,"probe_sum":$probeSum,"sched_probe_ms":$schedProbe,"mem_probe_gbps":$memProbe,"artifact_disk_hits":$artHits,"artifact_builds":$artBuilds,$meanMs,"unit":"sec","sf":"$sfDir"}"""
     // SELF-SUFFICIENT FILE ARTIFACT: the driver's log-tail capture has
     // truncated the full stdout line mid-map three rounds running
     // ("parsed": null in BENCH_r06/07/08 even on clean runs), leaving the
@@ -379,7 +399,7 @@ object Bench {
         else "\"" + jsonEscape(cpus) + "\""
       val body =
         s"""{
-           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$itersRun},
+           |"summary":{"warm_total":$total,"cold_total":$coldTotal,"n_ok":${best.size},"n_errors":${errors.size},"probe_sum":$probeSum,"artifact_disk_hits":$artHits,"artifact_builds":$artBuilds,$meanMs,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"iters":$itersRun},
            |"probe":$probe,
            |"sched_probe_ms":$schedProbe,
            |"mem_probe_gbps":$memProbe,

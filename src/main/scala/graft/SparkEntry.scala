@@ -218,6 +218,7 @@ object SparkEntry {
     "q_lm_counts"        -> ((s, d) => TextOps.bigramCountOfCounts(s, d)),
     "q_text_pmi"         -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "q_rag_retrieve"     -> ((s, d) => TextOps.ragRetrieve(s, d)),
+    "q_rag_from_index"   -> ((s, d) => TextOps.ragFromIndex(s, d)),
     "q_split_balance"    -> ((s, d) => TextOps.splitBalance(s, d)),
     "q_sample_quality"   -> ((s, d) => TextOps.sampleByQuality(s, d)),
     "q_text_repetition"  -> ((s, d) => TextOps.repetition(s, d)),
@@ -348,6 +349,80 @@ object SparkEntry {
   }
   private val revenue =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Shared Okapi-BM25 oracle body for `q_bm25_topk` AND
+    * `q_bm25_from_index`: the index-served path must score exactly what
+    * the scan-served path scores, so both entries bind this one string —
+    * the parity cannot drift (r15 ADVICE). */
+  private val bm25OracleSql =
+    """WITH ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                   FROM documents),
+       qt AS (SELECT unnest(['vector', 'hash', 'dup']) AS token),
+       t AS (SELECT doc_id, token FROM ex
+             WHERE length(token) > 0 AND token IN (SELECT token FROM qt)),
+       dl AS (SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> length(x) > 0)) AS BIGINT) AS dl
+              FROM documents),
+       stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       term AS (SELECT tf.doc_id,
+           CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+             AS DECIMAL(18,8)) AS tscore
+         FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN stats)
+       SELECT doc_id, CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score,
+              count(*) AS n_hits
+       FROM term GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** Shared multi-query RAG oracle body for `q_rag_retrieve` AND
+    * `q_rag_from_index` — same structural-parity discipline as
+    * [[bm25OracleSql]]: the index-served retrieval must produce exactly
+    * the scan-served packing, so both entries bind one string. */
+  private val ragOracleSql =
+    """WITH qm AS (SELECT CAST(v.query_id AS BIGINT) AS query_id, v.token
+                   FROM (VALUES (1, 'vector'), (1, 'hash'), (1, 'dup'),
+                                (2, 'stream'), (2, 'batch'), (2, 'window'),
+                                (3, 'customer'), (3, 'order'), (3, 'join'))
+                     AS v(query_id, token)),
+       ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+              FROM documents),
+       t AS (SELECT doc_id, token FROM ex
+             WHERE length(token) > 0 AND token IN (SELECT token FROM qm)),
+       dl AS (SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> length(x) > 0)) AS BIGINT) AS dl
+              FROM documents),
+       stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       term AS (SELECT qm.query_id, tf.doc_id,
+           CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+             AS DECIMAL(18,8)) AS tscore
+         FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN stats JOIN qm ON qm.token = tf.token),
+       sc AS (SELECT query_id, doc_id,
+              CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score
+              FROM term GROUP BY 1, 2),
+       rk AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+              FROM sc),
+       nt AS (SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+              FROM documents),
+       packed AS (SELECT r.query_id, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id,
+              r.score, nt.n_tokens,
+              CAST(sum(nt.n_tokens) OVER (PARTITION BY r.query_id ORDER BY r.rnk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              FROM rk r JOIN nt ON nt.doc_id = r.doc_id WHERE r.rnk <= 5)
+       SELECT query_id, rnk, doc_id, score, n_tokens, cum_tokens FROM packed
+       WHERE cum_tokens <= 300 ORDER BY query_id, rnk"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1330,48 +1405,11 @@ object SparkEntry {
     // multi-query BM25 retrieval + budgeted context packing: the oracle
     // ranks with a window; Spark ranks with the bounded top-k aggregate
     // (identical (score desc, doc_id) order); per-term scores quantize
-    // through DECIMAL(18,8) on both sides like q_bm25_topk
-    "q_rag_retrieve" ->
-      """WITH qm AS (SELECT CAST(v.query_id AS BIGINT) AS query_id, v.token
-                     FROM (VALUES (1, 'vector'), (1, 'hash'), (1, 'dup'),
-                                  (2, 'stream'), (2, 'batch'), (2, 'window'),
-                                  (3, 'customer'), (3, 'order'), (3, 'join'))
-                       AS v(query_id, token)),
-         ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-                FROM documents),
-         t AS (SELECT doc_id, token FROM ex
-               WHERE length(token) > 0 AND token IN (SELECT token FROM qm)),
-         dl AS (SELECT doc_id,
-                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                       x -> length(x) > 0)) AS BIGINT) AS dl
-                FROM documents),
-         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
-         term AS (SELECT qm.query_id, tf.doc_id,
-             CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                  * (tf * 2.2)
-                  / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-               AS DECIMAL(18,8)) AS tscore
-           FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
-           CROSS JOIN stats JOIN qm ON qm.token = tf.token),
-         sc AS (SELECT query_id, doc_id,
-                CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score
-                FROM term GROUP BY 1, 2),
-         rk AS (SELECT query_id, doc_id, score,
-                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-                FROM sc),
-         nt AS (SELECT doc_id,
-                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
-                FROM documents),
-         packed AS (SELECT r.query_id, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id,
-                r.score, nt.n_tokens,
-                CAST(sum(nt.n_tokens) OVER (PARTITION BY r.query_id ORDER BY r.rnk
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-                FROM rk r JOIN nt ON nt.doc_id = r.doc_id WHERE r.rnk <= 5)
-         SELECT query_id, rnk, doc_id, score, n_tokens, cum_tokens FROM packed
-         WHERE cum_tokens <= 300 ORDER BY query_id, rnk""",
+    // through DECIMAL(18,8) on both sides like q_bm25_topk. ONE constant
+    // for both the scan-served and index-served entries (the bm25
+    // shared-constant discipline): parity is structural.
+    "q_rag_retrieve" -> ragOracleSql,
+    "q_rag_from_index" -> ragOracleSql,
     // PMI collocations: everything inside the ln is integer-exact in
     // IEEE doubles with identical association on both engines; the ln
     // itself is only 1-ulp-reproducible across libms, so the PMI value
@@ -2421,56 +2459,13 @@ object SparkEntry {
          FROM t GROUP BY 1, 2 ORDER BY token, block_id""",
     // Okapi BM25 (k1=1.2, b=0.75), same formula tree as the Spark plan;
     // per-term scores cast to DECIMAL(18,8) BEFORE the per-doc sum so
-    // the score is order-independent on both engines
-    "q_bm25_topk" ->
-      """WITH ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-                     FROM documents),
-         qt AS (SELECT unnest(['vector', 'hash', 'dup']) AS token),
-         t AS (SELECT doc_id, token FROM ex
-               WHERE length(token) > 0 AND token IN (SELECT token FROM qt)),
-         dl AS (SELECT doc_id,
-                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                       x -> length(x) > 0)) AS BIGINT) AS dl
-                FROM documents),
-         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
-         term AS (SELECT tf.doc_id,
-             CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                  * (tf * 2.2)
-                  / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-               AS DECIMAL(18,8)) AS tscore
-           FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
-           CROSS JOIN stats)
-         SELECT doc_id, CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score,
-                count(*) AS n_hits
-         FROM term GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
-    // identical SQL (and therefore identical values) as q_bm25_topk: the
-    // index-served path must score exactly what the scan-served path
-    // scores — the oracle pins index fidelity, not a new formula
-    "q_bm25_from_index" ->
-      """WITH ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-                     FROM documents),
-         qt AS (SELECT unnest(['vector', 'hash', 'dup']) AS token),
-         t AS (SELECT doc_id, token FROM ex
-               WHERE length(token) > 0 AND token IN (SELECT token FROM qt)),
-         dl AS (SELECT doc_id,
-                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                       x -> length(x) > 0)) AS BIGINT) AS dl
-                FROM documents),
-         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
-         term AS (SELECT tf.doc_id,
-             CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                  * (tf * 2.2)
-                  / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-               AS DECIMAL(18,8)) AS tscore
-           FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
-           CROSS JOIN stats)
-         SELECT doc_id, CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score,
-                count(*) AS n_hits
-         FROM term GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+    // the score is order-independent on both engines. ONE constant for
+    // both the scan-served and index-served entries: the index path
+    // must score exactly what the scan path scores, and sharing the
+    // string makes that parity structural, not textual (r15 ADVICE —
+    // two separately-maintained copies can silently drift).
+    "q_bm25_topk" -> bm25OracleSql,
+    "q_bm25_from_index" -> bm25OracleSql,
     // Morton/z-order clustering key — the identical integer bit-spread
     // algebra as ops.Layout.zorder, CTE-chained
     "q_zorder" ->

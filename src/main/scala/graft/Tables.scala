@@ -226,6 +226,15 @@ object Tables {
     * downstream — every registered consumer does), the build must NOT
     * localCheckpoint (dfArtifact materializes either way), and the
     * schema must be parquet-representable (no void/interval columns). */
+  /** Run-level observability for the sidecar lifecycle (r15 ADVICE):
+    * how many dfArtifact resolutions were served from an on-disk
+    * sidecar vs built fresh this JVM. Bench emits both counts into its
+    * summary JSON so a "cold" total is self-describing — a cold run
+    * whose disk-hit count is nonzero rode pre-built sidecars under
+    * [[artifactRoot]] and silently omits those build costs. */
+  private[graft] val artifactDiskHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val artifactBuilds   = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def dfArtifact(s: SparkSession, d: String,
       tables: Seq[String], key: Any)(build: => DataFrame): DataFrame =
     artifact(s, d, tables, key) {
@@ -238,10 +247,12 @@ object Tables {
           else {
             val df = s.read.parquet(dir)
             df.schema // force footer/schema resolution now, fail early
+            artifactDiskHits.incrementAndGet()
             Some(df)
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       fromDisk.getOrElse {
+        artifactBuilds.incrementAndGet()
         val built = build.localCheckpoint(true)
         try {
           val tmpDir = dir + "." + java.util.UUID.randomUUID() + ".tmp"

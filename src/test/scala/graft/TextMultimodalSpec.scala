@@ -53,6 +53,13 @@ class TextMultimodalSpec extends SparkSpec {
       "index-served BM25 diverged from the scan-served ranking")
   }
 
+  test("rag served from the persisted index is row-identical to the scan-served form") {
+    val scan = q("q_rag_retrieve").collect().toSeq
+    val index = q("q_rag_from_index").collect().toSeq
+    assert(index === scan,
+      "index-served RAG diverged from the scan-served retrieval+packing")
+  }
+
   test("bm25 top-k equals a plain-Scala recompute, term-quantized") {
     val qtoks = Seq("vector", "hash", "dup")
     val docs = Tables.documents(spark, sf)

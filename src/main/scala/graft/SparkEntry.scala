@@ -226,6 +226,7 @@ object SparkEntry {
     "q_hash_split"       -> ((s, d) => TextOps.hashSplit(s, d)),
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
+    "q_index_delta"      -> ((s, d) => TextOps.indexDeltaMerge(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
     "q_zorder"           -> ((s, d) => Layout.zorder(s, d)),
@@ -349,6 +350,21 @@ object SparkEntry {
   }
   private val revenue =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Shared full-rebuild inverted-index oracle for `q_index_postings`
+    * AND `q_index_delta`: the delta-segment merged read must equal the
+    * full rebuild bit for bit, so both entries bind one string. */
+  private val indexPostingsOracleSql =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM documents),
+       tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM d),
+       t AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM tk
+             WHERE length(u.tok) > 0)
+       SELECT token, doc_id // 100 AS block_id,
+         count(DISTINCT doc_id) AS df_block, count(*) AS n_postings,
+         string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos) AS postings
+       FROM t GROUP BY 1, 2 ORDER BY token, block_id"""
 
   /** Shared Okapi-BM25 oracle body for `q_bm25_topk` AND
     * `q_bm25_from_index`: the index-served path must score exactly what
@@ -2445,18 +2461,13 @@ object SparkEntry {
          WHERE length(token) > 0
          GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
     // block-sharded inverted index; postings string is the
-    // (doc_id, pos)-ordered concatenation within each block
-    "q_index_postings" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-                    FROM documents),
-         tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
-                  i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM d),
-         t AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM tk
-               WHERE length(u.tok) > 0)
-         SELECT token, doc_id // 100 AS block_id,
-           count(DISTINCT doc_id) AS df_block, count(*) AS n_postings,
-           string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos) AS postings
-         FROM t GROUP BY 1, 2 ORDER BY token, block_id""",
+    // (doc_id, pos)-ordered concatenation within each block. ONE
+    // constant for the full build AND the base⊎delta merged read: the
+    // delta-segment lifecycle's contract is "merged read == full
+    // rebuild, bit for bit", so q_index_delta carries the full-rebuild
+    // SQL (the q_incr_rollup oracle trick).
+    "q_index_postings" -> indexPostingsOracleSql,
+    "q_index_delta" -> indexPostingsOracleSql,
     // Okapi BM25 (k1=1.2, b=0.75), same formula tree as the Spark plan;
     // per-term scores cast to DECIMAL(18,8) BEFORE the per-doc sum so
     // the score is order-independent on both engines. ONE constant for

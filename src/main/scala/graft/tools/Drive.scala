@@ -503,6 +503,114 @@ object Drive {
           println(f"RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         spark.range(1).toDF("x")
+      case "stageOrderedDocs" =>
+        // stage a doc_id-RANGE-CLUSTERED copy of the documents table
+        // (args(2) = output fixture dir): each output file covers a
+        // tight doc_id range, so file/row-group stats prune a doc_id
+        // predicate — the physical layout that makes the delta-segment
+        // lifecycle O(delta). The scattered fixture layout is the
+        // honest counter-measurement (indexDeltaPhases on both).
+        val out = args(2)
+        graft.Tables.documents(spark, sfDir)
+          .repartitionByRange(16, org.apache.spark.sql.functions.col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        println(s"STAGED $out")
+        spark.range(1).toDF("x")
+      case "indexDeltaScan" =>
+        // diagnostic: raw buildSegments plan cost (no sidecar publish),
+        // two passes each so codegen warm-up is visible, plus the bare
+        // filtered-scan cost to see whether the doc_id predicate prunes
+        import org.apache.spark.sql.functions.{col, length, sum}
+        val docs = graft.Tables.documents(spark, sfDir)
+        docs.count() // untimed
+        val cut2 = graft.ops.TextOps.indexDeltaCut(spark, sfDir)
+        println(s"CUT=$cut2")
+        def t2(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+          for (i <- 1 to 2) {
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            println(f"$label%-12s pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          }
+        t2("SCAN_DELTA") { docs.filter(col("doc_id") >= cut2)
+          .agg(sum(length(col("text")))) }
+        t2("SCAN_FULL")  { docs.agg(sum(length(col("text")))) }
+        t2("SEG_DELTA")  { graft.ops.TextOps.buildSegmentsForDiag(
+          docs.filter(col("doc_id") >= cut2)) }
+        t2("SEG_FULL")   { graft.ops.TextOps.buildSegmentsForDiag(docs) }
+        spark.range(1).toDF("x")
+      case "postingsDecodeAB" =>
+        // serve-side decode A/B over the SAME v2 segment sidecar (it
+        // carries both posting representations): typed explode of
+        // array<struct> vs string split/re-parse of the display blob.
+        // Three timed passes each, min is the statistic. Two regimes:
+        // query-vocabulary-pruned (the bm25FromIndex shape) and
+        // whole-index (the worst case the string parse pays at scale).
+        import org.apache.spark.sql.functions.{col, count, explode, expr, lit, split}
+        import org.apache.spark.sql.types.LongType
+        // materialize BOTH representations (the v3 sidecar is typed-
+        // only, so the string blob is derived once here): the A/B then
+        // times pure decode work, not sidecar reads
+        val segs = graft.ops.TextOps.postingSegments(spark, sfDir)
+          .withColumn("postings", expr("array_join(transform(plist, " +
+            "x -> cast(x.doc_id as string) || ':' || cast(x.pos as string)), ' ')"))
+          .localCheckpoint(true)
+        val qtoks = Seq("vector", "hash", "dup")
+        def tfTyped(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("token"), explode(col("plist.doc_id")).as("doc_id"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        def tfString(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("token"), explode(split(col("postings"), " ")).as("e"))
+          .select(col("token"),
+            split(col("e"), ":").getItem(0).cast(LongType).as("doc_id"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val pruned = segs.filter(col("token").isin(qtoks: _*))
+        // presentation-string cost: read the stored blob vs derive it
+        // from the typed list at read time (the store-typed-only design)
+        val presStored = segs.select(col("token"), col("block_id"),
+          col("df_block"), col("n_postings"), col("postings"))
+        val presDerived = segs.select(col("token"), col("block_id"),
+          col("df_block"), col("n_postings"),
+          expr("array_join(transform(plist, " +
+            "x -> cast(x.doc_id as string) || ':' || cast(x.pos as string)), ' ')")
+            .as("postings"))
+        for ((label, df) <- Seq(
+            "TYPED_PRUNED" -> tfTyped(pruned), "STRING_PRUNED" -> tfString(pruned),
+            "TYPED_FULL" -> tfTyped(segs), "STRING_FULL" -> tfString(segs),
+            "PRES_STORED" -> presStored, "PRES_DERIVED" -> presDerived);
+            i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          println(f"$label%-14s pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        spark.range(1).toDF("x")
+      case "indexDeltaPhases" =>
+        // delta-segment lifecycle cost decomposition (round 16): time
+        // the appended-delta build alone vs the full index rebuild —
+        // the O(delta) maintenance claim. Run with a WIPED artifact
+        // root; each phase's sidecar has a distinct key so no phase
+        // reads another's output.
+        graft.Tables.documents(spark, sfDir).count() // untimed warm-up
+        def phase(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"$label%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+        }
+        val cut = graft.ops.TextOps.indexDeltaCut(spark, sfDir)
+        println(s"CUT=$cut")
+        phase("DELTA_BUILD") {
+          graft.ops.TextOps.deltaSegments(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        phase("BASE_BUILD") {
+          graft.ops.TextOps.baseSegments(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        phase("FULL_REBUILD") {
+          graft.ops.TextOps.postingSegments(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        phase("MERGED_WARM") {
+          graft.SparkEntry.queries("q_index_delta")(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        spark.range(1).toDF("x")
       case "kafkaProbe" =>
         try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
         catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }

@@ -53,6 +53,19 @@ class TextMultimodalSpec extends SparkSpec {
       "index-served BM25 diverged from the scan-served ranking")
   }
 
+  test("delta-segment merged read equals the full index rebuild bit for bit") {
+    val full = q("q_index_postings").collect().toSeq
+    val merged = q("q_index_delta").collect().toSeq
+    assert(merged === full,
+      "base⊎delta segment read diverged from the full rebuild")
+    // the lifecycle claim: the cut actually splits the corpus — both
+    // the base and the delta segment tables are non-empty
+    val cut = graft.ops.TextOps.indexDeltaCut(spark, sf)
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    assert(cut > 0 && cut <= maxDoc, s"degenerate delta cut $cut (max doc $maxDoc)")
+  }
+
   test("rag served from the persisted index is row-identical to the scan-served form") {
     val scan = q("q_rag_retrieve").collect().toSeq
     val index = q("q_rag_from_index").collect().toSeq

@@ -2594,7 +2594,7 @@ object SparkEntry {
     // near-copies), so the oracle pins the fixture arithmetic and the
     // regime's promised recall/volume booleans
     "q_dedup_wideband_check" ->
-      "SELECT CAST(21050 AS BIGINT) AS n_vectors, CAST(50 AS BIGINT) AS n_planted, TRUE AS recall_ok, TRUE AS volume_ok",
+      "SELECT CAST(21050 AS BIGINT) AS n_vectors, CAST(50 AS BIGINT) AS n_planted, TRUE AS recall_ok, TRUE AS volume_ok, TRUE AS xrecall_ok, TRUE AS xvolume_ok",
     // n_true_pairs is recomputed INDEPENDENTLY by the oracle over all
     // pairs — agreeing to the last pair also cross-checks the two
     // engines' cosine folds at the threshold

@@ -288,16 +288,30 @@ object Checks {
     val planted = s.range(nPlanted).select((col("id") + n).as("vec_id"),
       expr("transform(sequence(0, 63), j -> " +
         "CAST((pmod(xxhash64(id * 64 + j), 2001) - 1000) * 1.0001 AS FLOAT))").as("embedding"))
-    val cands = Similarity.signBandCandidates(base.unionByName(planted))
+    val fixture = base.unionByName(planted).localCheckpoint(true)
+    val cands = Similarity.signBandCandidates(fixture)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val hits = cands
       .filter(col("id_a") < nPlanted && col("id_b") === col("id_a") + n)
       .count()
     val volume = cands.count()
+    // the xwide (6 overlapping bands × 24 bits) geometry, FORCED on the
+    // same fixture — the >1M regime's plumbing (column/Scala key parity,
+    // exactly-once dedup, recall on sign-stable planted copies) gated
+    // without synthesizing a >1M fixture inside the correctness run;
+    // the 2M-decade candidate-volume/recall readings live in SCALING.md
+    val xcands = Similarity.signBandCandidates(fixture, forcedGeom = 2)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val xhits = xcands
+      .filter(col("id_a") < nPlanted && col("id_b") === col("id_a") + n)
+      .count()
+    val xvolume = xcands.count()
     import s.implicits._
     Seq(((n + nPlanted).toLong, nPlanted.toLong,
-        hits.toDouble / nPlanted >= 0.9, volume < 200000L))
-      .toDF("n_vectors", "n_planted", "recall_ok", "volume_ok")
+        hits.toDouble / nPlanted >= 0.9, volume < 200000L,
+        xhits.toDouble / nPlanted >= 0.9, xvolume < 5000L))
+      .toDF("n_vectors", "n_planted", "recall_ok", "volume_ok",
+        "xrecall_ok", "xvolume_ok")
   }
 
   /** Streaming-metrics conservation law: the listener's per-batch

@@ -806,6 +806,53 @@ object Similarity {
     * 8×8 geometry is kept so driver-scale results stay bit-stable. */
   val SignWideThreshold = 20000L
 
+  /** Corpus size above which the blocker switches to the THIRD
+    * geometry, L=6 OVERLAPPING bands × 24 bits (round 16 — the
+    * candidate-geometry knob demonstrated at the 2M-vector decade):
+    * expected random collisions are L·n²/2^m, so the 4×16 geometry that
+    * holds ~2.4M candidates at 200k vectors holds ~240M at 2M — the
+    * r15 dashboard's 13.9× decade step IS that term emerging. Scaling
+    * the band width with the corpus (m: 16 → 24 adds 8 bits = 256× on
+    * the collision constant) holds the candidate volume at the 2M
+    * decade to ~1.4M — BELOW the 200k decade's — per the design rule
+    * "per-task candidates held ~constant". 64 sign bits cannot
+    * partition into 6×24, so bands SAMPLE overlapping 24-dim windows at
+    * offsets ⌊t·64/6⌋ (wrapping) — the standard LSH move of banding
+    * over sampled bits rather than a partition; overlap correlates
+    * bands, which only raises same-key recall. Recall floor: a
+    * cos ≥ 0.99 near-dup (p_bit ≈ 0.955 uniform) collides in ≥1 band
+    * with p ≈ 1−(1−0.955²⁴)⁶ ≈ 0.91, and sign-stable copies with
+    * p = 1 — the regime the forced-geometry companion booleans pin;
+    * moderate-cos pairs are deliberately lossier still, the documented
+    * blocker contract. */
+  val SignXWideThreshold = 1000000L
+  private val SignXBands = 6
+  private val SignXBitsPerBand = 24
+  private val SignXOffsets = Array.tabulate(SignXBands)(t => t * 64 / SignXBands)
+
+  /** Geometry picker: 0 = narrow 8×8, 1 = wide 4×16 (past
+    * [[SignWideThreshold]]), 2 = xwide 6×24 (past [[SignXWideThreshold]]). */
+  private[graft] def signGeometry(n: Long): Int =
+    if (n > SignXWideThreshold) 2 else if (n > SignWideThreshold) 1 else 0
+
+  /** Deterministic mixture-of-Gaussians embeddings fixture (round 16):
+    * `centers` xxhash64-seeded cluster centers with coordinates in
+    * ±1000, each vector = its (hash-assigned) center + uniform ±noiseW
+    * per-coordinate noise. The regime lever for the ANN recall
+    * readings: cluster population = n/centers is what governs PQ/IVFPQ
+    * recall (SCALING.md round 16 — recall ≈ 1 when the rerank pool
+    * covers the query's cluster, collapses when thousands of near-peers
+    * exceed code resolution; the uniform driver fixture sits between).
+    * Shared by the Drive staging tool and the clustered-regime spec. */
+  private[graft] def syntheticClusteredEmbeddings(s: SparkSession, n: Long,
+      centers: Int, noiseW: Int): DataFrame =
+    s.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, 63), j -> CAST(" +
+        s"(pmod(xxhash64(pmod(xxhash64(id), $centers) * 64 + j), 2001) - 1000) + " +
+        s"(pmod(xxhash64(id * 64 + j + 999983), ${2 * noiseW + 1}) - $noiseW) " +
+        "AS FLOAT))").as("embedding"),
+      expr(s"CAST(pmod(xxhash64(id), $centers) AS INT)").as("label"))
+
   /** Exact-kNN broadcast budget: above this many labeled rows
     * [[knnClassify]] routes itself to [[knnClassifyIvf]]. 100k rows of
     * 64-float embeddings ≈ 30 MB broadcast (the classic 8 GB-executor
@@ -815,23 +862,35 @@ object Similarity {
   val KnnExactMaxLabeled = 100000L
 
   /** Probe-visible alias for [[signBandKeys]] (tools/Drive embedIvfPhases). */
-  private[graft] def signBandKeysPublic(wide: Boolean): Column = signBandKeys(wide)
+  private[graft] def signBandKeysPublic(wide: Boolean): Column =
+    signBandKeys(if (wide) 1 else 0)
 
-  private def signBandKeys(wide: Boolean): Column =
-    if (!wide)
+  /** Probe/spec-visible alias taking the 3-valued geometry. */
+  private[graft] def signBandKeysGeom(geom: Int): Column = signBandKeys(geom)
+
+  private def signBandKeys(geom: Int): Column = geom match {
+    case 0 =>
       array((0 until SignBands).map { t =>
         (0 until SignBitsPerBand).map { j =>
           (col("embedding").getItem(SignBitsPerBand * t + j) >= 0)
             .cast(IntegerType) * lit(1 << j)
         }.reduce(_ + _)
       }: _*)
-    else
+    case 1 =>
       array((0 until SignBands / 2).map { t =>
         (0 until 2 * SignBitsPerBand).map { j =>
           (col("embedding").getItem(2 * SignBitsPerBand * t + j) >= 0)
             .cast(IntegerType) * lit(1 << j)
         }.reduce(_ + _)
       }: _*)
+    case _ =>
+      array((0 until SignXBands).map { t =>
+        (0 until SignXBitsPerBand).map { j =>
+          (col("embedding").getItem((SignXOffsets(t) + j) % 64) >= 0)
+            .cast(IntegerType) * lit(1 << j)
+        }.reduce(_ + _)
+      }: _*)
+  }
 
   /** Candidate pairs from sign-band LSH: explode each vector into its L
     * (band, key) bucket rows, equi-join on the bucket — a hash join over
@@ -873,7 +932,13 @@ object Similarity {
       (_: (Int, Int)) => java.lang.Long.valueOf(df.count())).longValue()
   }
 
-  def signBandCandidates(e: DataFrame): DataFrame = {
+  def signBandCandidates(e: DataFrame): DataFrame =
+    signBandCandidates(e, forcedGeom = -1)
+
+  /** forcedGeom ≥ 0 pins the band geometry regardless of corpus size —
+    * the lever the forced-geometry companion booleans and the 2M-decade
+    * knob measurements use; -1 (the public entry) picks by size. */
+  private[graft] def signBandCandidates(e: DataFrame, forcedGeom: Int): DataFrame = {
     val en = e.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
     // bounded driver scalar (1 row): band width follows corpus size.
@@ -883,10 +948,9 @@ object Similarity {
     // design — SimilaritySpec's wide-band spec pins the recall floor on
     // planted near-dups, and the threshold is a named constant so the
     // switch point is auditable.
-    val n = cachedCount(e)
-    val wide = n > SignWideThreshold
+    val geom = if (forcedGeom >= 0) forcedGeom else signGeometry(cachedCount(e))
     val b = en.select(col("vec_id"),
-      posexplode(signBandKeys(wide)).as(Seq("t", "key")))
+      posexplode(signBandKeys(geom)).as(Seq("t", "key")))
     val pairs = b.select(col("t"), col("key"), col("vec_id").as("id_a"))
       .join(b.select(col("t"), col("key"), col("vec_id").as("id_b")), Seq("t", "key"))
       .filter(col("id_b") > col("id_a"))
@@ -900,20 +964,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
   }
 
-  /** Plain-Scala band keys for EITHER geometry — bit-for-bit the
+  /** Plain-Scala band keys for ANY geometry — bit-for-bit the
     * [[signBandKeys]] column (narrow: 8 bands × 8 bits; wide past
-    * [[SignWideThreshold]]: 4 bands × 16 bits). */
-  private[graft] def scalaBandKeysFor(e: Array[Float], wide: Boolean): Array[Int] =
-    if (!wide) scalaBandKeys(e)
-    else Array.tabulate(SignBands / 2) { t =>
-      var k = 0
-      var j = 0
-      while (j < 2 * SignBitsPerBand) {
-        val idx = 2 * SignBitsPerBand * t + j
-        if (idx < e.length && e(idx) >= 0) k |= 1 << j
-        j += 1
+    * [[SignWideThreshold]]: 4 bands × 16 bits; xwide past
+    * [[SignXWideThreshold]]: 6 overlapping bands × 24 bits). */
+  private[graft] def scalaBandKeysFor(e: Array[Float], geom: Int): Array[Int] =
+    geom match {
+      case 0 => scalaBandKeys(e)
+      case 1 => Array.tabulate(SignBands / 2) { t =>
+        var k = 0
+        var j = 0
+        while (j < 2 * SignBitsPerBand) {
+          val idx = 2 * SignBitsPerBand * t + j
+          if (idx < e.length && e(idx) >= 0) k |= 1 << j
+          j += 1
+        }
+        k
       }
-      k
+      case _ => Array.tabulate(SignXBands) { t =>
+        var k = 0
+        var j = 0
+        while (j < SignXBitsPerBand) {
+          val idx = (SignXOffsets(t) + j) % 64
+          if (idx < e.length && e(idx) >= 0) k |= 1 << j
+          j += 1
+        }
+        k
+      }
     }
 
   /** The sign-band dedup's verify as ONE BUCKET COGROUP — the cell-free
@@ -934,12 +1011,12 @@ object Similarity {
     * geometry keeps buckets ~n/65536, and the IVF-cell variant is the
     * deliberate scale path past that. */
   private def bucketBandVerifiedPairs(en: DataFrame, threshold: Double,
-      wide: Boolean): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+      geom: Int): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     val s = en.sparkSession
     import s.implicits._
     en.as[(Long, Array[Float], Double)]
       .flatMap { m =>
-        val keys = scalaBandKeysFor(m._2, wide)
+        val keys = scalaBandKeysFor(m._2, geom)
         (0 until keys.length).iterator.map(t =>
           ((t.toLong << 32) | (keys(t).toLong & 0xffffffffL), m._1, m._2, m._3))
       }
@@ -949,7 +1026,7 @@ object Similarity {
         val raw = it.toArray
         if (raw.length < 2) Iterator.empty
         else {
-          val mem = raw.map(r => (r._2, r._3, r._4, scalaBandKeysFor(r._3, wide)))
+          val mem = raw.map(r => (r._2, r._3, r._4, scalaBandKeysFor(r._3, geom)))
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
           var a = 0
           while (a < mem.length - 1) {
@@ -1003,8 +1080,7 @@ object Similarity {
     val e = corpus(s, d)
     val en = e.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
-    val wide = cachedCount(e) > SignWideThreshold
-    bucketBandVerifiedPairs(en, threshold, wide)
+    bucketBandVerifiedPairs(en, threshold, signGeometry(cachedCount(e)))
       .toDF("id_a", "id_b", "cos")
       .orderBy(col("id_a"), col("id_b"))
   }

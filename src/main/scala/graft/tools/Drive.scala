@@ -503,6 +503,93 @@ object Drive {
           println(f"RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
         spark.range(1).toDF("x")
+      case "xwideKnob2M" =>
+        // the 2M-decade band-width knob demonstration (r15 verdict #3):
+        // a 2.1M-vector sign-uniform fixture + 50 sign-stable planted
+        // copies + 50 two-sign-flip planted near-dups; the blocker
+        // auto-selects the xwide 6x24 geometry past SignXWideThreshold.
+        // Reports candidate volume (the bounded-candidates claim: held
+        // ~constant vs the 200k decade's wide geometry, NOT grown n²),
+        // recall on both plant classes (the held-floor claim), and the
+        // max bucket size (per-task boundedness).
+        import org.apache.spark.sql.functions.{col, count => cnt, expr, lit, posexplode}
+        graft.functions.Native.register(spark)
+        val nBig = 2100000L
+        val nPl = 50L
+        val base2 = spark.range(nBig).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST(pmod(xxhash64(id * 64 + j), 2001) - 1000 AS FLOAT))").as("embedding"))
+        val exact2 = spark.range(nPl).select((col("id") + nBig).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST((pmod(xxhash64(id * 64 + j), 2001) - 1000) * 1.0001 AS FLOAT))")
+            .as("embedding"))
+        // two deterministic sign flips per planted near-dup, twinning
+        // base ids nPl..2nPl-1 (so exact and flip2 plants twin DISJOINT
+        // base rows): member vec_id = nBig + nPl + k copies base id
+        // nPl + k with dims pmod(xxhash64(vec_id),64) and
+        // pmod(xxhash64(vec_id+7),64) sign-flipped
+        val flip2 = spark.range(nPl).select((col("id") + nBig + nPl).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> CAST((pmod(xxhash64((vec_id - " +
+            s"${nBig}L) * 64 + j), 2001) - 1000) * (CASE WHEN " +
+            "j = pmod(xxhash64(vec_id), 64) OR " +
+            "j = pmod(xxhash64(vec_id + 7), 64) " +
+            "THEN -1.0 ELSE 1.0 END) AS FLOAT))").as("embedding"))
+        val fixture2 = base2.unionByName(exact2).unionByName(flip2)
+          .localCheckpoint(true)
+        val t0k = System.nanoTime()
+        val cands2 = graft.ops.Similarity.signBandCandidates(fixture2)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val vol = cands2.count()
+        println(f"CAND_VOLUME $vol (wall ${(System.nanoTime() - t0k) / 1e9}%.1f s)")
+        val exHits = cands2.filter(col("id_a") < nPl &&
+          col("id_b") === col("id_a") + nBig).count()
+        val flHits = cands2.filter(col("id_a") >= nPl && col("id_a") < 2 * nPl &&
+          col("id_b") === col("id_a") + nBig).count()
+        println(s"RECALL_EXACT $exHits/$nPl")
+        println(s"RECALL_FLIP2 $flHits/$nPl")
+        val maxBucket = fixture2.select(col("vec_id"),
+            posexplode(graft.ops.Similarity.signBandKeysGeom(2)).as(Seq("t", "key")))
+          .groupBy(col("t"), col("key")).agg(cnt(lit(1)).as("m"))
+          .agg(org.apache.spark.sql.functions.max(col("m"))).head().getLong(0)
+        println(s"MAX_BUCKET $maxBucket")
+        spark.range(1).toDF("x")
+      case "stageClusteredEmbeddings" =>
+        // stage a CLUSTERED embeddings fixture (mixture of Gaussians,
+        // deterministic): args(2) = output dir, optional args(3) = n.
+        // 32 xxhash64-seeded centers; each vector = its center + 5%-
+        // scale noise. The regime real embedding stores live in — the
+        // uniform driver fixture is the ANN sketches' documented worst
+        // case; recall floors are recorded on BOTH (SCALING.md r16).
+        import org.apache.spark.sql.functions.{col, expr}
+        val outC = sfDir // the sfDir slot IS the output dir here
+        val nVec = if (args.length > 2) args(2).toLong else 100000L
+        // noise half-width relative to the ±1000 center-coordinate
+        // scale. 400 ⇒ within-cluster cosine ≈ 0.86 (the realistic
+        // "neighbors are same-cluster with meaningful spread" regime);
+        // 50 ⇒ ≈ 0.999 (the near-tie regime where top-k is beneath PQ
+        // code resolution — recorded as its own reading)
+        val noiseW = if (args.length > 3) args(3).toInt else 400
+        val kC = if (args.length > 4) args(4).toInt else 32
+        graft.ops.Similarity.syntheticClusteredEmbeddings(spark, nVec, kC, noiseW)
+          .write.mode("overwrite").parquet(s"$outC/embeddings.parquet")
+        println(s"STAGED $outC n=$nVec centers=$kC noise=$noiseW")
+        spark.range(1).toDF("x")
+      case "ivfCellsKnob" =>
+        // the IVF cell-count knob at the same decade: nCells = n/450
+        // (holds per-cell size ~ the 200k decade's) vs the auto sqrt(n)
+        // sizing. Trade made explicit: pair enumeration is ~n²/c, the
+        // quantizer assignment is n·c — c grows, enumeration shrinks,
+        // training/assignment grows. Three passes each, min is the
+        // statistic (artifact store should be a fresh scratch dir so
+        // centroid sidecars rebuild per setting honestly on pass 1 and
+        // serve on passes 2-3).
+        for ((label, cells) <- Seq("AUTO" -> 0, "RETUNED" -> 4474); i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.embedNearDupIvf(spark, sfDir, nCells = cells)
+            .queryExecution.toRdd.count()
+          println(f"IVF_$label pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        spark.range(1).toDF("x")
       case "stageOrderedDocs" =>
         // stage a doc_id-RANGE-CLUSTERED copy of the documents table
         // (args(2) = output fixture dir): each output file covers a

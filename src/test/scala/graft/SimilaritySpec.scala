@@ -302,24 +302,49 @@ class SimilaritySpec extends SparkSpec {
       s"covered-query agreement ${agree}/${covered.size} below 0.3")
   }
 
-  test("scala band keys are bit-identical to the column form in BOTH geometries") {
+  test("clustered-regime PQ/IVFPQ recall: pool covers the cluster ⇒ near-perfect") {
+    // the driver fixture is uniform — the sketches' documented worst
+    // case. This pins the CLUSTERED regime (mixture of Gaussians, 50-
+    // member clusters, within-cluster cos ≈ 0.86): when the rerank pool
+    // covers the query's cluster population, ADC only has to find the
+    // right neighborhood (coarse structure PQ preserves) and the exact
+    // rerank orders it — recall ≥ 0.9 expected ≈ 1.0. SCALING.md r16
+    // records the inverse regime too (3125-member clusters → recall
+    // collapses beneath code resolution; pool is the governing knob).
+    val dir = graft.Tuning.diskTmpDir("graft_clustered_spec_").toString
+    Similarity.syntheticClusteredEmbeddings(spark, 20000L, 400, 400)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val truth = Similarity.bruteForceTopK(spark, dir)
+      .select(col("q_id"), col("n_id")).localCheckpoint(true)
+    val nTrue = truth.count()
+    assert(nTrue == 50L)
+    val pq = Similarity.pqTopK(spark, dir).select(col("q_id"), col("n_id"))
+    val pqRecall = truth.intersect(pq).count().toDouble / nTrue
+    assert(pqRecall >= 0.9, s"clustered PQ recall $pqRecall below 0.9")
+    val ivfpq = Similarity.ivfPqTopK(spark, dir).select(col("q_id"), col("n_id"))
+    val ivfpqRecall = truth.intersect(ivfpq).count().toDouble / nTrue
+    assert(ivfpqRecall >= 0.9, s"clustered IVFPQ recall $ivfpqRecall below 0.9")
+  }
+
+  test("scala band keys are bit-identical to the column form in ALL THREE geometries") {
     // the bucket-cogroup dedup computes its (band, key) grouping keys
     // in-task (scalaBandKeysFor); the oracle and the wideband companion
     // pin the COLUMN form (signBandKeys), so the two must agree bit for
-    // bit in both the narrow (8 bands x 8 bits) and the wide
-    // (4 bands x 16 bits, engaged past SignWideThreshold) geometry —
-    // the wide geometry otherwise only runs on generated >20k-vector
-    // corpora no spec scans.
-    for (wide <- Seq(false, true)) {
+    // bit in the narrow (8 bands x 8 bits), wide (4 bands x 16 bits,
+    // past SignWideThreshold), and xwide (6 overlapping bands x 24
+    // bits, past SignXWideThreshold) geometries — the non-narrow
+    // geometries otherwise only run on generated large corpora no spec
+    // scans.
+    for (geom <- Seq(0, 1, 2)) {
       val rows = Tables.embeddings(spark, sf)
         .select(col("embedding"),
-          Similarity.signBandKeysPublic(wide).as("keys")).collect()
+          Similarity.signBandKeysGeom(geom).as("keys")).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
         val emb = r.getSeq[Float](0).toArray
         val colKeys = r.getSeq[Int](1)
-        val scalaKeys = Similarity.scalaBandKeysFor(emb, wide).toSeq
-        assert(scalaKeys == colKeys, s"wide=$wide keys diverge: $scalaKeys vs $colKeys")
+        val scalaKeys = Similarity.scalaBandKeysFor(emb, geom).toSeq
+        assert(scalaKeys == colKeys, s"geom=$geom keys diverge: $scalaKeys vs $colKeys")
       }
     }
   }

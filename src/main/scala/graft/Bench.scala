@@ -37,7 +37,7 @@ import org.apache.spark.sql.SparkSession
   *    maps ("queries"/"warm" and "cold") and is INCLUDED in
   *    warm_total/cold_total and n_ok — full runs therefore report one
   *    more line than registered queries. It is a real timed component
-  *    (the 13-stream concurrent drain, re-paid every iteration), not a
+  *    (the 14-stream concurrent drain, re-paid every iteration), not a
   *    query; its oracle evidence lives with the individual streaming
   *    queries that consume the drained sinks.
   *  - "cpus" in bench_summary.json is a JSON number whenever the env
@@ -49,7 +49,7 @@ import org.apache.spark.sql.SparkSession
   *    cold leg, like every other build-once index. */
 object Bench {
 
-  /** Synthetic bench line for the 13-query concurrent streaming drain
+  /** Synthetic bench line for the 14-query concurrent streaming drain
     * group — paid once per iteration, reported under its own name so no
     * individual streaming query absorbs the shared machinery cost. */
   private[graft] val DrainLine = "stream_drain_group"
@@ -162,7 +162,7 @@ object Bench {
       // per iteration, carried by whichever consumer runs first
       graft.ops.Predict.resetGruDirs()
       graft.ops.Predict.resetLstmDirs()
-      // Pay the 13-query concurrent drain group ONCE, as its own timed
+      // Pay the 14-query concurrent drain group ONCE, as its own timed
       // line — previously the alphabetically-first consumer
       // (q_event_window) silently absorbed the whole group's cost,
       // flattering the other 12 members and making its own number

@@ -227,6 +227,7 @@ object SparkEntry {
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
     "q_index_delta"      -> ((s, d) => TextOps.indexDeltaMerge(s, d)),
+    "q_stream_index"     -> ((s, d) => TextOps.streamIndexMerged(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
     "q_zorder"           -> ((s, d) => Layout.zorder(s, d)),
@@ -2468,6 +2469,9 @@ object SparkEntry {
     // SQL (the q_incr_rollup oracle trick).
     "q_index_postings" -> indexPostingsOracleSql,
     "q_index_delta" -> indexPostingsOracleSql,
+    // streaming ingestion half of the same lifecycle: per-micro-batch
+    // partial segments, merged at read — same full-rebuild contract
+    "q_stream_index" -> indexPostingsOracleSql,
     // Okapi BM25 (k1=1.2, b=0.75), same formula tree as the Spark plan;
     // per-term scores cast to DECIMAL(18,8) BEFORE the per-doc sum so
     // the score is order-independent on both engines. ONE constant for

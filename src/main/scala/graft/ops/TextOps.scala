@@ -516,25 +516,50 @@ object TextOps {
     buildSegments(docs, 100)
 
   private def buildSegments(docs: DataFrame, blockSize: Int): DataFrame =
+    segmentStats(partialSegments(docs, blockSize))
+
+  /** The bare (token, block_id, plist) posting lists over any document
+    * slice — the PARTIAL segment shape: what a streaming micro-batch
+    * appends to the segment store ([[graft.streaming.Pipeline]]'s index
+    * drain), and what the full/base/delta builds derive their stats
+    * from. NO countDistinct in the aggregate: a distinct aggregate
+    * mixed with plain ones plans an Expand that DOUBLES the occurrence
+    * stream (~1B rows at the 5M-doc decade) through the partial
+    * aggregate and the exchange; every per-segment statistic is instead
+    * a bounded expression over the ≤ blockSize-doc posting array
+    * ([[segmentStats]]). */
+  private[graft] def partialSegments(docs: DataFrame, blockSize: Int = 100): DataFrame =
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
       .filter(length(col("token")) > 0)
       .withColumn("block_id", expr(s"doc_id div $blockSize"))
       .groupBy(col("token"), col("block_id"))
-      // NO countDistinct here: a distinct aggregate mixed with plain
-      // ones plans an Expand that DOUBLES the occurrence stream (~1B
-      // rows at the 5M-doc decade) through the partial aggregate and
-      // the exchange. The per-block document frequency is instead read
-      // off the sorted posting list the aggregate already builds —
-      // distinct doc_ids of a ≤ blockSize-doc posting array, a bounded
-      // per-output-row expression, zero extra shuffled rows.
-      .agg(count(lit(1)).as("n_postings"),
-        expr("array_sort(collect_list(struct(doc_id, pos)))").as("_plist"))
-      .select(col("token"), col("block_id"),
-        expr("size(array_distinct(transform(_plist, x -> x.doc_id)))")
-          .cast(LongType).as("df_block"),
-        col("n_postings"),
-        col("_plist").as("plist"))
+      .agg(expr("array_sort(collect_list(struct(doc_id, pos)))").as("plist"))
+
+  /** Per-segment statistics derived from the sorted posting list —
+    * df_block (distinct doc_ids) and n_postings as bounded per-row
+    * expressions, zero extra shuffled rows. */
+  private def segmentStats(segs: DataFrame): DataFrame =
+    segs.select(col("token"), col("block_id"),
+      expr("size(array_distinct(transform(plist, x -> x.doc_id)))")
+        .cast(LongType).as("df_block"),
+      expr("size(plist)").cast(LongType).as("n_postings"),
+      col("plist"))
+
+  /** SEGMENT MERGE — combine partial posting lists for the same (token,
+    * block) into the single sorted list the full rebuild would produce:
+    * `array_sort(flatten(collect_list(plist)))`. Unlike
+    * [[indexDeltaMerge]]'s block-aligned union (where no segment row
+    * straddles a cut and merge is pure concatenation of DISJOINT rows),
+    * this handles ARBITRARY segment splits — a block's documents spread
+    * across any number of partial segments, e.g. streaming micro-batch
+    * cuts — because array_sort restores the exact (doc_id, pos) order a
+    * single-pass build emits. This is the Lucene segment-merge shape as
+    * one aggregate. */
+  private[graft] def mergeSegments(partials: DataFrame): DataFrame =
+    segmentStats(
+      partials.groupBy(col("token"), col("block_id"))
+        .agg(expr("array_sort(flatten(collect_list(plist)))").as("plist")))
 
   /** Block-aligned corpus cut for the delta-segment lifecycle: the last
     * ~10% of doc_ids are "appended since the base snapshot". Aligning
@@ -578,6 +603,23 @@ object TextOps {
     withPostingsString(
       baseSegments(s, d, blockSize).unionByName(deltaSegments(s, d, blockSize))
         .orderBy(col("token"), col("block_id")))
+
+  /** STREAMING INDEX MAINTENANCE, read side (`q_stream_index`): the
+    * index drain ([[graft.streaming.Pipeline]] "index") appended one
+    * PARTIAL segment table per micro-batch of the staged hash-split
+    * documents replay — batch cuts arbitrary relative to index blocks,
+    * so the same (token, block) appears in several partial segments.
+    * This read serves [[mergeSegments]] over the store and presents it
+    * exactly like [[invertedPostings]] — and carries the SAME
+    * full-rebuild oracle SQL, proving the flush-small-segments /
+    * merge-at-read lifecycle reproduces the single-pass build bit for
+    * bit regardless of where the stream's batch boundaries fell. */
+  def streamIndexMerged(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = graft.streaming.Pipeline.drainGroup(s, d)("index")
+    withPostingsString(
+      mergeSegments(s.read.parquet(sinkDir))
+        .orderBy(col("token"), col("block_id")))
+  }
 
   /** The base-snapshot segment sidecar (doc_id < cut). */
   private[graft] def baseSegments(s: SparkSession, d: String,

@@ -252,7 +252,7 @@ object Drive {
         spark.range(1).toDF("x")
       case "drainTime" =>
         // Attribution for the stream_drain_group bench line: the wall of
-        // the 13-query CONCURRENT drain vs one solo single-stream drain.
+        // the 14-query CONCURRENT drain vs one solo single-stream drain.
         // The gap above (batch-layers × solo-batch cost) is cross-stream
         // contention on the shared driver machinery (one DAGScheduler
         // event loop, one SessionState) — the number that decides

@@ -106,7 +106,7 @@ class StreamingSpec extends SparkSpec {
     // cross-batch test into a one-batch run: the shared listener's
     // per-run progress counts prove each member drained ≥2 micro-batches
     val counts = graft.streaming.Pipeline.groupBatchCounts(spark, sf)
-    assert(counts.size == 13, s"expected 13 group drains, got ${counts.keys.toSeq.sorted}")
+    assert(counts.size == 14, s"expected 14 group drains, got ${counts.keys.toSeq.sorted}")
     counts.foreach { case (name, c) =>
       assert(c >= 2L, s"drain '$name' ran only $c micro-batch(es)")
     }

@@ -66,6 +66,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(cut > 0 && cut <= maxDoc, s"degenerate delta cut $cut (max doc $maxDoc)")
   }
 
+  test("streaming per-batch segments, merged at read, equal the full index rebuild") {
+    val full = q("q_index_postings").collect().toSeq
+    val merged = q("q_stream_index").collect().toSeq
+    assert(merged === full,
+      "merge of streamed partial segments diverged from the single-pass build")
+    // the lifecycle claim: the drain genuinely ran MULTIPLE micro-
+    // batches, so blocks really did split across partial segments
+    val batches = graft.streaming.Pipeline.groupBatchCounts(spark, sf)("index")
+    assert(batches >= 2, s"index drain consolidated to $batches batch(es)")
+  }
+
   test("rag served from the persisted index is row-identical to the scan-served form") {
     val scan = q("q_rag_retrieve").collect().toSeq
     val index = q("q_rag_from_index").collect().toSeq

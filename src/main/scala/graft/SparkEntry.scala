@@ -230,6 +230,7 @@ object SparkEntry {
     "q_stream_index"     -> ((s, d) => TextOps.streamIndexMerged(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
+    "q_bm25_stream_served" -> ((s, d) => TextOps.bm25FromStreamedIndex(s, d)),
     "q_zorder"           -> ((s, d) => Layout.zorder(s, d)),
     "q_curate"           -> ((s, d) => TextOps.curateCorpus(s, d)),
     "q_mixture_sample"   -> ((s, d) => TextOps.mixtureSample(s, d)),
@@ -2481,6 +2482,10 @@ object SparkEntry {
     // two separately-maintained copies can silently drift).
     "q_bm25_topk" -> bm25OracleSql,
     "q_bm25_from_index" -> bm25OracleSql,
+    // retrieval over the index the STREAM built (flush → merge → serve):
+    // the whole lineage never scans the corpus as a batch, yet the
+    // scores must equal the corpus-scan form exactly
+    "q_bm25_stream_served" -> bm25OracleSql,
     // Morton/z-order clustering key — the identical integer bit-spread
     // algebra as ops.Layout.zorder, CTE-chained
     "q_zorder" ->

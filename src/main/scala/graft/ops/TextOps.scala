@@ -669,11 +669,33 @@ object TextOps {
     * re-tokenizing the corpus per query batch. */
   def bm25FromIndex(s: SparkSession, d: String,
       queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
     // unordered typed segments (no presentation sort in the serve path,
     // structurally); parquet prunes to (token, df_block, plist) and the
     // token filter prunes to the query vocabulary before any explode
-    val post = postingSegments(s, d).filter(col("token").isin(queryTokens: _*))
+    bm25FromSegments(s, d, postingSegments(s, d), queryTokens, k)
+
+  /** BM25 SERVED FROM THE STREAMED INDEX (`q_bm25_stream_served`): the
+    * same scoring as [[bm25FromIndex]] fed from the segment store the
+    * streaming drain flushed, merged at read ([[mergeSegments]]) — the
+    * end-to-end proof that retrieval can ride an index built ENTIRELY
+    * by micro-batch ingestion, no batch build anywhere in the lineage.
+    * Same oracle SQL as `q_bm25_topk` (the shared constant), so the
+    * stream-built index is pinned value-identical to a corpus scan. */
+  def bm25FromStreamedIndex(s: SparkSession, d: String,
+      queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
+      k: Int = 10): DataFrame = {
+    val sinkDir = graft.streaming.Pipeline.drainGroup(s, d)("index")
+    bm25FromSegments(s, d, mergeSegments(s.read.parquet(sinkDir)),
+      queryTokens, k)
+  }
+
+  /** The segment-served Okapi scoring body, parameterized by the
+    * segment source — one body for the sidecar-served and
+    * stream-built-index paths, so their parity is structural. */
+  private def bm25FromSegments(s: SparkSession, d: String, segments: DataFrame,
+      queryTokens: Seq[String], k: Int): DataFrame = {
+    val post = segments.filter(col("token").isin(queryTokens: _*))
     // one posting struct per occurrence, so the per-doc entry count IS
     // tf — a typed explode of parquet-packed numerics, zero string work
     val tf = post

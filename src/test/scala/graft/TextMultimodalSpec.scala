@@ -77,6 +77,13 @@ class TextMultimodalSpec extends SparkSpec {
     assert(batches >= 2, s"index drain consolidated to $batches batch(es)")
   }
 
+  test("bm25 served from the STREAM-built index is row-identical to the scan-served form") {
+    val scan = q("q_bm25_topk").collect().toSeq
+    val streamed = q("q_bm25_stream_served").collect().toSeq
+    assert(streamed === scan,
+      "retrieval over the stream-built index diverged from the corpus scan")
+  }
+
   test("rag served from the persisted index is row-identical to the scan-served form") {
     val scan = q("q_rag_retrieve").collect().toSeq
     val index = q("q_rag_from_index").collect().toSeq

@@ -43,6 +43,21 @@ object Sinks {
   def parquetAppend(df: DataFrame, dir: String): Unit =
     df.write.mode("append").parquet(dir)
 
+  /** IDEMPOTENT per-batch segment publish: each micro-batch writes its
+    * whole output under a batch-id-named partition directory with
+    * overwrite semantics. foreachBatch is at-least-once — a failed
+    * commit replays the batch — and a plain append would then duplicate
+    * the batch's rows silently (for the index drain: doubled tf counts
+    * after the segment merge). Keying the directory by batch id makes
+    * the retry overwrite its own previous attempt instead: the store
+    * converges to exactly-once CONTENTS under any number of replays,
+    * the same idempotent-overwrite trick Spark's own file sink plays
+    * with its per-batch manifest. Readers list the store root; the
+    * `batch_id=N` layout surfaces as an ordinary partition column they
+    * are free to ignore. */
+  def parquetBatchOverwrite(batch: DataFrame, dir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   /** Streaming UPSERT over an append-only store, as a write/read pair:
     * [[upsertAppend]] logs each micro-batch's changed rows with the
     * batch id (executor-side append — nothing materializes on the

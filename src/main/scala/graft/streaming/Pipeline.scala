@@ -823,7 +823,12 @@ object Pipeline {
     * the merged table and carries the full-rebuild oracle, proving the
     * merge restores the single-pass build bit for bit REGARDLESS of
     * where the batch cuts fell. 2-file triggers: 2 micro-batches, each
-    * a genuine partial index. */
+    * a genuine partial index. Each batch publishes through the
+    * IDEMPOTENT batch-keyed overwrite ([[graft.sources.Sinks.parquetBatchOverwrite]]):
+    * foreachBatch is at-least-once, and with a plain append a replayed
+    * batch would silently double its segments' tf counts after the
+    * merge — the r16 ADVICE item; the batch-id-keyed directory makes a
+    * retry overwrite its own previous attempt instead. */
   private def launchIndexAppend(s: SparkSession, d: String): (String, StreamingQuery) = {
     val staged = prestageDocs(s, d)
     val sinkDir = tmp("graft_idxsink_")
@@ -833,9 +838,9 @@ object Pipeline {
       .writeStream.outputMode("append")
       .option("checkpointLocation", tmp("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Sinks.parquetAppend(
-          graft.ops.TextOps.partialSegments(batch), sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.parquetBatchOverwrite(
+          graft.ops.TextOps.partialSegments(batch), sinkDir, batchId)
         ()
       }
       .start()

@@ -709,7 +709,14 @@ object TextOps {
     val tscore = (idf * (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
       .cast(DecimalType(18, 8))
-    tf.join(broadcast(dfTok), "token")
+    // the tf side is O(query-vocabulary postings); dl is one row per
+    // CORPUS document — broadcast tf STRUCTURALLY (r16 verdict #2) so
+    // the norms table streams through a broadcast-hash probe and never
+    // shuffles. Leaving it to AQE means trusting a runtime estimate on
+    // a derived aggregate to protect the serve path from a corpus-scale
+    // exchange at 100 TB; the hint makes the intended plan the only
+    // plan (IndexServePlanSpec asserts no Exchange above the norms scan).
+    broadcast(tf.join(broadcast(dfTok), "token"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), tscore.as("tscore"))
@@ -1056,7 +1063,11 @@ object TextOps {
     val tscore = (idf * (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
       .cast(DecimalType(18, 8))
-    val scored = tf.join(broadcast(dfTok), "token")
+    // same structural broadcast as bm25FromSegments (r16 verdict #2):
+    // tf is O(panel-vocabulary postings), dl is corpus-scale — the hint
+    // keeps the norms join a broadcast probe on BOTH candidate sources
+    // (scan-served and index-served), never a corpus exchange
+    val scored = broadcast(tf.join(broadcast(dfTok), "token"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .join(broadcast(qmap), Seq("token"))
@@ -1073,7 +1084,11 @@ object TextOps {
         col("doc_d").cast(LongType).as("doc_id"))
     val wc = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top.join(scored, Seq("query_id", "doc_id"))
+    // ≤ k·queries ranked rows re-join their scores (broadcast the tiny
+    // ranked side), then the result — still ≤ k·queries rows — joins
+    // the corpus-scale scored-docs table: broadcast it too, same
+    // structural reason as the norms join above
+    broadcast(broadcast(top).join(scored, Seq("query_id", "doc_id")))
       .join(scoredDocs(s, d).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wc))
       .filter(col("cum_tokens") <= budget)

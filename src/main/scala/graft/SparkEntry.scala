@@ -227,6 +227,7 @@ object SparkEntry {
     "q_top_tokens"       -> ((s, d) => TextOps.topTokens(s, d)),
     "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
     "q_index_delta"      -> ((s, d) => TextOps.indexDeltaMerge(s, d)),
+    "q_index_delete"     -> ((s, d) => TextOps.indexWithDeletes(s, d)),
     "q_stream_index"     -> ((s, d) => TextOps.streamIndexMerged(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
@@ -353,12 +354,19 @@ object SparkEntry {
   private val revenue =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
 
-  /** Shared full-rebuild inverted-index oracle for `q_index_postings`
-    * AND `q_index_delta`: the delta-segment merged read must equal the
-    * full rebuild bit for bit, so both entries bind one string. */
-  private val indexPostingsOracleSql =
-    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-                  FROM documents),
+  /** Shared full-rebuild inverted-index oracle, PARAMETERIZED by the
+    * document source (r16 verdict #1: "reusing the shared-constant
+    * discipline (parameterized, since the corpus differs)"). One
+    * generator binds the rebuild semantics for every index-lifecycle
+    * entry — `q_index_postings` (full corpus), `q_index_delta`
+    * (base ⊎ delta merged read), `q_stream_index` (streamed partials,
+    * merged at read), and `q_index_delete` (the SURVIVING documents
+    * after tombstoning) — so "X equals the rebuild over docs D, bit
+    * for bit" can never drift per-entry. */
+  private def indexRebuildOracleSqlOver(docsRel: String,
+      withClause: String = "WITH "): String =
+    raw"""${withClause}d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                  FROM $docsRel),
        tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
                 i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM d),
        t AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM tk
@@ -367,6 +375,63 @@ object SparkEntry {
          count(DISTINCT doc_id) AS df_block, count(*) AS n_postings,
          string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos) AS postings
        FROM t GROUP BY 1, 2 ORDER BY token, block_id"""
+
+  private val indexPostingsOracleSql = indexRebuildOracleSqlOver("documents")
+
+  /** The keep-best-per-cluster CTE chain (shingle Jaccard >= 0.5 pairs ->
+    * transitive closure -> per-cluster quality argmax), ending in
+    * `kept(cluster_id, kept_doc_id, kept_quality, n_members)`. ONE
+    * constant consumed by BOTH `q_dedup_keep_best` and
+    * `q_index_delete`'s survivor set — the tombstoned index's oracle
+    * deletes exactly the documents the dedup oracle rejects, so the two
+    * entries cannot drift apart. */
+  private val keepBestCtesSql =
+    raw"""arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
+         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
+                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                   WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         ),
+         comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+                  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+                  GROUP BY d.doc_id),
+         b AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         FROM documents),
+         qual AS (SELECT doc_id,
+           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.5
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+             + (1.0 - CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END) * 0.2
+             AS quality_score
+         FROM b),
+         ranked AS (SELECT c.component AS cluster_id, q.doc_id, q.quality_score,
+                    row_number() OVER (PARTITION BY c.component
+                      ORDER BY q.quality_score DESC, q.doc_id) AS rn,
+                    count(*) OVER (PARTITION BY c.component) AS n_members
+                    FROM comp c JOIN qual q ON q.doc_id = c.doc_id),
+         kept AS (SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_quality, n_members
+                  FROM ranked WHERE rn = 1)"""
+
+  /** Tombstone-masked index read == rebuild over the SURVIVING
+    * documents (the `kept` set of [[keepBestCtesSql]]). */
+  private val indexDeleteOracleSql = indexRebuildOracleSqlOver(
+    "(SELECT dd.doc_id, dd.text FROM documents dd JOIN kept k ON k.kept_doc_id = dd.doc_id)",
+    s"WITH RECURSIVE $keepBestCtesSql, ")
 
   /** Shared Okapi-BM25 oracle body for `q_bm25_topk` AND
     * `q_bm25_from_index`: the index-served path must score exactly what
@@ -2473,6 +2538,12 @@ object SparkEntry {
     // streaming ingestion half of the same lifecycle: per-micro-batch
     // partial segments, merged at read — same full-rebuild contract
     "q_stream_index" -> indexPostingsOracleSql,
+    // the DELETE half (Lucene liveDocs): the tombstone-masked read of
+    // the full index must equal the rebuild over the surviving
+    // documents — survivors defined by the SAME keep-best CTE chain as
+    // q_dedup_keep_best (shared constant), rebuild by the SAME
+    // parameterized generator as every other index-lifecycle entry
+    "q_index_delete" -> indexDeleteOracleSql,
     // Okapi BM25 (k1=1.2, b=0.75), same formula tree as the Spark plan;
     // per-term scores cast to DECIMAL(18,8) BEFORE the per-doc sum so
     // the score is order-independent on both engines. ONE constant for
@@ -2715,46 +2786,7 @@ object SparkEntry {
     // survivor = argmax (quality_score, -doc_id) per component via a
     // window; Spark computes it with a partial-aggregating max_by
     "q_dedup_keep_best" ->
-      """WITH RECURSIVE arrs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
-         sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-                FROM arrs, unnest(generate_series(1, greatest(0, len(arr) - 2))) t(i)),
-         sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-         inter AS (SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, count(*) AS ni
-                   FROM sh ta JOIN sh tb ON tb.shingle = ta.shingle AND tb.doc_id > ta.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b
-                   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                   WHERE CAST(ni AS DOUBLE) / (sa.ns + sb.ns - ni) >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
-         ),
-         comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
-                  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-                  GROUP BY d.doc_id),
-         b AS (SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars2,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
-           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
-         FROM documents),
-         qual AS (SELECT doc_id,
-           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.5
-             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
-             + (1.0 - CASE WHEN n_chars2 > 0 THEN CAST(n_punct AS DOUBLE) / n_chars2 ELSE 0.0 END) * 0.2
-             AS quality_score
-         FROM b),
-         ranked AS (SELECT c.component AS cluster_id, q.doc_id, q.quality_score,
-                    row_number() OVER (PARTITION BY c.component
-                      ORDER BY q.quality_score DESC, q.doc_id) AS rn,
-                    count(*) OVER (PARTITION BY c.component) AS n_members
-                    FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
-         SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_quality, n_members
-         FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
+      s"WITH RECURSIVE $keepBestCtesSql SELECT cluster_id, kept_doc_id, kept_quality, n_members FROM kept ORDER BY cluster_id",
     "q_embed_cosine_pairs" ->
       """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
                     FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)

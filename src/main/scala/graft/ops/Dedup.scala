@@ -334,6 +334,13 @@ object Dedup {
     * output is one row per cluster (metadata scale at 100 TB; the
     * deletion list is the complement, same join shape). */
   def keepBestPerCluster(s: SparkSession, d: String): DataFrame =
+    keepBestUnordered(s, d).orderBy(col("cluster_id"))
+
+  /** The unordered keep-best table behind [[keepBestPerCluster]] —
+    * consumed directly by the index tombstone derivation
+    * ([[TextOps.tombstones]]) so "no presentation sort under the
+    * anti-join" is structural, not an EliminateSorts outcome. */
+  private[graft] def keepBestUnordered(s: SparkSession, d: String): DataFrame =
     // the unsorted component labels: nearDupComponents' presentation
     // orderBy would be dead weight under the join + aggregate here
     components(
@@ -348,7 +355,6 @@ object Dedup {
         count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("best.doc_id").as("kept_doc_id"),
         col("best.quality_score").as("kept_quality"), col("n_members"))
-      .orderBy(col("cluster_id"))
 
   /** Train/test DECONTAMINATION — the corpus-hygiene op every training
     * pipeline runs before eval: find test-split documents whose content

@@ -77,6 +77,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(batches >= 2, s"index drain consolidated to $batches batch(es)")
   }
 
+  test("tombstone-masked index read equals the segment build over surviving documents") {
+    val kept = graft.ops.Dedup.keepBestUnordered(spark, sf)
+      .select(col("kept_doc_id").as("doc_id"))
+    val survivors = Tables.documents(spark, sf).join(kept, Seq("doc_id"), "left_semi")
+    val rebuilt = graft.ops.TextOps.buildSegmentsForDiag(survivors)
+      .orderBy("token", "block_id").collect().toSeq
+    val masked = graft.ops.TextOps.liveSegments(spark, sf)
+      .orderBy("token", "block_id").collect().toSeq
+    assert(masked === rebuilt,
+      "masking the full index through the tombstone set diverged from " +
+        "rebuilding over the surviving documents")
+    // teeth: the dedup pipeline really produced losers, and the mask
+    // really removed their postings from the served index
+    val nTomb = graft.ops.TextOps.tombstones(spark, sf).count()
+    assert(nTomb > 0, "degenerate fixture: no near-dup losers to tombstone")
+    def totalPostings(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_postings")).head().getLong(0)
+    val full = totalPostings(q("q_index_postings"))
+    val live = totalPostings(q("q_index_delete"))
+    assert(live < full,
+      s"tombstoning $nTomb docs removed no postings ($live vs $full)")
+  }
+
   test("bm25 served from the STREAM-built index is row-identical to the scan-served form") {
     val scan = q("q_bm25_topk").collect().toSeq
     val streamed = q("q_bm25_stream_served").collect().toSeq

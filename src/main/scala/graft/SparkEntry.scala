@@ -228,6 +228,8 @@ object SparkEntry {
     "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
     "q_index_delta"      -> ((s, d) => TextOps.indexDeltaMerge(s, d)),
     "q_index_delete"     -> ((s, d) => TextOps.indexWithDeletes(s, d)),
+    "q_stream_compact"   -> ((s, d) => TextOps.streamIndexCompacted(s, d)),
+    "q_bm25_compact_served" -> ((s, d) => TextOps.bm25FromCompactedIndex(s, d)),
     "q_stream_index"     -> ((s, d) => TextOps.streamIndexMerged(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
@@ -2544,6 +2546,9 @@ object SparkEntry {
     // q_dedup_keep_best (shared constant), rebuild by the SAME
     // parameterized generator as every other index-lifecycle entry
     "q_index_delete" -> indexDeleteOracleSql,
+    // compaction: streamed partials folded once into a published sidecar,
+    // then served — still the full-rebuild contract
+    "q_stream_compact" -> indexPostingsOracleSql,
     // Okapi BM25 (k1=1.2, b=0.75), same formula tree as the Spark plan;
     // per-term scores cast to DECIMAL(18,8) BEFORE the per-doc sum so
     // the score is order-independent on both engines. ONE constant for
@@ -2557,6 +2562,8 @@ object SparkEntry {
     // the whole lineage never scans the corpus as a batch, yet the
     // scores must equal the corpus-scan form exactly
     "q_bm25_stream_served" -> bm25OracleSql,
+    // retrieval over the COMPACTED stream store (flush → compact → serve)
+    "q_bm25_compact_served" -> bm25OracleSql,
     // Morton/z-order clustering key — the identical integer bit-spread
     // algebra as ops.Layout.zorder, CTE-chained
     "q_zorder" ->

@@ -621,6 +621,44 @@ object TextOps {
         .orderBy(col("token"), col("block_id")))
   }
 
+  /** STREAM-SEGMENT COMPACTION, store side: fold the streamed
+    * partial-segment store through [[mergeSegments]] ONCE and publish
+    * the result as a content-addressed sidecar — the Lucene background
+    * merge that turns many small flushed segments into one serving
+    * segment set. [[streamIndexMerged]] pays the merge aggregate on
+    * EVERY read; after compaction, reads scan the published sidecar
+    * directly (no aggregate anywhere in the read plan — spec-pinned),
+    * which is the economics that make a streaming-built index servable
+    * at 100 TB: the merge cost is paid once per ingest epoch, not per
+    * query. Keyed to the corpus snapshot like every index artifact —
+    * the drain replays the staged corpus, so its compaction is a pure
+    * function of the same snapshot. */
+  private[graft] def compactedStreamSegments(s: SparkSession, d: String): DataFrame = {
+    val sinkDir = graft.streaming.Pipeline.drainGroup(s, d)("index")
+    Tables.dfArtifact(s, d, Seq("documents"), "streamCompact:v1")(
+      mergeSegments(s.read.parquet(sinkDir)))
+  }
+
+  /** STREAM-SEGMENT COMPACTION, read side (`q_stream_compact`): the
+    * compacted sidecar presented exactly like [[invertedPostings]], and
+    * carrying the SAME full-rebuild oracle SQL — streamed flush →
+    * compact → serve reproduces the single-pass batch build bit for
+    * bit, with the per-read merge aggregate gone. */
+  def streamIndexCompacted(s: SparkSession, d: String): DataFrame =
+    withPostingsString(
+      compactedStreamSegments(s, d).orderBy(col("token"), col("block_id")))
+
+  /** BM25 SERVED FROM THE COMPACTED STREAM STORE
+    * (`q_bm25_compact_served`): same scoring body as [[bm25FromIndex]],
+    * candidate segments from the compacted sidecar — the full
+    * production lineage (micro-batch flush → compaction → pruned
+    * segment serve) pinned value-identical to a corpus scan by the
+    * shared BM25 oracle constant. */
+  def bm25FromCompactedIndex(s: SparkSession, d: String,
+      queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
+      k: Int = 10): DataFrame =
+    bm25FromSegments(s, d, compactedStreamSegments(s, d), queryTokens, k)
+
   /** TOMBSTONE SIDECAR — the delete half of the index lifecycle
     * (VERDICT r16 #1; Lucene: flush ✓, merge ✓, append ✓, and THIS).
     * The deleted-doc set is the real pipeline's: the near-dup LOSERS of

@@ -77,6 +77,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(batches >= 2, s"index drain consolidated to $batches batch(es)")
   }
 
+  test("compacted stream store equals the full rebuild; compacted reads run no merge aggregate") {
+    val full = q("q_index_postings").collect().toSeq
+    val compacted = q("q_stream_compact").collect().toSeq
+    assert(compacted === full,
+      "flush → compact → serve diverged from the single-pass batch build")
+    // structural: after compaction the read plan is scan + present —
+    // the per-read merge aggregate streamIndexMerged pays is GONE
+    val plan = graft.ops.TextOps.streamIndexCompacted(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "compacted-store read still aggregates — compaction didn't move the merge off the read path")
+    assert(graft.ops.TextOps.streamIndexMerged(spark, sf).queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "control failed: the merge-at-read form should carry the merge aggregate")
+  }
+
+  test("bm25 served from the compacted stream store is row-identical to the scan-served form") {
+    val scan = q("q_bm25_topk").collect().toSeq
+    val compacted = q("q_bm25_compact_served").collect().toSeq
+    assert(compacted === scan,
+      "retrieval over the compacted stream store diverged from the corpus scan")
+  }
+
   test("tombstone-masked index read equals the segment build over surviving documents") {
     val kept = graft.ops.Dedup.keepBestUnordered(spark, sf)
       .select(col("kept_doc_id").as("doc_id"))

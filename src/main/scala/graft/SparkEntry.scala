@@ -263,6 +263,8 @@ object SparkEntry {
     "q_ann_pq"             -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_ann_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q_ann_pq_check"       -> ((s, d) => Checks.annPqCheck(s, d)),
+    "q_ann_pq_delta"       -> ((s, d) => Similarity.pqTopKDelta(s, d)),
+    "q_ann_pq_delta_check" -> ((s, d) => Checks.annPqDeltaCheck(s, d)),
     "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
     "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -2615,6 +2617,10 @@ object SparkEntry {
     // recall floor boolean)
     "q_ann_pq_check" ->
       "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS pq_recall_ok, TRUE AS ivfpq_recall_ok",
+    // append-lifecycle companion: recall over base ⊎ delta codes (frozen
+    // base codebooks, FAISS add) + exact base/delta coverage of the corpus
+    "q_ann_pq_delta_check" ->
+      "SELECT CAST(50 AS BIGINT) AS n_true, TRUE AS delta_recall_ok, TRUE AS cover_ok",
     // GRU companion: the exact row-identity projection (one row per
     // complete 60-window) hash-checks value-for-value; the analytic
     // output-range law |predicted/value - 1| <= Σ|wOut| (valid for ANY

@@ -218,6 +218,37 @@ object Checks {
       .toDF("n_true", "pq_recall_ok", "ivfpq_recall_ok")
   }
 
+  /** Append-lifecycle companion (`q_ann_pq_delta_check`): recall of the
+    * base ⊎ delta PQ store — codebooks FROZEN at the base snapshot,
+    * appended vectors encoded by the FAISS `add` step only — against
+    * the same brute-force truth. Measured recall@5 at the default pool:
+    * equal to the one-shot index's (the fixture append is
+    * distribution-identical to the base, so codebook staleness costs
+    * ~nothing here; real drift shows up as this number sagging toward
+    * the floor — which is exactly what the companion is FOR).
+    * `cover_ok` pins the structural invariant: base ⊎ delta partitions
+    * the corpus — combined count equals the corpus count AND distinct
+    * vec_ids equal it too (no vector lost at the cut, none coded
+    * twice). */
+  def annPqDeltaCheck(s: SparkSession, d: String,
+      floorDelta: Double = 0.7): DataFrame =
+      corpusVerdict(s, d, Seq("embeddings"), s"annPqDelta:$floorDelta") {
+    val truth = annTruth(s, d)
+    val delta = Similarity.pqTopKDelta(s, d).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
+    val nTrue = truth.count()
+    val hit = truth.intersect(delta).count()
+    val combined = Similarity.pqCodesBase(s, d)
+      .unionByName(Similarity.pqCodesDelta(s, d)).select(col("vec_id"))
+      .localCheckpoint(true)
+    val nCorpus = Tables.embeddings(s, d).count()
+    val coverOk = combined.count() == nCorpus &&
+      combined.distinct().count() == nCorpus
+    import s.implicits._
+    Seq((nTrue, hit.toDouble / nTrue >= floorDelta, coverOk))
+      .toDF("n_true", "delta_recall_ok", "cover_ok")
+  }
+
   /** IVF-blocked near-dup dedup vs the all-pairs truth. `n_true_pairs`
     * is the EXACT count of pairs at or above the threshold — Spark
     * computes it brute-force here, DuckDB recomputes it independently

@@ -485,8 +485,17 @@ object Similarity {
 
   private[graft] def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     graft.Tables.corpusValue(d, Seq("embeddings"), "pqCodebooks") {
+      trainPqCodebooks(s, corpus(s, d), d)
+    }
+
+  /** The Lloyd's training body behind [[pqCodebooks]], parameterized by
+    * the training slice — the full corpus for the one-shot build, the
+    * BASE slice for the append lifecycle ([[pqCodebooksBase]]), where
+    * appended vectors must encode under codebooks FROZEN at the base
+    * snapshot (the FAISS train-once / add-many contract). */
+  private def trainPqCodebooks(s: SparkSession, e: DataFrame,
+      label: String): Array[Array[Array[Double]]] = {
       val ds = 64 / PqM
-      val e = corpus(s, d)
       val n = e.count()
       val sampled =
         if (n <= PqTrainCap) e
@@ -503,7 +512,7 @@ object Similarity {
       val seed = en.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
         .select(col("nemb")).collect()
         .map(_.getSeq[Double](0).toArray)
-      require(seed.nonEmpty, s"PQ training needs at least one vector in $d")
+      require(seed.nonEmpty, s"PQ training needs at least one vector in $label")
       var cb: Array[Array[Array[Double]]] =
         Array.tabulate(PqM, PqK)((m, k) =>
           seed(k % seed.length).slice(m * ds, m * ds + ds))
@@ -592,6 +601,73 @@ object Similarity {
       corpus(s, d).select(col("vec_id"), enc(col("embedding")).as("codes"))
     }
 
+  /** Vec-id cut for the embedding APPEND lifecycle: the last ~10% of
+    * vec_ids are "added since the base snapshot" — same fraction and
+    * same snapshot framing as [[graft.ops.TextOps.indexDeltaCut]]. */
+  private[graft] def embedDeltaCut(s: SparkSession, d: String): Long = {
+    val mx = graft.Tables.corpusValue[java.lang.Long](d, Seq("embeddings"), "maxVecId") {
+      java.lang.Long.valueOf(
+        corpus(s, d).agg(max(col("vec_id"))).head().getLong(0))
+    }.longValue
+    math.max(1L, (mx + 1) * 9 / 10)
+  }
+
+  /** Codebooks trained ONLY on the base slice and FROZEN there — the
+    * FAISS `train` half of train-once/add-many. The append path never
+    * retrains; staleness is the documented trade: appended vectors are
+    * quantized by cells fitted to the base distribution, so recall on
+    * the combined store degrades only as far as the append drifts from
+    * that distribution (the companion pins the floor). */
+  private[graft] def pqCodebooksBase(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val cut = embedDeltaCut(s, d)
+    graft.Tables.corpusValue(d, Seq("embeddings"), s"pqCodebooksBase:lt=$cut") {
+      trainPqCodebooks(s, corpus(s, d).filter(col("vec_id") < cut), s"$d base<$cut")
+    }
+  }
+
+  /** Base-slice code sidecar: base vectors encoded under the frozen
+    * base codebooks — the index as published at the snapshot. */
+  private[graft] def pqCodesBase(s: SparkSession, d: String): DataFrame = {
+    val cut = embedDeltaCut(s, d)
+    Tables.dfArtifact(s, d, Seq("embeddings"), s"pqCodesBase:lt=$cut") {
+      val cb = pqCodebooksBase(s, d)
+      val enc = udf((emb: Seq[Float]) => pqEncodeOne(cb, emb))
+      corpus(s, d).filter(col("vec_id") < cut)
+        .select(col("vec_id"), enc(col("embedding")).as("codes"))
+    }
+  }
+
+  /** The FAISS `add` step (`q_ann_pq_delta`'s O(delta) half): encode
+    * ONLY the appended vectors, under the FROZEN base codebooks, into
+    * their own code sidecar. The build scans the delta slice (vec_id
+    * range predicate pushes to the parquet scan) and reads the codebook
+    * constant — nothing touches the base vectors or their codes, which
+    * is what makes appending to a 100 TB embedding index affordable:
+    * add cost ∝ appended rows, retrain cost ∝ corpus. */
+  private[graft] def pqCodesDelta(s: SparkSession, d: String): DataFrame = {
+    val cut = embedDeltaCut(s, d)
+    Tables.dfArtifact(s, d, Seq("embeddings"), s"pqCodesDelta:ge=$cut") {
+      val cb = pqCodebooksBase(s, d)
+      val enc = udf((emb: Seq[Float]) => pqEncodeOne(cb, emb))
+      corpus(s, d).filter(col("vec_id") >= cut)
+        .select(col("vec_id"), enc(col("embedding")).as("codes"))
+    }
+  }
+
+  /** ANN SEARCH OVER THE APPENDED STORE (`q_ann_pq_delta`): the same
+    * ADC+rerank body as [[pqTopK]] fed base ⊎ delta codes and the
+    * frozen base codebooks — vectors added after the snapshot are
+    * searchable WITHOUT retraining or re-encoding the base (FAISS
+    * `IndexIVFPQ.add` economics). Approximate by construction →
+    * rows-only; `q_ann_pq_delta_check` pins the combined-store recall
+    * floor against the oracled brute-force truth plus exact-coverage
+    * invariants (base ⊎ delta partitions the corpus, no vector lost or
+    * doubled). */
+  def pqTopKDelta(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      pool: Int = 16): DataFrame =
+    pqTopKWith(s, d, pqCodebooksBase(s, d),
+      pqCodesBase(s, d).unionByName(pqCodesDelta(s, d)), nQueries, k, pool)
+
   /** PQ ANN search with ADC (asymmetric distance computation) + exact
     * rerank. The queries' per-(subspace, code) inner-product lookup
     * tables (nQueries × M × K doubles — tiny) are computed driver-side
@@ -617,9 +693,17 @@ object Similarity {
     * at 100 TB pool·k rows per query is still negligible next to the
     * code scan. */
   def pqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-      pool: Int = 16): DataFrame = {
+      pool: Int = 16): DataFrame =
+    pqTopKWith(s, d, pqCodebooks(s, d), pqCodes(s, d), nQueries, k, pool)
+
+  /** The ADC+rerank body behind [[pqTopK]], parameterized by codebooks
+    * and code table — one scoring plan for the one-shot index and the
+    * base ⊎ delta appended store ([[pqTopKDelta]]), so the append
+    * lifecycle's search semantics cannot drift from the proven path. */
+  private def pqTopKWith(s: SparkSession, d: String,
+      cb: Array[Array[Array[Double]]], codes: DataFrame,
+      nQueries: Int, k: Int, pool: Int): DataFrame = {
     import s.implicits._
-    val cb = pqCodebooks(s, d)
     val ds = cb(0)(0).length
     val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
     // bounded collect (precedent: trainedCentroids) — the query set is
@@ -643,7 +727,7 @@ object Similarity {
         (id, lut)
       }
     val heapCap = pool * k
-    val scored = pqCodes(s, d).as[(Long, Seq[Int])].mapPartitions { it =>
+    val scored = codes.as[(Long, Seq[Int])].mapPartitions { it =>
       // one bounded (approx-desc, id-asc) heap per query, per partition
       val heaps = qRows.map { case (qid, _) =>
         qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](

@@ -698,6 +698,38 @@ object Drive {
           graft.SparkEntry.queries("q_index_delta")(spark, sfDir)
             .queryExecution.toRdd.count() }
         spark.range(1).toDF("x")
+      case "pqDeltaPhases" =>
+        // embedding-index append-vs-retrain cost decomposition (round
+        // 17): the FAISS add step (encode ONLY the appended slice under
+        // the frozen base codebooks) vs the one-shot rebuild (train on
+        // the full corpus + encode everything). Run with a WIPED
+        // artifact root; distinct sidecar keys keep phases independent.
+        // ADD = BASE_TRAIN is amortized (the snapshot's published
+        // artifact) — the marginal append cost is DELTA_ENCODE alone.
+        graft.Tables.embeddings(spark, sfDir).count() // untimed warm-up
+        def pqPhase(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"$label%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+        }
+        println(s"CUT=${graft.ops.Similarity.embedDeltaCut(spark, sfDir)}")
+        pqPhase("BASE_TRAIN") {
+          graft.ops.Similarity.pqCodebooksBase(spark, sfDir).length.toLong }
+        pqPhase("BASE_ENCODE") {
+          graft.ops.Similarity.pqCodesBase(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        pqPhase("DELTA_ENCODE") {
+          graft.ops.Similarity.pqCodesDelta(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        pqPhase("FULL_RETRAIN") {
+          graft.ops.Similarity.pqCodebooks(spark, sfDir).length.toLong }
+        pqPhase("FULL_ENCODE") {
+          graft.ops.Similarity.pqCodes(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        pqPhase("DELTA_SEARCH") {
+          graft.ops.Similarity.pqTopKDelta(spark, sfDir)
+            .queryExecution.toRdd.count() }
+        spark.range(1).toDF("x")
       case "kafkaProbe" =>
         try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
         catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }

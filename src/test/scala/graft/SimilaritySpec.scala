@@ -432,6 +432,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("append lifecycle: delta codes encode under FROZEN base codebooks; base ⊎ delta partitions the corpus") {
+    val S = graft.ops.Similarity
+    val cut = S.embedDeltaCut(spark, sf)
+    val maxId = Tables.embeddings(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    assert(cut > 0 && cut <= maxId, s"degenerate append cut $cut (max vec $maxId)")
+    val cbBase = S.pqCodebooksBase(spark, sf)
+    // the add step: every delta code is pqEncodeOne under the BASE
+    // codebooks — not under codebooks that saw the delta
+    val deltaCodes = S.pqCodesDelta(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(deltaCodes.nonEmpty && deltaCodes.keySet.forall(_ >= cut))
+    val deltaEmbs = Tables.embeddings(spark, sf).filter(col("vec_id") >= cut)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(deltaCodes.keySet == deltaEmbs.keySet,
+      "delta code sidecar does not cover exactly the appended slice")
+    for ((id, emb) <- deltaEmbs.take(20))
+      assert(deltaCodes(id) == S.pqEncodeOne(cbBase, emb).toVector,
+        s"delta vec $id not encoded under the frozen base codebooks")
+    // coverage: base ⊎ delta = corpus, disjoint
+    val baseIds = S.pqCodesBase(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(baseIds.forall(_ < cut))
+    assert((baseIds.size + deltaCodes.size).toLong ==
+      Tables.embeddings(spark, sf).count())
+    // the combined-store search has the proven shape: k rows per query,
+    // rank-contiguous
+    val res = q("q_ann_pq_delta").collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+    byQ.values.foreach(rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L)))
+  }
+
   test("PQ ANN: deterministic, schema-conformant, recall with rerank beats the floor") {
     val a = q("q_ann_pq").collect()
     val b = q("q_ann_pq").collect()

@@ -781,6 +781,13 @@ object TextOps {
       queryTokens, k)
   }
 
+  /** Diagnostic-only accessor to the shared scoring body (Drive
+    * streamCompactAB): serve BM25 over an arbitrary segment source at
+    * the default query panel. */
+  private[graft] def bm25FromSegmentsDiag(s: SparkSession, d: String,
+      segments: DataFrame): DataFrame =
+    bm25FromSegments(s, d, segments, Seq("vector", "hash", "dup"), 10)
+
   /** The segment-served Okapi scoring body, parameterized by the
     * segment source — one body for the sidecar-served and
     * stream-built-index paths, so their parity is structural. */

@@ -698,6 +698,47 @@ object Drive {
           graft.SparkEntry.queries("q_index_delta")(spark, sfDir)
             .queryExecution.toRdd.count() }
         spark.range(1).toDF("x")
+      case "streamCompactAB" =>
+        // compact-vs-merge-at-read serve A/B (round 17) over the stream
+        // store SHAPE at generated-fixture scale: 4 hash-split partial
+        // segment tables appended to one store dir — exactly what the
+        // index drain's micro-batches flush (arbitrary batch cuts
+        // relative to index blocks), built batch-style here because the
+        // A/B under test is the READ side, not micro-batch latency.
+        // Three timed passes per leg, min is the statistic.
+        import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+        val docs = graft.Tables.documents(spark, sfDir)
+        docs.count() // untimed warm-up
+        val store = java.nio.file.Files.createTempDirectory("graft_abstore_").toString
+        val t0 = System.nanoTime()
+        (0 until 4).foreach { i =>
+          graft.ops.TextOps.partialSegments(
+            docs.filter(pmod(xxhash64(col("doc_id")), org.apache.spark.sql.functions.lit(4)) === i))
+            .write.mode("append").parquet(store)
+        }
+        println(f"STAGE_FLUSH   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        def ab(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 3).map { _ =>
+            val t = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            (System.nanoTime() - t) / 1e9
+          }
+          println(f"$label%-14s min ${times.min}%8.2f s  (passes ${times.map(x => f"$x%.2f").mkString(" ")})")
+        }
+        // A: merge on every read
+        ab("MERGE_FULL") { graft.ops.TextOps.mergeSegments(spark.read.parquet(store)) }
+        ab("MERGE_BM25") { graft.ops.TextOps.bm25FromSegmentsDiag(spark, sfDir,
+          graft.ops.TextOps.mergeSegments(spark.read.parquet(store))) }
+        // B: compact once (timed), then serve from the compacted store
+        val compacted = java.nio.file.Files.createTempDirectory("graft_abcomp_").toString + "/seg.parquet"
+        val t1 = System.nanoTime()
+        graft.ops.TextOps.mergeSegments(spark.read.parquet(store))
+          .write.parquet(compacted)
+        println(f"COMPACT_ONCE  ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+        ab("COMPACT_FULL") { spark.read.parquet(compacted).select(col("*")) }
+        ab("COMPACT_BM25") { graft.ops.TextOps.bm25FromSegmentsDiag(spark, sfDir,
+          spark.read.parquet(compacted)) }
+        spark.range(1).toDF("x")
       case "pqDeltaPhases" =>
         // embedding-index append-vs-retrain cost decomposition (round
         // 17): the FAISS add step (encode ONLY the appended slice under

@@ -230,6 +230,7 @@ object SparkEntry {
     "q_index_delete"     -> ((s, d) => TextOps.indexWithDeletes(s, d)),
     "q_stream_compact"   -> ((s, d) => TextOps.streamIndexCompacted(s, d)),
     "q_bm25_compact_served" -> ((s, d) => TextOps.bm25FromCompactedIndex(s, d)),
+    "q_bm25_live_served" -> ((s, d) => TextOps.bm25FromLiveIndex(s, d)),
     "q_stream_index"     -> ((s, d) => TextOps.streamIndexMerged(s, d)),
     "q_bm25_topk"        -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_from_index"  -> ((s, d) => TextOps.bm25FromIndex(s, d)),
@@ -441,16 +442,17 @@ object SparkEntry {
     * `q_bm25_from_index`: the index-served path must score exactly what
     * the scan-served path scores, so both entries bind this one string —
     * the parity cannot drift (r15 ADVICE). */
-  private val bm25OracleSql =
-    """WITH ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-                   FROM documents),
+  private def bm25OracleSqlOver(docsRel: String,
+      withClause: String = "WITH "): String =
+    raw"""${withClause}ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                   FROM $docsRel),
        qt AS (SELECT unnest(['vector', 'hash', 'dup']) AS token),
        t AS (SELECT doc_id, token FROM ex
              WHERE length(token) > 0 AND token IN (SELECT token FROM qt)),
        dl AS (SELECT doc_id,
                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                      x -> length(x) > 0)) AS BIGINT) AS dl
-              FROM documents),
+              FROM $docsRel),
        stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
        tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -464,6 +466,16 @@ object SparkEntry {
        SELECT doc_id, CAST(CAST(sum(tscore) AS DECIMAL(18,8)) AS DOUBLE) AS score,
               count(*) AS n_hits
        FROM term GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+
+  private val bm25OracleSql = bm25OracleSqlOver("documents")
+
+  /** BM25 over the tombstone-masked index == BM25 over the surviving
+    * documents: the SAME parameterized scoring SQL, over the `kept`
+    * survivor set of [[keepBestCtesSql]] — tf, df, norms AND corpus
+    * stats all survivor-scoped. */
+  private val bm25LiveOracleSql = bm25OracleSqlOver(
+    "(SELECT dd.doc_id, dd.text FROM documents dd JOIN kept kk ON kk.kept_doc_id = dd.doc_id)",
+    s"WITH RECURSIVE $keepBestCtesSql, ")
 
   /** Shared multi-query RAG oracle body for `q_rag_retrieve` AND
     * `q_rag_from_index` — same structural-parity discipline as
@@ -2566,6 +2578,9 @@ object SparkEntry {
     "q_bm25_stream_served" -> bm25OracleSql,
     // retrieval over the COMPACTED stream store (flush → compact → serve)
     "q_bm25_compact_served" -> bm25OracleSql,
+    // retrieval over the TOMBSTONE-MASKED index: same parameterized BM25
+    // SQL, survivor-scoped end to end (tf, df, norms, corpus stats)
+    "q_bm25_live_served" -> bm25LiveOracleSql,
     // Morton/z-order clustering key — the identical integer bit-spread
     // algebra as ops.Layout.zorder, CTE-chained
     "q_zorder" ->

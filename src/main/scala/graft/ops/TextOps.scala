@@ -781,6 +781,26 @@ object TextOps {
       queryTokens, k)
   }
 
+  /** BM25 OVER THE TOMBSTONE-MASKED INDEX (`q_bm25_live_served`): the
+    * delete path's serving consequence — retrieval over [[liveSegments]]
+    * must behave as if the dead documents never existed. tf and df come
+    * from the masked posting lists (dead postings already filtered);
+    * the norms/stats side anti-joins the broadcast tombstone set so
+    * n_docs/avgdl are survivor statistics too. (Lucene famously does
+    * NOT do the second half until segments merge — docFreq and norms
+    * include deleted docs, an accepted scoring skew; here the exact
+    * form is one broadcast anti-join, so serve the exact one and pin it
+    * to the rebuild-over-survivors oracle: the SAME parameterized BM25
+    * SQL as the scan path, over the kept documents.) */
+  def bm25FromLiveIndex(s: SparkSession, d: String,
+      queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
+      k: Int = 10): DataFrame = {
+    val liveNorms = docNorms(s, d)
+      .join(broadcast(tombstones(s, d)), Seq("doc_id"), "left_anti")
+    bm25FromSegments(s, d, liveSegments(s, d), queryTokens, k,
+      normsOverride = Some(liveNorms))
+  }
+
   /** Diagnostic-only accessor to the shared scoring body (Drive
     * streamCompactAB): serve BM25 over an arbitrary segment source at
     * the default query panel. */
@@ -792,7 +812,8 @@ object TextOps {
     * segment source — one body for the sidecar-served and
     * stream-built-index paths, so their parity is structural. */
   private def bm25FromSegments(s: SparkSession, d: String, segments: DataFrame,
-      queryTokens: Seq[String], k: Int): DataFrame = {
+      queryTokens: Seq[String], k: Int,
+      normsOverride: Option[DataFrame] = None): DataFrame = {
     val post = segments.filter(col("token").isin(queryTokens: _*))
     // one posting struct per occurrence, so the per-doc entry count IS
     // tf — a typed explode of parquet-packed numerics, zero string work
@@ -800,7 +821,7 @@ object TextOps {
       .select(col("token"), explode(col("plist.doc_id")).as("doc_id"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfTok = post.groupBy(col("token")).agg(sum(col("df_block")).as("df"))
-    val dl = docNorms(s, d)
+    val dl = normsOverride.getOrElse(docNorms(s, d))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -124,6 +124,22 @@ class TextMultimodalSpec extends SparkSpec {
       s"tombstoning $nTomb docs removed no postings ($live vs $full)")
   }
 
+  test("bm25 over the tombstone-masked index: no dead docs served, survivor-scoped stats") {
+    val tomb = graft.ops.TextOps.tombstones(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(tomb.nonEmpty)
+    val live = q("q_bm25_live_served").collect().toSeq
+    assert(live.nonEmpty)
+    live.foreach(r => assert(!tomb.contains(r.getLong(0)),
+      s"tombstoned doc ${r.getLong(0)} served from the live index"))
+    // stats are survivor-scoped: n_docs/avgdl shrink, so scores shift
+    // vs the full-index serve even where the ranking agrees (the
+    // DuckDB oracle pins the shifted values exactly)
+    val full = q("q_bm25_from_index").collect().toSeq
+    assert(live != full,
+      "live-index scores identical to full-index scores — survivor stats not applied")
+  }
+
   test("bm25 served from the STREAM-built index is row-identical to the scan-served form") {
     val scan = q("q_bm25_topk").collect().toSeq
     val streamed = q("q_bm25_stream_served").collect().toSeq

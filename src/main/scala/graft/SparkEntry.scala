@@ -228,6 +228,7 @@ object SparkEntry {
     "q_index_postings"   -> ((s, d) => TextOps.invertedPostings(s, d)),
     "q_index_delta"      -> ((s, d) => TextOps.indexDeltaMerge(s, d)),
     "q_index_delete"     -> ((s, d) => TextOps.indexWithDeletes(s, d)),
+    "q_index_snapshot"   -> ((s, d) => TextOps.indexFromSnapshot(s, d)),
     "q_stream_compact"   -> ((s, d) => TextOps.streamIndexCompacted(s, d)),
     "q_bm25_compact_served" -> ((s, d) => TextOps.bm25FromCompactedIndex(s, d)),
     "q_bm25_live_served" -> ((s, d) => TextOps.bm25FromLiveIndex(s, d)),
@@ -266,6 +267,9 @@ object SparkEntry {
     "q_ann_pq_check"       -> ((s, d) => Checks.annPqCheck(s, d)),
     "q_ann_pq_delta"       -> ((s, d) => Similarity.pqTopKDelta(s, d)),
     "q_ann_pq_delta_check" -> ((s, d) => Checks.annPqDeltaCheck(s, d)),
+    "q_ann_live"           -> ((s, d) => Similarity.bruteForceTopKLive(s, d)),
+    "q_ann_pq_live"        -> ((s, d) => Similarity.pqTopKLive(s, d)),
+    "q_ann_pq_live_check"  -> ((s, d) => Checks.annPqLiveCheck(s, d)),
     "q_ann_recall"            -> ((s, d) => Checks.annRecallCheck(s, d)),
     "q_dedup_embed_ivf_check" -> ((s, d) => Checks.embedIvfDedupCheck(s, d)),
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
@@ -476,6 +480,53 @@ object SparkEntry {
   private val bm25LiveOracleSql = bm25OracleSqlOver(
     "(SELECT dd.doc_id, dd.text FROM documents dd JOIN kept kk ON kk.kept_doc_id = dd.doc_id)",
     s"WITH RECURSIVE $keepBestCtesSql, ")
+
+  /** The sign-band near-dup pair CTE chain (8 bands × 8 sign bits as
+    * candidate generator, exact cosine verify, threshold 0.4), ending in
+    * `dups(id_a, id_b, cos)` — mirrors Similarity.embedNearDupLsh
+    * exactly. ONE constant consumed by `q_dedup_embed`, `q_ann_live`'s
+    * survivor set, AND `q_ann_pq_live_check`'s truth cardinality — the
+    * vector tombstone rule is the dedup oracle's loser set by
+    * construction, so the entries cannot drift (the [[keepBestCtesSql]]
+    * discipline applied to the embedding store). */
+  private val embedDupCtesSql =
+    """b AS (
+           SELECT vec_id, t,
+             CAST((embedding[8*t+1] >= 0) AS INT) + 2*CAST((embedding[8*t+2] >= 0) AS INT)
+             + 4*CAST((embedding[8*t+3] >= 0) AS INT) + 8*CAST((embedding[8*t+4] >= 0) AS INT)
+             + 16*CAST((embedding[8*t+5] >= 0) AS INT) + 32*CAST((embedding[8*t+6] >= 0) AS INT)
+             + 64*CAST((embedding[8*t+7] >= 0) AS INT) + 128*CAST((embedding[8*t+8] >= 0) AS INT) AS key
+           FROM embeddings, unnest(generate_series(0, 7)) AS s(t)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+                  FROM b a JOIN b b2 ON b2.t = a.t AND b2.key = a.key AND b2.vec_id > a.vec_id),
+         sc AS (SELECT id_a, id_b,
+             list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(eb.embedding)), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
+           FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b),
+         dups AS (SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4)"""
+
+  /** Brute-force truth over the SURVIVOR vectors — `q_ann_live`:
+    * `q_ann_bruteforce`'s exact scoring body with queries and neighbors
+    * drawn from embeddings minus the tombstone set (the `dups` losers of
+    * [[embedDupCtesSql]]). Value-oracled: mask-at-read ≡ rebuild over
+    * survivors, for vectors. */
+  private val annLiveOracleSql =
+    s"""WITH $embedDupCtesSql,
+         tomb AS (SELECT DISTINCT id_b AS vec_id FROM dups),
+         live AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id NOT IN (SELECT vec_id FROM tomb)),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM live WHERE vec_id < 10),
+         scored AS (SELECT q.q_id, e.vec_id AS n_id,
+           list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+           FROM live e, q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+               FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
+         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   /** Shared multi-query RAG oracle body for `q_rag_retrieve` AND
     * `q_rag_from_index` — same structural-parity discipline as
@@ -2560,6 +2611,10 @@ object SparkEntry {
     // q_dedup_keep_best (shared constant), rebuild by the SAME
     // parameterized generator as every other index-lifecycle entry
     "q_index_delete" -> indexDeleteOracleSql,
+    // the SNAPSHOT read: base ⊎ delta ⊖ tombstones resolved through the
+    // manifest — append and delete composed in one consistent read,
+    // same rebuild-over-survivors contract as q_index_delete
+    "q_index_snapshot" -> indexDeleteOracleSql,
     // compaction: streamed partials folded once into a published sidecar,
     // then served — still the full-rebuild contract
     "q_stream_compact" -> indexPostingsOracleSql,
@@ -2823,25 +2878,23 @@ object SparkEntry {
            / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
             * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cos
          FROM p ORDER BY id_a""",
-    // mirrors Similarity.embedNearDupLsh exactly: sign-band LSH bucket
-    // keys (8 bands x 8 sign bits) as candidate generator, exact cosine
-    // verify on the candidates
+    // shared sign-band pair constant (embedDupCtesSql): this entry, the
+    // q_ann_live survivor set, and q_ann_pq_live_check's truth
+    // cardinality all bind the same CTE chain
     "q_dedup_embed" ->
-      """WITH b AS (
-           SELECT vec_id, t,
-             CAST((embedding[8*t+1] >= 0) AS INT) + 2*CAST((embedding[8*t+2] >= 0) AS INT)
-             + 4*CAST((embedding[8*t+3] >= 0) AS INT) + 8*CAST((embedding[8*t+4] >= 0) AS INT)
-             + 16*CAST((embedding[8*t+5] >= 0) AS INT) + 32*CAST((embedding[8*t+6] >= 0) AS INT)
-             + 64*CAST((embedding[8*t+7] >= 0) AS INT) + 128*CAST((embedding[8*t+8] >= 0) AS INT) AS key
-           FROM embeddings, unnest(generate_series(0, 7)) AS s(t)),
-         cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-                  FROM b a JOIN b b2 ON b2.t = a.t AND b2.key = a.key AND b2.vec_id > a.vec_id),
-         sc AS (SELECT id_a, id_b,
-             list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(generate_series(1, len(eb.embedding)), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS cos
-           FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)
-         SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+      s"WITH $embedDupCtesSql SELECT id_a, id_b, cos FROM dups ORDER BY id_a, id_b",
+    "q_ann_live" -> annLiveOracleSql,
+    // delete-lifecycle companion: n_true = 5 × |survivor queries| is
+    // recomputed by the oracle from the same pair rule; the booleans are
+    // the recall floor + the exact no-dead-served / mask-cardinality
+    // invariants the Spark side asserts
+    "q_ann_pq_live_check" ->
+      s"""WITH $embedDupCtesSql,
+         tomb AS (SELECT DISTINCT id_b AS vec_id FROM dups)
+         SELECT CAST(5 * (SELECT count(*) FROM embeddings
+                          WHERE vec_id < 10
+                            AND vec_id NOT IN (SELECT vec_id FROM tomb)) AS BIGINT) AS n_true,
+           TRUE AS live_recall_ok, TRUE AS no_tomb_ok, TRUE AS mask_cover_ok""",
     // INT8 quantization is exact end to end: float→double cast,
     // division, HALF_UP round (DuckDB rounds half away from zero, same
     // as Spark's BigDecimal HALF_UP on doubles), and long arithmetic

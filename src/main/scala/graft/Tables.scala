@@ -235,6 +235,17 @@ object Tables {
   private[graft] val artifactDiskHits = new java.util.concurrent.atomic.AtomicLong(0)
   private[graft] val artifactBuilds   = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The on-disk directory a [[dfArtifact]] with this (corpus, tables,
+    * key) publishes to — the address a snapshot MANIFEST records, so a
+    * reader can bind a specific artifact GENERATION by path instead of
+    * re-deriving "latest" (the Iceberg manifest-entry shape). Pure
+    * function of the same content fingerprint as [[dfArtifact]]; no IO. */
+  private[graft] def dfArtifactDir(d: String, tables: Seq[String],
+      key: Any): String = {
+    val fp = tables.map(t => tableFingerprint(s"$d/$t.parquet")).mkString(",")
+    diskPath(d, fp, s"df:$key").toString + ".parquet"
+  }
+
   private[graft] def dfArtifact(s: SparkSession, d: String,
       tables: Seq[String], key: Any)(build: => DataFrame): DataFrame =
     artifact(s, d, tables, key) {

@@ -249,6 +249,41 @@ object Checks {
       .toDF("n_true", "delta_recall_ok", "cover_ok")
   }
 
+  /** Delete-lifecycle companion for the embedding store
+    * (`q_ann_pq_live_check`): recall of the masked base ⊎ delta ⊖
+    * tombstones ADC search against the value-ORACLED survivor truth
+    * (`q_ann_live` — brute force over the masked corpus), plus the two
+    * exact invariants that make the mask a delete rather than a filter
+    * heuristic: no tombstoned id is ever served, and the masked code
+    * store's cardinality is exactly corpus − tombstones (with a
+    * non-empty tombstone set, so the check cannot pass vacuously).
+    * `n_true` is k × |survivor queries| — the oracle recomputes it from
+    * the same sign-band pair rule, so even the truth's CARDINALITY is
+    * cross-engine-pinned. */
+  def annPqLiveCheck(s: SparkSession, d: String,
+      floorLive: Double = 0.7): DataFrame =
+      corpusVerdict(s, d, Seq("embeddings"), s"annPqLive:$floorLive") {
+    val truth = graft.Tables.dfArtifact(s, d, Seq("embeddings"), "annTruthLive")(
+      Similarity.bruteForceTopKLive(s, d).select(col("q_id"), col("n_id")))
+    val live = Similarity.pqTopKLive(s, d).select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
+    val tomb = Similarity.embedTombstones(s, d).localCheckpoint(true)
+    val nTrue = truth.count()
+    val hit = truth.intersect(live).count()
+    val nTomb = tomb.count()
+    val servedDead = live.select(col("n_id").as("vec_id"))
+      .union(live.select(col("q_id").as("vec_id")))
+      .join(tomb, Seq("vec_id"), "left_semi").count()
+    val masked = Similarity.pqCodesBase(s, d)
+      .unionByName(Similarity.pqCodesDelta(s, d))
+      .join(broadcast(Similarity.embedTombstones(s, d)), Seq("vec_id"), "left_anti")
+    val nCorpus = Tables.embeddings(s, d).count()
+    val maskOk = nTomb > 0 && masked.count() == nCorpus - nTomb
+    import s.implicits._
+    Seq((nTrue, hit.toDouble / nTrue >= floorLive, servedDead == 0L, maskOk))
+      .toDF("n_true", "live_recall_ok", "no_tomb_ok", "mask_cover_ok")
+  }
+
   /** IVF-blocked near-dup dedup vs the all-pairs truth. `n_true_pairs`
     * is the EXACT count of pairs at or above the threshold — Spark
     * computes it brute-force here, DuckDB recomputes it independently

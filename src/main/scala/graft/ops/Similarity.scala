@@ -74,13 +74,50 @@ object Similarity {
     Tables.embeddings(s, d)
   }
 
+  /** VECTOR TOMBSTONES — the delete half of the EMBEDDING store's
+    * lifecycle (the text index gained its delete path the same round;
+    * FAISS calls this `remove_ids`). The deleted set is the real
+    * pipeline's, mirroring [[graft.ops.TextOps.tombstones]]: the
+    * near-dup LOSERS of [[embedNearDupLsh]] — for every verified
+    * near-dup pair the greater vec_id is a dedup removal (the lesser
+    * survives as the pair's canonical representative; a vector that
+    * loses any pairing is dead). Published as a content-addressed
+    * sidecar: takedowns and dedup removals are corpus-snapshot facts
+    * reads must not re-run the dedup pipeline to learn. */
+  private[graft] def embedTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.dfArtifact(s, d, Seq("embeddings"), "embedTombstones:v1")(
+      embedNearDupLsh(s, d).select(col("id_b").as("vec_id")).distinct())
+
+  /** The survivor corpus: embeddings minus the tombstone set — one
+    * broadcast anti-join (tombstones are dedup-loser METADATA, ≪ corpus),
+    * the vector-side liveDocs mask. */
+  private[graft] def liveVectors(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).join(broadcast(embedTombstones(s, d)), Seq("vec_id"), "left_anti")
+
   /** Exact brute-force top-k cosine neighbors for a small query set
     * (vec_id < nQueries), excluding self. Queries broadcast; per-query
     * top-k via window rank — at scale this is one corpus scan, no corpus
     * shuffle except the final tiny top-k rows. */
   def bruteForceTopK(s: SparkSession, d: String, nQueries: Int = 10,
-      k: Int = 5): DataFrame = {
-    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+      k: Int = 5): DataFrame =
+    bruteForceTopKOn(corpus(s, d), nQueries, k)
+
+  /** Brute-force truth over the SURVIVOR corpus (`q_ann_live`): the
+    * tombstone mask applied to queries AND neighbors, then the identical
+    * exact scoring body — "mask at read ≡ rebuild over survivors" for
+    * vectors, value-oracled (the mask rule is the same sign-band pair
+    * SQL as `q_dedup_embed`, so the oracle expresses the survivor set
+    * exactly and the result hash-matches row for row). */
+  def bruteForceTopKLive(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame =
+    bruteForceTopKOn(liveVectors(s, d), nQueries, k)
+
+  /** The one exact-scoring body behind [[bruteForceTopK]] and
+    * [[bruteForceTopKLive]] — parameterized by the corpus relation so
+    * the masked and unmasked reads cannot drift semantically. */
+  private def bruteForceTopKOn(e0: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val e = e0.withColumn("nrm", l2norm(col("embedding")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -668,6 +705,26 @@ object Similarity {
     pqTopKWith(s, d, pqCodebooksBase(s, d),
       pqCodesBase(s, d).unionByName(pqCodesDelta(s, d)), nQueries, k, pool)
 
+  /** ANN SEARCH OVER THE APPENDED-AND-DELETED STORE (`q_ann_pq_live`) —
+    * the full mutation lifecycle composed: base codes ⊎ delta codes
+    * (FAISS `add`, frozen codebooks) ⊖ tombstones (FAISS `remove_ids`),
+    * searched through the identical ADC+rerank body. The mask is ONE
+    * broadcast anti-join on the 4-byte code table before the ADC scan —
+    * dead vectors never enter a heap, the rerank join, or a result; no
+    * code rewrite, no re-encode, no retrain (Lucene's liveDocs
+    * economics applied to vectors: a delete costs a sidecar row).
+    * Queries draw from the survivor corpus too (a deleted vector can't
+    * ask questions). Approximate by construction → rows-only;
+    * `q_ann_pq_live_check` pins recall against the value-ORACLED
+    * survivor truth (`q_ann_live`) plus the zero-tombstones-served and
+    * mask-cardinality invariants. */
+  def pqTopKLive(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      pool: Int = 16): DataFrame =
+    pqTopKWith(s, d, pqCodebooksBase(s, d),
+      pqCodesBase(s, d).unionByName(pqCodesDelta(s, d))
+        .join(broadcast(embedTombstones(s, d)), Seq("vec_id"), "left_anti"),
+      nQueries, k, pool, Some(liveVectors(s, d)))
+
   /** PQ ANN search with ADC (asymmetric distance computation) + exact
     * rerank. The queries' per-(subspace, code) inner-product lookup
     * tables (nQueries × M × K doubles — tiny) are computed driver-side
@@ -702,10 +759,12 @@ object Similarity {
     * lifecycle's search semantics cannot drift from the proven path. */
   private def pqTopKWith(s: SparkSession, d: String,
       cb: Array[Array[Array[Double]]], codes: DataFrame,
-      nQueries: Int, k: Int, pool: Int): DataFrame = {
+      nQueries: Int, k: Int, pool: Int,
+      corpusDf: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val ds = cb(0)(0).length
-    val e = corpus(s, d).withColumn("nrm", l2norm(col("embedding")))
+    val e = corpusDf.getOrElse(corpus(s, d))
+      .withColumn("nrm", l2norm(col("embedding")))
     // bounded collect (precedent: trainedCentroids) — the query set is
     // nQueries rows by construction
     val qRows = e.filter(col("vec_id") < nQueries)

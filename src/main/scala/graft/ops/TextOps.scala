@@ -604,6 +604,73 @@ object TextOps {
       baseSegments(s, d, blockSize).unionByName(deltaSegments(s, d, blockSize))
         .orderBy(col("token"), col("block_id")))
 
+  /** SNAPSHOT MANIFEST — the Iceberg-shaped atomic pointer that makes
+    * the index lifecycle's pieces a TRANSACTION: one content-addressed
+    * record listing every artifact generation a consistent read binds —
+    * the base segment sidecar, the appended delta sidecar, and the
+    * tombstone sidecar (kind, artifact key, on-disk path, row count).
+    * Readers resolve THE MANIFEST, not "latest sidecars": at 100 TB a
+    * writer publishes segments/deltas/deletes over minutes, and without
+    * a manifest a concurrent reader can observe the new delta with the
+    * old tombstones (a torn snapshot). Building the manifest forces its
+    * children to publish first, so the record never names an artifact
+    * that was not durable when the manifest itself became readable —
+    * Iceberg's commit ordering. Metadata-scale by construction: three
+    * rows, whatever the corpus size. */
+  private[graft] def indexManifest(s: SparkSession, d: String,
+      blockSize: Int = 100): DataFrame = {
+    val cut = indexDeltaCut(s, d, blockSize)
+    val comps = Seq(
+      ("segments-base", s"invertedPostings:v3:block=$blockSize:lt=$cut",
+        baseSegments(s, d, blockSize)),
+      ("segments-delta", s"invertedPostings:v3:block=$blockSize:ge=$cut",
+        deltaSegments(s, d, blockSize)),
+      ("tombstones", "indexTombstones:v1", tombstones(s, d)))
+    Tables.dfArtifact(s, d, Seq("documents"),
+      s"indexManifest:v1:block=$blockSize") {
+      import s.implicits._
+      comps.map { case (kind, key, df) =>
+        // df.count() forces the child build (and so its sidecar publish)
+        // BEFORE the manifest row exists — the commit-order invariant
+        (kind, key, Tables.dfArtifactDir(d, Seq("documents"), key), df.count())
+      }.toDF("component", "artifact_key", "path", "n_rows")
+    }
+  }
+
+  /** SNAPSHOT READ (`q_index_snapshot`) — the full mutation lifecycle
+    * composed through the manifest: resolve the three-row manifest
+    * (driver-side, metadata scale), open each named segment generation
+    * FROM ITS MANIFEST PATH (falling back to the content-addressed
+    * builder only if a sidecar publish was lost — best-effort IO
+    * degrades, never errors), union base ⊎ delta (block-aligned, so
+    * concatenation IS the merge), and mask through the tombstone
+    * generation ([[liveSegmentsOver]]). Because base ⊎ delta is
+    * bit-for-bit the full build and the mask ≡ rebuilding without the
+    * dead docs, the composed read carries the SAME rebuild-over-
+    * survivors oracle as `q_index_delete` — append and delete verified
+    * THROUGH one consistent snapshot, not in isolation. */
+  def indexFromSnapshot(s: SparkSession, d: String,
+      blockSize: Int = 100): DataFrame = {
+    val entries = indexManifest(s, d, blockSize).collect()
+    def resolve(kind: String, rebuild: => DataFrame): DataFrame =
+      entries.find(_.getAs[String]("component") == kind) match {
+        case Some(r) =>
+          val p = r.getAs[String]("path")
+          if (java.nio.file.Files.isRegularFile(
+              java.nio.file.Paths.get(p, "_SUCCESS"))) s.read.parquet(p)
+          else rebuild
+        case None => rebuild
+      }
+    val segs =
+      resolve("segments-base", baseSegments(s, d, blockSize))
+        .unionByName(resolve("segments-delta", deltaSegments(s, d, blockSize)))
+        .select(col("token"), col("block_id"), col("plist"))
+    val tomb = resolve("tombstones", tombstones(s, d))
+    withPostingsString(
+      liveSegmentsOver(segs, tomb, blockSize)
+        .orderBy(col("token"), col("block_id")))
+  }
+
   /** STREAMING INDEX MAINTENANCE, read side (`q_stream_index`): the
     * index drain ([[graft.streaming.Pipeline]] "index") appended one
     * PARTIAL segment table per micro-batch of the staged hash-split
@@ -698,12 +765,20 @@ object TextOps {
 
   /** The tombstone-masked segment table behind [[indexWithDeletes]]. */
   private[graft] def liveSegments(s: SparkSession, d: String,
-      blockSize: Int = 100): DataFrame = {
-    val tombByBlock = tombstones(s, d)
+      blockSize: Int = 100): DataFrame =
+    liveSegmentsOver(postingSegments(s, d, blockSize), tombstones(s, d), blockSize)
+
+  /** The liveDocs mask over ANY segment table — one body for the
+    * one-shot-sidecar read ([[liveSegments]]) and the snapshot-manifest
+    * read ([[indexFromSnapshot]]), so the delete semantics cannot drift
+    * between serve paths. */
+  private[graft] def liveSegmentsOver(segs: DataFrame, tomb: DataFrame,
+      blockSize: Int): DataFrame = {
+    val tombByBlock = tomb
       .groupBy(expr(s"doc_id div $blockSize").as("block_id"))
       .agg(collect_set(col("doc_id")).as("tomb"))
     segmentStats(
-      postingSegments(s, d, blockSize)
+      segs
         .join(broadcast(tombByBlock), Seq("block_id"), "left")
         .select(col("token"), col("block_id"),
           when(col("tomb").isNull, col("plist"))

@@ -465,6 +465,41 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L)))
   }
 
+  test("delete lifecycle: tombstones are exactly the near-dup losers; masked search never serves a dead vector") {
+    val S = graft.ops.Similarity
+    // tombstone rule: distinct greater id of each verified near-dup pair
+    val pairs = q("q_dedup_embed").collect()
+    val expectTomb = pairs.map(_.getAs[Long]("id_b")).toSet
+    val tomb = S.embedTombstones(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(tomb == expectTomb, "tombstone sidecar is not the dedup loser set")
+    assert(tomb.nonEmpty, "fixture has no planted near-dups — delete path vacuous")
+    // survivor truth: same exact body, masked corpus — no dead query, no
+    // dead neighbor, k rows per surviving query
+    val live = q("q_ann_live").collect()
+    assert(live.nonEmpty)
+    live.foreach { r =>
+      assert(!tomb.contains(r.getAs[Long]("q_id")), "dead query served")
+      assert(!tomb.contains(r.getAs[Long]("n_id")), "dead neighbor served")
+    }
+    val nLiveQ = (0L until 10L).count(!tomb.contains(_))
+    assert(live.map(_.getAs[Long]("q_id")).distinct.length == nLiveQ)
+    // masked ADC search: same invariants, and its candidate store is
+    // exactly corpus − tombstones (asserted again cross-engine by the
+    // companion's mask_cover_ok)
+    val pqLive = q("q_ann_pq_live").collect()
+    pqLive.foreach { r =>
+      assert(!tomb.contains(r.getAs[Long]("q_id")))
+      assert(!tomb.contains(r.getAs[Long]("n_id")))
+    }
+    assert(pqLive.map(_.getAs[Long]("q_id")).distinct.length == nLiveQ)
+    // companion verdict: every boolean true
+    val v = q("q_ann_pq_live_check").collect().head
+    assert(v.getAs[Boolean]("live_recall_ok"))
+    assert(v.getAs[Boolean]("no_tomb_ok"))
+    assert(v.getAs[Boolean]("mask_cover_ok"))
+    assert(v.getAs[Long]("n_true") == 5L * nLiveQ)
+  }
+
   test("PQ ANN: deterministic, schema-conformant, recall with rerank beats the floor") {
     val a = q("q_ann_pq").collect()
     val b = q("q_ann_pq").collect()

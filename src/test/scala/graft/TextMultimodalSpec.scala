@@ -124,6 +124,33 @@ class TextMultimodalSpec extends SparkSpec {
       s"tombstoning $nTomb docs removed no postings ($live vs $full)")
   }
 
+  test("snapshot read: manifest names durable generations; composed read equals the masked full-index read") {
+    val T = graft.ops.TextOps
+    // the snapshot read composes base ⊎ delta ⊖ tombstones — must be
+    // row-identical to the full-sidecar masked read (q_index_delete),
+    // which is itself oracled against the rebuild over survivors
+    val snap = q("q_index_snapshot").collect().toSeq
+    val del = q("q_index_delete").collect().toSeq
+    assert(snap === del,
+      "manifest-resolved snapshot read diverged from the masked full-index read")
+    // the manifest is metadata-scale and names all three generations
+    val man = T.indexManifest(spark, sf).collect()
+    assert(man.length == 3)
+    assert(man.map(_.getAs[String]("component")).sorted.toSeq ===
+      Seq("segments-base", "segments-delta", "tombstones"))
+    // commit ordering: every named generation is durable by the time
+    // the manifest is readable (the _SUCCESS of its published sidecar
+    // exists at the recorded path) and non-degenerate where required
+    man.foreach { r =>
+      val p = java.nio.file.Paths.get(r.getAs[String]("path"), "_SUCCESS")
+      assert(java.nio.file.Files.isRegularFile(p),
+        s"manifest names non-durable generation: ${r.getAs[String]("artifact_key")}")
+    }
+    val byKind = man.map(r => r.getAs[String]("component") -> r.getAs[Long]("n_rows")).toMap
+    assert(byKind("segments-base") > 0 && byKind("segments-delta") > 0 &&
+      byKind("tombstones") > 0)
+  }
+
   test("bm25 over the tombstone-masked index: no dead docs served, survivor-scoped stats") {
     val tomb = graft.ops.TextOps.tombstones(spark, sf)
       .collect().map(_.getLong(0)).toSet

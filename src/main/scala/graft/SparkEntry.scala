@@ -229,6 +229,8 @@ object SparkEntry {
     "q_index_delta"      -> ((s, d) => TextOps.indexDeltaMerge(s, d)),
     "q_index_delete"     -> ((s, d) => TextOps.indexWithDeletes(s, d)),
     "q_index_snapshot"   -> ((s, d) => TextOps.indexFromSnapshot(s, d)),
+    "q_index_asof"       -> ((s, d) => TextOps.indexAsOfBase(s, d)),
+    "q_bm25_snapshot_served" -> ((s, d) => TextOps.bm25FromSnapshot(s, d)),
     "q_stream_compact"   -> ((s, d) => TextOps.streamIndexCompacted(s, d)),
     "q_bm25_compact_served" -> ((s, d) => TextOps.bm25FromCompactedIndex(s, d)),
     "q_bm25_live_served" -> ((s, d) => TextOps.bm25FromLiveIndex(s, d)),
@@ -2615,6 +2617,17 @@ object SparkEntry {
     // manifest — append and delete composed in one consistent read,
     // same rebuild-over-survivors contract as q_index_delete
     "q_index_snapshot" -> indexDeleteOracleSql,
+    // time travel: the index AS OF the base generation — rebuild over
+    // doc_id < cut, the block-aligned cut recomputed in SQL with the
+    // same integer arithmetic as indexDeltaCut (both engines derive
+    // the snapshot boundary independently)
+    "q_index_asof" -> indexRebuildOracleSqlOver(
+      "(SELECT doc_id, text FROM documents WHERE doc_id < " +
+        "(SELECT greatest(100, (max(doc_id)+1)*9//10//100*100) FROM documents))"),
+    // snapshot-bound retrieval: manifest-resolved segments + tombstones
+    // — value-identical to the live serve (snapshot == full ⊖ deletes),
+    // same survivor-scoped parameterized BM25 SQL (shared constant)
+    "q_bm25_snapshot_served" -> bm25LiveOracleSql,
     // compaction: streamed partials folded once into a published sidecar,
     // then served — still the full-rebuild contract
     "q_stream_compact" -> indexPostingsOracleSql,

@@ -650,26 +650,79 @@ object TextOps {
     * survivors oracle as `q_index_delete` — append and delete verified
     * THROUGH one consistent snapshot, not in isolation. */
   def indexFromSnapshot(s: SparkSession, d: String,
-      blockSize: Int = 100): DataFrame = {
-    val entries = indexManifest(s, d, blockSize).collect()
-    def resolve(kind: String, rebuild: => DataFrame): DataFrame =
-      entries.find(_.getAs[String]("component") == kind) match {
-        case Some(r) =>
-          val p = r.getAs[String]("path")
-          if (java.nio.file.Files.isRegularFile(
-              java.nio.file.Paths.get(p, "_SUCCESS"))) s.read.parquet(p)
-          else rebuild
-        case None => rebuild
-      }
-    val segs =
-      resolve("segments-base", baseSegments(s, d, blockSize))
-        .unionByName(resolve("segments-delta", deltaSegments(s, d, blockSize)))
-        .select(col("token"), col("block_id"), col("plist"))
-    val tomb = resolve("tombstones", tombstones(s, d))
+      blockSize: Int = 100): DataFrame =
     withPostingsString(
-      liveSegmentsOver(segs, tomb, blockSize)
+      snapshotSegments(s, d, blockSize)
         .orderBy(col("token"), col("block_id")))
+
+  /** Resolve one component of the manifest to its published sidecar
+    * (falling back to the content-addressed builder only if a publish
+    * was lost — best-effort IO degrades, never errors). */
+  private def snapshotComponent(s: SparkSession, d: String, blockSize: Int,
+      kind: String)(rebuild: => DataFrame): DataFrame =
+    indexManifest(s, d, blockSize).collect()
+      .find(_.getAs[String]("component") == kind) match {
+      case Some(r) =>
+        val p = r.getAs[String]("path")
+        if (java.nio.file.Files.isRegularFile(
+            java.nio.file.Paths.get(p, "_SUCCESS"))) s.read.parquet(p)
+        else rebuild
+      case None => rebuild
+    }
+
+  /** The snapshot's live segment table: manifest-resolved base ⊎ delta
+    * masked through the manifest-resolved tombstones — the table every
+    * snapshot-bound consumer (presentation read, BM25 serve) shares. */
+  private[graft] def snapshotSegments(s: SparkSession, d: String,
+      blockSize: Int = 100): DataFrame = {
+    val segs =
+      snapshotComponent(s, d, blockSize, "segments-base")(
+          baseSegments(s, d, blockSize))
+        .unionByName(snapshotComponent(s, d, blockSize, "segments-delta")(
+          deltaSegments(s, d, blockSize)))
+        .select(col("token"), col("block_id"), col("plist"))
+    liveSegmentsOver(segs,
+      snapshotComponent(s, d, blockSize, "tombstones")(tombstones(s, d)),
+      blockSize)
   }
+
+  /** BM25 BOUND TO THE SNAPSHOT (`q_bm25_snapshot_served`): retrieval
+    * resolves the SAME manifest as the presentation read — candidate
+    * segments from [[snapshotSegments]], norms/stats anti-joined
+    * against the manifest's tombstone generation — so a query batch
+    * can never score against a torn store (new delta, old deletes).
+    * Value-identical to `q_bm25_live_served` by construction (the
+    * snapshot is base ⊎ delta ⊖ tombstones == full ⊖ tombstones), and
+    * pinned there by carrying the SAME survivor-scoped parameterized
+    * BM25 oracle — the shared constant's second consumer. */
+  def bm25FromSnapshot(s: SparkSession, d: String,
+      queryTokens: Seq[String] = Seq("vector", "hash", "dup"),
+      k: Int = 10, blockSize: Int = 100): DataFrame = {
+    val liveNorms = docNorms(s, d)
+      .join(broadcast(snapshotComponent(s, d, blockSize, "tombstones")(
+        tombstones(s, d))), Seq("doc_id"), "left_anti")
+    bm25FromSegments(s, d, snapshotSegments(s, d, blockSize), queryTokens, k,
+      normsOverride = Some(liveNorms))
+  }
+
+  /** TIME-TRAVEL READ (`q_index_asof`): the index AS OF the base
+    * snapshot — before the delta was appended and before the delete
+    * batch landed. Because segments are immutable and the manifest
+    * names generations by durable path, serving a PAST state costs one
+    * sidecar scan of the base generation; nothing was rewritten by the
+    * append or the delete, so the old state never stopped being
+    * addressable (the Iceberg AS OF economics; Lucene's point-in-time
+    * readers hold the same property via immutable segment files).
+    * Fully value-oracled: the rebuild SQL over `doc_id < cut`, with
+    * the block-aligned cut recomputed IN SQL from the same integer
+    * arithmetic as [[indexDeltaCut]] — both engines derive the
+    * snapshot boundary independently and must agree bit for bit. */
+  def indexAsOfBase(s: SparkSession, d: String,
+      blockSize: Int = 100): DataFrame =
+    withPostingsString(
+      snapshotComponent(s, d, blockSize, "segments-base")(
+          baseSegments(s, d, blockSize))
+        .orderBy(col("token"), col("block_id")))
 
   /** STREAMING INDEX MAINTENANCE, read side (`q_stream_index`): the
     * index drain ([[graft.streaming.Pipeline]] "index") appended one

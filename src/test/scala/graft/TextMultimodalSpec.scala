@@ -151,6 +151,41 @@ class TextMultimodalSpec extends SparkSpec {
       byKind("tombstones") > 0)
   }
 
+  test("snapshot-bound bm25 and the AS OF read: retrieval binds the manifest; the past stays addressable") {
+    val T = graft.ops.TextOps
+    // retrieval through the manifest == retrieval through the live
+    // sidecar (snapshot = base ⊎ delta ⊖ tombstones = full ⊖ tombstones)
+    val snap = q("q_bm25_snapshot_served").collect().toSeq
+    val live = q("q_bm25_live_served").collect().toSeq
+    assert(snap === live,
+      "snapshot-bound retrieval diverged from the live-sidecar serve")
+    // AS OF the base generation: exactly the rebuild over doc_id < cut
+    val cut = T.indexDeltaCut(spark, sf)
+    val expect = T.buildSegmentsForDiag(
+        Tables.documents(spark, sf).filter(col("doc_id") < cut))
+      .orderBy("token", "block_id").collect().toSeq
+    val asof = T.indexAsOfBase(spark, sf)
+      .select(col("token"), col("block_id"), col("df_block"), col("n_postings"))
+      .collect().toSeq
+    assert(asof === expect.map(r => org.apache.spark.sql.Row(
+      r.get(0), r.get(1), r.get(2), r.get(3))),
+      "AS OF read is not the rebuild over the base slice")
+    // time travel really shows the PAST: a tombstoned doc below the cut
+    // is deleted in the snapshot read but still present AS OF base
+    val tombBelowCut = T.tombstones(spark, sf)
+      .filter(col("doc_id") < cut).collect().map(_.getLong(0))
+    assert(tombBelowCut.nonEmpty, "no tombstoned doc below the cut — weak fixture")
+    val probe = tombBelowCut.head
+    def hasDoc(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.filter(expr(s"exists(plist, x -> x.doc_id = $probe)")).limit(1)
+        .count() > 0
+    assert(hasDoc(T.snapshotSegments(spark, sf)) == false,
+      s"doc $probe is tombstoned but visible in the current snapshot")
+    val baseSegs = T.indexAsOfBase(spark, sf)
+    assert(baseSegs.filter(col("postings").rlike(s"(^| )$probe:")).limit(1).count() > 0,
+      s"doc $probe should be visible AS OF the base generation")
+  }
+
   test("bm25 over the tombstone-masked index: no dead docs served, survivor-scoped stats") {
     val tomb = graft.ops.TextOps.tombstones(spark, sf)
       .collect().map(_.getLong(0)).toSet

@@ -775,6 +775,32 @@ object Drive {
         try graft.sources.Sinks.kafkaReader(spark, "localhost:9092", "stock_ticks").load()
         catch { case e: Throwable => println(s"KAFKA_ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }
         spark.range(1).toDF("x")
+      case "explainFmt" =>
+        // full `.explain("formatted")` dump per registered query, one
+        // file per query — the optimization rounds' plan-evidence
+        // artifact (plans/rNN/<query>_{before,after}.txt). Usage:
+        //   Drive <sfDir> explainFmt <outDir> [q_a,q_b,...]
+        // With no name list, every registered query is dumped. Plans
+        // only — nothing executes, so a full dump is driver-cheap.
+        if (args.length < 3)
+          sys.error("usage: Drive <sfDir> explainFmt <outDir> [names]")
+        val outDir = java.nio.file.Paths.get(args(2))
+        java.nio.file.Files.createDirectories(outDir)
+        val wanted =
+          if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          else graft.SparkEntry.queries.keys.toSeq.sorted
+        wanted.foreach { name =>
+          val txt =
+            try graft.SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode)
+            catch { case e: Throwable =>
+              s"PLAN_ERROR ${e.getClass.getName}: ${e.getMessage}" }
+          java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"explained $name")
+        }
+        spark.range(1).toDF("x")
       case "explain" =>
         Seq("q_scan_filter", "q_orderby_limit", "q_agg_groupby", "q_join_shuffle",
           "q_join_broadcast", "q_join_bucketed", "q_sliding_windows",

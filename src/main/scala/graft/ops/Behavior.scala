@@ -49,16 +49,25 @@ object Behavior {
     * ever moves through the distinct + per-user min, both keyed on the
     * high-cardinality user). */
   def activeUsers(s: SparkSession, d: String): DataFrame = {
+    // ONE scan: the distinct (user, day) table tags each row with its
+    // user's first activity day via a window, so daily-active and
+    // daily-new ride the same aggregate. The previous `dau ⋈ newu`
+    // join re-executed the corpus scan + distinct for each leg (a
+    // DataFrame referenced twice recomputes its subtree); n_new =
+    // count of rows where day == first_day is value-identical to
+    // counting per-user min(day) arrivals, and every day with activity
+    // still emits a row (n_new 0 where no user is new — the old
+    // left-join coalesce).
     val a = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val dau = a.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
-    val newu = a.groupBy(col("user_id")).agg(min(col("day")).as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("first_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    dau.join(newu, Seq("day"), "left")
-      .select(col("day"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+    a.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("day") === col("first_day"), 1)).as("n_new"))
       .withColumn("cum_users", sum(col("n_new")).over(wCum))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_active"), col("n_new"), col("cum_users"))
@@ -72,16 +81,33 @@ object Behavior {
     * on user_id — no window, no skew (the funnel key is the user, never
     * the event type), each stage's input shrinks to the survivors. */
   def funnel(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    // ONE scan, one user-keyed exchange: the three stage times are
+    // per-user window minima chained over the SAME partitioning
+    // (t_click = min click ts strictly after t_view, etc. — a later
+    // window expression may reference an earlier one's column; all
+    // three WindowExecs ride one sort, zero extra shuffles), then one
+    // partial-aggregated per-user collapse and a 1-row count. The
+    // previous stage-join chain re-executed each stage's upstream for
+    // every reference (v in c's subtree AND the final join, c in p's
+    // AND the final join) — SIX corpus scans and five shuffles for
+    // three counts. Null algebra is unchanged: a user with no view has
+    // t_view = min over nothing = NULL, ts > NULL is NULL, so later
+    // stages stay NULL — exactly the inner-join-then-left-join
+    // semantics of the chained form.
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
       .agg(count(col("t_view")).as("n_view"),
         count(col("t_click")).as("n_click"),
         count(col("t_purchase")).as("n_purchase"))

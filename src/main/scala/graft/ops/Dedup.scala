@@ -366,24 +366,35 @@ object Dedup {
     * new shuffle shape. One row per contaminated (test, train) pair,
     * reason = 'exact' before 'neardup' when both hold. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val split = TextOps.hashSplit(s, d)
-    val fp = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(split, Seq("doc_id"))
-    val exactPairs = fp.filter(col("split") === "train")
+    // The split is a PURE FUNCTION of doc_id (TextOps.splitOf — the
+    // same coordination-free property contaminationFraction pushes
+    // into its scan), so it is computed as a column expression, never
+    // joined: the previous shape joined the materialized hashSplit
+    // table FOUR times (once per fp side, once per pair side), and
+    // since a referenced DataFrame re-executes its subtree that was
+    // four extra corpus scans + four doc-keyed shuffles carrying
+    // nothing but a value derivable from the join key itself. The
+    // exact-dup self-join keeps one pruned scan per side (filters
+    // pushed into each scan); the near-dup side is a single pass over
+    // the checkpointed LSH pair index with both split tags evaluated
+    // in place and the two direction cases folded into one projection.
+    val sp = (id: Column) => TextOps.splitOf(id)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"), sp(col("doc_id")).as("split"))
+    val exactPairs = docs.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("fp"))
-      .join(fp.filter(col("split") === "test")
+      .join(docs.filter(col("split") === "test")
         .select(col("doc_id").as("test_id"), col("fp")), Seq("fp"))
       .select(col("test_id"), col("train_id"), lit("exact").as("reason"))
-    val withSplits = minhashLshPairs(s, d)
-      .join(split.select(col("doc_id").as("id_a"), col("split").as("sp_a")), Seq("id_a"))
-      .join(split.select(col("doc_id").as("id_b"), col("split").as("sp_b")), Seq("id_b"))
-    val nearPairs = withSplits
-      .filter(col("sp_a") === "train" && col("sp_b") === "test")
-      .select(col("id_b").as("test_id"), col("id_a").as("train_id"))
-      .unionByName(withSplits
-        .filter(col("sp_a") === "test" && col("sp_b") === "train")
-        .select(col("id_a").as("test_id"), col("id_b").as("train_id")))
-      .select(col("test_id"), col("train_id"), lit("neardup").as("reason"))
+    val nearPairs = minhashLshPairs(s, d)
+      .select(col("id_a"), col("id_b"),
+        sp(col("id_a")).as("sp_a"), sp(col("id_b")).as("sp_b"))
+      .filter((col("sp_a") === "train" && col("sp_b") === "test") ||
+        (col("sp_a") === "test" && col("sp_b") === "train"))
+      .select(
+        when(col("sp_a") === "test", col("id_a")).otherwise(col("id_b")).as("test_id"),
+        when(col("sp_a") === "test", col("id_b")).otherwise(col("id_a")).as("train_id"),
+        lit("neardup").as("reason"))
     exactPairs.unionByName(nearPairs)
       .groupBy(col("test_id"), col("train_id"))
       .agg(min(col("reason")).as("reason"))

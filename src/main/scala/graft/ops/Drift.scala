@@ -153,18 +153,28 @@ object Drift {
     val ranges = psiRanges(s, d)
     val binned = t.join(broadcast(ranges), Seq("event_type"))
       .withColumn("bin", binCol(col("value"), col("vmn"), col("vmx"), nBins))
+    // The (series, bin) cells MATERIALIZE (localCheckpoint — series×bins
+    // metadata scale, recomputed per execution) and the per-series
+    // totals derive FROM them (na = Σ ca over the series' cells,
+    // null-bin rows included — long addition, exactly the counts the
+    // old corpus-level groupBy produced). Previously `totals` was a
+    // second aggregate over `t`, and a DataFrame referenced twice
+    // re-executes its subtree: the r17 plan audit showed FOUR events
+    // scans (span + tag + bin, twice) for one statistic. Now the
+    // corpus moves once past the tag; everything downstream of the
+    // cells aggregate is metadata-scale and keeps the original
+    // broadcast-join plan shape.
     val cells = binned.groupBy(col("event_type"), col("bin"))
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("cb"))
+      .localCheckpoint(true)
     // dense bin frame: every (series, bin) cell exists even when empty
     val frame = ranges.select(col("event_type"))
       .crossJoin(broadcast(
         s.range(0, nBins).select(col("id").as("bin"))))
-    val totals = t.groupBy(col("event_type"))
-      .agg(
-        sum(when(col("is_ref"), 1L).otherwise(0L)).as("na"),
-        sum(when(col("is_ref"), 0L).otherwise(1L)).as("nb"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val sm = lit(0.5)
     val smTot = lit(nBins * 0.5)
     val full = frame

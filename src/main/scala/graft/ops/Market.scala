@@ -417,8 +417,15 @@ object Market {
     * exact, unlike an averaged float return), then
     * β = (nΣdm − ΣdΣm) / (nΣmm − (Σm)²) from decimal moments cast to
     * double at the last step — [[Aggregates.corrDaily]]'s parity
-    * technique. Bar-table sized throughout (symbols × days): one tiny
-    * broadcast join of deltas against the 1-row-per-day index. */
+    * technique. Bar-table sized throughout (symbols × days).
+    *
+    * The market index rides a WINDOW over the deltas (sum per day),
+    * not a `deltas ⋈ agg(deltas)` self-join: a DataFrame referenced
+    * twice re-executes its whole subtree, so the join form paid the
+    * tick scan + bar aggregate TWICE (r17 plan audit: two complete
+    * Scan→HashAggregate→Window chains, 8 exchanges). The window form
+    * is one scan and one extra bar-grain exchange — decimal window
+    * sums equal the grouped sums exactly, so values are unchanged. */
   def beta(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
     val deltas = ohlcBars(s, d)
@@ -426,9 +433,9 @@ object Market {
         (col("close").cast(DecimalType(18, 2)) -
           lag(col("close"), 1).over(w).cast(DecimalType(18, 2))).as("dd"))
       .filter(col("dd").isNotNull)
-    val market = deltas.groupBy(col("day"))
-      .agg(sum(col("dd")).cast(DecimalType(18, 2)).as("dm"))
-    deltas.join(broadcast(market), Seq("day"))
+    deltas
+      .withColumn("dm", sum(col("dd")).over(Window.partitionBy(col("day")))
+        .cast(DecimalType(18, 2)))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("dd")).cast(DoubleType).as("sd"),

@@ -78,15 +78,23 @@ object TextOps {
     * same join shape. */
   def curateCorpus(s: SparkSession, d: String, minQuality: Double = 0.5,
       lang: String = "en"): DataFrame = {
-    val q = quality(s, d).select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val l = langId(s, d).select(col("doc_id"), col("predicted"))
-    val keepers = Tables.documents(s, d)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    q.join(l, Seq("doc_id"))
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .filter(col("quality_score") >= minQuality && col("predicted") === lang)
+    // ONE text scan: the quality and language projections are per-row
+    // column expressions over the same text ([[withQualityCols]] /
+    // [[withLangCols]] — the exact builders behind q_text_quality and
+    // q_text_langid, so the values cannot drift), and the exact-dup
+    // keeper test is a min-doc_id window over the content hash instead
+    // of a groupBy + semi-join back. The previous three-way composition
+    // (quality ⋈ langId ⋈semi keepers) re-scanned and RE-TOKENIZED the
+    // corpus once per input — three full text parses and two doc-keyed
+    // join shuffles for one row-local predicate. Here the corpus text
+    // is parsed once and the only shuffle is the content-hash window
+    // (narrow post-projection rows, no text travels).
+    withLangCols(withQualityCols(Tables.documents(s, d)))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("predicted"), md5(col("text")).as("h"))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("quality_score") >= minQuality && col("predicted") === lang)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -109,16 +117,22 @@ object TextOps {
     * paths (the once-per-corpus scored table) write this directly so
     * the corpus-wide range sort never runs where on-disk order is
     * irrelevant; [[quality]] adds the orderBy for its oracle contract. */
-  private def qualityScored(s: SparkSession, d: String): DataFrame = {
+  /** Append the per-row quality columns to a DF that carries `text` —
+    * the ONE definition of the quality metrics, consumed by
+    * [[quality]] (via [[qualityScored]]) and fused into
+    * [[curateCorpus]]'s single-scan plan. Other columns pass through. */
+  private[ops] def withQualityCols(df: DataFrame): DataFrame = {
     val nTokens = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(tokens(col("text"))).cast(LongType))
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast(LongType)
     val nStop = size(filter(tokens(col("text")),
       t => t.isInCollection(stopwords))).cast(LongType)
-    Tables.documents(s, d)
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars2"),
-        nTokens.as("n_tokens"), nPunct.as("n_punct"), nStop.as("n_stop"))
+    df
+      .withColumn("n_chars2", length(col("text")).cast(LongType))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_punct", nPunct)
+      .withColumn("n_stop", nStop)
       .withColumn("punct_ratio",
         when(col("n_chars2") > 0, col("n_punct").cast(DoubleType) / col("n_chars2"))
           .otherwise(lit(0.0)))
@@ -130,6 +144,11 @@ object TextOps {
           least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) * 0.3 +
           (lit(1.0) - col("punct_ratio")) * 0.2)
   }
+
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    withQualityCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars2"), col("n_tokens"), col("n_punct"),
+        col("n_stop"), col("punct_ratio"), col("stop_ratio"), col("quality_score"))
 
   /** Document quality scoring: length, token count, punctuation ratio,
     * stopword ratio, and a deterministic composite score. */
@@ -153,27 +172,32 @@ object TextOps {
   /** Marker-token language ID (n-gram-heuristic family): score each
     * language by its marker-word hits, pick the argmax with a fixed
     * tie-break order. Deterministic, so it stays oracle-comparable. */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val markers = Seq(
-      "s_en" -> Seq("the", "and", "of", "to", "in"),
-      "s_fr" -> Seq("le", "la", "les", "et", "des"),
-      "s_de" -> Seq("der", "die", "und", "das", "ein"),
-      "s_es" -> Seq("el", "los", "las", "que", "una"))
-    val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (name, ws)) =>
-      df.withColumn(name,
+  private val langMarkers = Seq(
+    "s_en" -> Seq("the", "and", "of", "to", "in"),
+    "s_fr" -> Seq("le", "la", "les", "et", "des"),
+    "s_de" -> Seq("der", "die", "und", "das", "ein"),
+    "s_es" -> Seq("el", "los", "las", "que", "una"))
+
+  /** Append the marker scores + `predicted` to a DF that carries
+    * `text` — the ONE definition of the language heuristic, consumed
+    * by [[langId]] and fused into [[curateCorpus]]'s single-scan plan. */
+  private[ops] def withLangCols(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) { case (acc, (name, ws)) =>
+      acc.withColumn(name,
         size(filter(tokens(col("text")), t => t.isInCollection(ws))).cast(LongType))
     }
-    scored
       .withColumn("predicted",
         when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
           col("s_en") >= col("s_es"), lit("en"))
           .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), lit("fr"))
           .when(col("s_de") >= col("s_es"), lit("de"))
           .otherwise(lit("es")))
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    withLangCols(Tables.documents(s, d))
       .select(col("doc_id"), col("s_en"), col("s_fr"), col("s_de"), col("s_es"),
         col("predicted"))
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprinting: whitespace-normalized lowercase text → md5.
     * The canonical cheap content fingerprint for exact-dup detection at
@@ -1077,10 +1101,19 @@ object TextOps {
         floor(col("quality_score") * buckets).cast(IntegerType))
     val wb = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the ≤B-row histogram MATERIALIZES (localCheckpoint — metadata
+    // scale, recomputed per execution): it is consumed by BOTH the
+    // full-bucket branch and the boundary branch below, and an
+    // unmaterialized DataFrame re-executes its subtree per reference —
+    // the r17 plan audit showed four scored-table scans (each branch
+    // re-derived the histogram AND its own probe side) where two
+    // remain: one histogram pass + one filter pass per branch over the
+    // same broadcast.
     val status = sc.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btok"))
       .withColumn("cum", sum(col("btok")).over(wb))
       .withColumn("cum_before", col("cum") - col("btok"))
       .select(col("bucket"), col("cum"), col("cum_before"))
+      .localCheckpoint(true)
     val joined = sc.join(broadcast(status), Seq("bucket"))
     val full = joined.filter(col("cum") <= budget)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
@@ -1420,8 +1453,23 @@ object TextOps {
   def mixtureSample(s: SparkSession, d: String, budget: Long = 20000L): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(scoredDocs(s, d).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
-    val alloc = base.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("t_s"))
+    val md5c = md5(col("doc_id").cast(StringType))
+    val withB = base.withColumn("bucket",
+      conv(substring(md5c, 1, 2), 16, 10).cast(IntegerType))
+    // The sources×256 bucket histogram MATERIALIZES (localCheckpoint,
+    // metadata scale, recomputed per execution) and the per-source
+    // allocation derives FROM it (t_s = Σ btok — long addition, the
+    // identical totals): previously `alloc` re-aggregated `base` and
+    // each of the full/boundary branches re-derived `withB` + `hist` +
+    // `alloc` from scratch — SIX documents∪scored passes per run
+    // (r17 plan audit). Now the corpus feeds the histogram once and
+    // each branch pays exactly one more probe pass (the irreducible
+    // two-branch shape: only the boundary bucket may sort).
+    val hist0 = withB.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .localCheckpoint(true)
+    val alloc = hist0.groupBy(col("source"))
+      .agg(sum(col("btok")).as("t_s"))
       .withColumn("wsd",
         round(sqrt(col("t_s").cast(DoubleType)), 6).cast(DecimalType(28, 6)))
       .withColumn("budget",
@@ -1429,17 +1477,14 @@ object TextOps {
           sum(col("wsd")).over(Window.partitionBy()).cast(DoubleType))
           .cast(LongType))
       .select(col("source"), col("budget"))
-    val md5c = md5(col("doc_id").cast(StringType))
-    val withB = base.withColumn("bucket",
-      conv(substring(md5c, 1, 2), 16, 10).cast(IntegerType))
     val wb = Window.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = withB.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("btok"))
+    val hist = hist0
       .withColumn("cum", sum(col("btok")).over(wb))
       .withColumn("cum_before", col("cum") - col("btok"))
       .join(alloc, Seq("source"))
       .select(col("source"), col("bucket"), col("cum"), col("cum_before"), col("budget"))
+      .localCheckpoint(true)
     val joined = withB.join(broadcast(hist), Seq("source", "bucket"))
     val full = joined.filter(col("cum") <= col("budget"))
       .select(col("source"), col("doc_id"), col("n_tokens"))

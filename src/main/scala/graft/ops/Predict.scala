@@ -416,8 +416,16 @@ object Predict {
     val bc = s.sparkContext.broadcast(predictor)
     // windows come from the shared per-(corpus, k) artifact
     // (Chunked.windowArrays): one chunked collect_list frame pass per
-    // JVM, consumed here and by the sliding stats + GRU/LSTM passes
+    // JVM, consumed here and by the sliding stats + GRU/LSTM passes.
+    // REPARTITION before the compute-bound inference stage (the same
+    // line the fetch path below already has): the artifact rides the
+    // frame pass's (series, chunk) partitioning — at sf0.1 that is 5
+    // populated partitions, so the recurrence pass ran near-serial
+    // (r17: q_predict_gru 2.0 s warm ≈ the single-thread cost of 100k
+    // window forwards; after spreading, 0.66 s). Per-row map work is
+    // partition-invariant, so values are unchanged at any width.
     val windows = Chunked.windowArrays(s, d, k)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String, Array[Double])]
     windows.mapPartitions { it =>
       val p = bc.value

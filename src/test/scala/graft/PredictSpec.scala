@@ -63,10 +63,13 @@ class PredictSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Tuning.withShufflePartitions(spark, 32) {
       // the operator consumes the SHARED window-array artifact
-      // (Chunked.windowArrays) — the task count the mapPartitions stage
-      // sees is that checkpoint's partitioning, so probe exactly it
-      val expectedParts =
-        graft.ops.Chunked.windowArrays(spark, sf, 60).rdd.getNumPartitions
+      // (Chunked.windowArrays) but REPARTITIONS it to the session's
+      // default parallelism before the compute-bound inference stage
+      // (r17: the artifact's (series, chunk) partitioning left the
+      // recurrence near-serial) — the task count the mapPartitions
+      // stage sees is exactly that width, empty partitions included
+      // (prepare() fires before the batch loop)
+      val expectedParts = spark.sparkContext.defaultParallelism
       val n = Predict
         .predictAllWindowsBatched(spark, sf, 60, new CountingPredictor)
         .count()

@@ -399,8 +399,9 @@ object Predict {
     * (`stream_consumer.py:43-45` loads the model once per process);
     * `prepare()` fires once per partition. */
   def predictAllWindowsBatched(s: SparkSession, d: String, k: Int = 60,
-      predictor: Predictor = LinearPredictor, batchSize: Int = 1024): DataFrame =
-    predictAllWindowsBatchedRaw(s, d, k, predictor, batchSize)
+      predictor: Predictor = LinearPredictor, batchSize: Int = 1024,
+      spread: Boolean = false): DataFrame =
+    predictAllWindowsBatchedRaw(s, d, k, predictor, batchSize, spread)
       .orderBy(col("event_id"))
 
   /** [[predictAllWindowsBatched]] WITHOUT the final global sort. The
@@ -411,21 +412,28 @@ object Predict {
     * ~2× the pass; under a bare count() the optimizer eliminates the
     * sort, which is why the query form never showed it). */
   private def predictAllWindowsBatchedRaw(s: SparkSession, d: String, k: Int,
-      predictor: Predictor, batchSize: Int): DataFrame = {
+      predictor: Predictor, batchSize: Int, spread: Boolean): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(predictor)
     // windows come from the shared per-(corpus, k) artifact
     // (Chunked.windowArrays): one chunked collect_list frame pass per
     // JVM, consumed here and by the sliding stats + GRU/LSTM passes.
-    // REPARTITION before the compute-bound inference stage (the same
-    // line the fetch path below already has): the artifact rides the
-    // frame pass's (series, chunk) partitioning — at sf0.1 that is 5
-    // populated partitions, so the recurrence pass ran near-serial
+    // `spread` REPARTITIONS to the session's parallelism before the
+    // inference stage, but ONLY for recurrence-cost predictors (the
+    // GRU/LSTM passes set it): the artifact rides the frame pass's
+    // (series, chunk) partitioning — at sf0.1 that is 5 populated
+    // partitions, so a ~3.5 MFLOP/window recurrence ran near-serial
     // (r17: q_predict_gru 2.0 s warm ≈ the single-thread cost of 100k
-    // window forwards; after spreading, 0.66 s). Per-row map work is
-    // partition-invariant, so values are unchanged at any width.
-    val windows = Chunked.windowArrays(s, d, k)
-      .repartition(s.sparkContext.defaultParallelism)
+    // window forwards; after spreading, 0.66 s). For the CHEAP linear
+    // predictor the exchange of 100k × k-double window arrays costs
+    // more than the compute it parallelizes (r17 same-context A/B:
+    // q_predict_windows 0.21 s riding the artifact partitioning vs
+    // 0.94 s behind the unconditional repartition), so the default
+    // keeps the artifact's layout. Per-row map work is
+    // partition-invariant, so values are unchanged either way.
+    val base = Chunked.windowArrays(s, d, k)
+    val windows = (if (spread) base.repartition(s.sparkContext.defaultParallelism)
+                   else base)
       .as[(Long, String, Array[Double])]
     windows.mapPartitions { it =>
       val p = bc.value
@@ -457,7 +465,8 @@ object Predict {
       // ephemeral shared intermediate, re-built per bench iteration —
       // rides the tmpfs lever like the streaming scratch (Tuning doc)
       val out = graft.Tuning.fastTmpDir("graft_gru_").toString
-      predictAllWindowsBatchedRaw(s, d, k, new GruPredictor(), 1024)
+      predictAllWindowsBatchedRaw(s, d, k, new GruPredictor(), 1024,
+          spread = true)
         .write.mode("overwrite").parquet(out)
       out
     })

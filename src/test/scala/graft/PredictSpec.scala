@@ -63,15 +63,17 @@ class PredictSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Tuning.withShufflePartitions(spark, 32) {
       // the operator consumes the SHARED window-array artifact
-      // (Chunked.windowArrays) but REPARTITIONS it to the session's
-      // default parallelism before the compute-bound inference stage
-      // (r17: the artifact's (series, chunk) partitioning left the
-      // recurrence near-serial) — the task count the mapPartitions
-      // stage sees is exactly that width, empty partitions included
-      // (prepare() fires before the batch loop)
+      // (Chunked.windowArrays); with spread=true it REPARTITIONS to the
+      // session's default parallelism before the compute-bound
+      // inference stage (the GRU/LSTM operating point — r17: the
+      // artifact's (series, chunk) partitioning left the recurrence
+      // near-serial) — the task count the mapPartitions stage sees is
+      // exactly that width, empty partitions included (prepare() fires
+      // before the batch loop)
       val expectedParts = spark.sparkContext.defaultParallelism
       val n = Predict
-        .predictAllWindowsBatched(spark, sf, 60, new CountingPredictor)
+        .predictAllWindowsBatched(spark, sf, 60, new CountingPredictor,
+          spread = true)
         .count()
       assert(n > 0)
       assert(expectedParts >= 1,
@@ -80,6 +82,25 @@ class PredictSpec extends SparkSpec {
         s"prepare() must fire exactly once per partition task: " +
           s"${PredictSpec.prepares.get()} calls vs $expectedParts partitions")
     } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
+
+  test("default (linear) all-windows path rides the artifact partitioning — no spread exchange") {
+    // r17: the unconditional repartition helped the GRU recurrence but
+    // cost the cheap linear predictor a 100k×60-double exchange
+    // (q_predict_windows 0.21 → 0.94 s). The default path must consume
+    // the window artifact's own layout: prepare() fires exactly once
+    // per ARTIFACT partition, not once per default-parallelism task.
+    PredictSpec.prepares.set(0)
+    val artifactParts =
+      graft.ops.Chunked.windowArrays(spark, sf, 60).rdd.getNumPartitions
+    val n = Predict
+      .predictAllWindowsBatched(spark, sf, 60, new CountingPredictor)
+      .count()
+    assert(n > 0)
+    assert(PredictSpec.prepares.get() == artifactParts,
+      s"default path must not repartition the window artifact: " +
+        s"${PredictSpec.prepares.get()} prepare() calls vs " +
+        s"$artifactParts artifact partitions")
   }
 
   test("GRU forward pass: deterministic, finite, batch == row-at-a-time") {
